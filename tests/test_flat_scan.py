@@ -1,0 +1,143 @@
+"""Dense flat-scan correctness: XLA path vs numpy oracle, Pallas path vs XLA path.
+
+Mirrors the reference's vector-engine correctness strategy (reference:
+Tests/.../MetalVectorEngineBenchmark.swift:18-131 — GPU search checked against exact
+results, correctness-after-add) with the TPU twist that the Pallas kernel is checked
+tile-by-tile against the XLA oracle, including masking of tombstones and padding.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wax_tpu.index.dense import DenseIndexBuilder, Similarity
+from wax_tpu.ops.flat_scan import flat_scan_topk, normalize_rows
+from wax_tpu.ops.topk import NEG_INF, masked_top_k, merge_topk
+
+
+def _numpy_oracle(q, emb, active, k):
+    scores = q @ emb.T
+    scores = np.where(active[None, :], scores, -np.inf)
+    order = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(scores, order, axis=1)
+    order = np.where(np.isfinite(vals), order, -1)
+    return vals, order
+
+
+def _build(rng, n=3000, d=64, k_similarity=Similarity.COSINE):
+    b = DenseIndexBuilder(dim=d, similarity=k_similarity)
+    vecs = rng.standard_normal((n, d)).astype(np.float32)
+    ids = np.arange(100, 100 + n)
+    b.add_batch(ids, vecs)
+    return b, vecs, ids
+
+
+class TestXlaScan:
+    def test_matches_numpy_oracle(self, rng):
+        b, vecs, ids = _build(rng)
+        idx = b.snapshot()
+        q = normalize_rows(jnp.asarray(rng.standard_normal((7, 64)).astype(np.float32)))
+        vals, rows, fids = flat_scan_topk(q, idx, 10, backend="xla")
+
+        emb_n = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        active = np.zeros(idx.capacity, bool)
+        active[: len(vecs)] = True
+        emb_full = np.zeros((idx.capacity, 64), np.float32)
+        emb_full[: len(vecs)] = emb_n
+        ovals, orows = _numpy_oracle(np.asarray(q), emb_full, active, 10)
+        np.testing.assert_allclose(np.asarray(vals), ovals, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(rows), orows)
+        np.testing.assert_array_equal(np.asarray(fids), ids[orows])
+
+    def test_remove_masks_out(self, rng):
+        b, vecs, ids = _build(rng, n=50)
+        # query exactly equal to vector 7 -> it must win; after removal it must not appear
+        q = normalize_rows(jnp.asarray(vecs[7][None, :]))
+        idx = b.snapshot()
+        _, _, fids = flat_scan_topk(q, idx, 5, backend="xla")
+        assert int(fids[0, 0]) == int(ids[7])
+        assert b.remove(int(ids[7]))
+        idx2 = b.snapshot()
+        _, _, fids2 = flat_scan_topk(q, idx2, 5, backend="xla")
+        assert int(ids[7]) not in np.asarray(fids2)
+
+    def test_upsert_replaces(self, rng):
+        b, vecs, ids = _build(rng, n=20)
+        newvec = rng.standard_normal(64).astype(np.float32)
+        b.add(int(ids[3]), newvec)
+        idx = b.snapshot()
+        q = normalize_rows(jnp.asarray(newvec[None, :]))
+        vals, _, fids = flat_scan_topk(q, idx, 1, backend="xla")
+        assert int(fids[0, 0]) == int(ids[3])
+        assert float(vals[0, 0]) == pytest.approx(1.0, abs=1e-5)
+
+    def test_k_larger_than_count(self, rng):
+        b, _, _ = _build(rng, n=5)
+        idx = b.snapshot()
+        q = normalize_rows(jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32)))
+        vals, rows, fids = flat_scan_topk(q, idx, 12, backend="xla")
+        assert np.all(np.asarray(fids)[:, 5:] == -1)
+        assert np.all(np.asarray(vals)[:, 5:] <= float(NEG_INF))
+
+    def test_dot_similarity(self, rng):
+        b = DenseIndexBuilder(dim=32, similarity=Similarity.DOT)
+        vecs = rng.standard_normal((100, 32)).astype(np.float32)
+        b.add_batch(np.arange(100), vecs)
+        idx = b.snapshot()
+        q = jnp.asarray(rng.standard_normal((3, 32)).astype(np.float32))
+        vals, rows, _ = flat_scan_topk(q, idx, 4, backend="xla")
+        scores = np.asarray(q) @ vecs.T
+        exp = np.sort(scores, axis=1)[:, ::-1][:, :4]
+        np.testing.assert_allclose(np.asarray(vals), exp, rtol=1e-5, atol=1e-5)
+
+    def test_euclidean_similarity(self, rng):
+        b = DenseIndexBuilder(dim=16, similarity=Similarity.EUCLIDEAN)
+        vecs = rng.standard_normal((64, 16)).astype(np.float32)
+        b.add_batch(np.arange(64), vecs)
+        idx = b.snapshot()
+        q = np.asarray(rng.standard_normal((2, 16)), np.float32)
+        _, rows, _ = flat_scan_topk(jnp.asarray(q), idx, 3, backend="xla")
+        d2 = ((q[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+        exp = np.argsort(d2, axis=1, kind="stable")[:, :3]
+        np.testing.assert_array_equal(np.asarray(rows), exp)
+
+
+class TestPallasScan:
+    @pytest.mark.parametrize("n,bq,k", [(3000, 7, 10), (1024, 1, 1), (5000, 300, 32)])
+    def test_matches_xla(self, rng, n, bq, k):
+        b, _, _ = _build(rng, n=n)
+        idx = b.snapshot()
+        q = normalize_rows(jnp.asarray(rng.standard_normal((bq, 64)).astype(np.float32)))
+        v1, r1, f1 = flat_scan_topk(q, idx, k, backend="xla")
+        v2, r2, f2 = flat_scan_topk(q, idx, k, backend="pallas")
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+    def test_with_tombstones(self, rng):
+        b, vecs, ids = _build(rng, n=2000)
+        for fid in ids[::5][:100]:
+            b.remove(int(fid))
+        idx = b.snapshot()
+        q = normalize_rows(jnp.asarray(rng.standard_normal((9, 64)).astype(np.float32)))
+        v1, r1, f1 = flat_scan_topk(q, idx, 10, backend="xla")
+        v2, r2, f2 = flat_scan_topk(q, idx, 10, backend="pallas")
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        removed = set(int(x) for x in ids[::5][:100])
+        assert removed.isdisjoint(set(np.asarray(f2).ravel().tolist()))
+
+
+class TestTopkUtils:
+    def test_masked_top_k(self):
+        s = jnp.asarray([[1.0, 5.0, 3.0, 5.0]])
+        vals, idx = masked_top_k(s, 3, mask=jnp.asarray([[True, True, True, False]]))
+        np.testing.assert_allclose(np.asarray(vals[0]), [5.0, 3.0, 1.0])
+        np.testing.assert_array_equal(np.asarray(idx[0]), [1, 2, 0])
+
+    def test_merge_topk_deterministic_ties(self):
+        va = jnp.asarray([[5.0, 1.0]])
+        ia = jnp.asarray([[10, 11]], dtype=jnp.int32)
+        vb = jnp.asarray([[5.0, 2.0]])
+        ib = jnp.asarray([[20, 21]], dtype=jnp.int32)
+        v, i = merge_topk(va, ia, vb, ib, 3)
+        np.testing.assert_allclose(np.asarray(v[0]), [5.0, 5.0, 2.0])
+        np.testing.assert_array_equal(np.asarray(i[0]), [10, 20, 21])
