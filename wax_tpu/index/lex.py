@@ -1,0 +1,254 @@
+"""Lexical (BM25) index: CSR postings snapshot + host-side builder.
+
+TPU-first replacement for the reference's SQLite FTS5 engine (reference:
+Sources/WaxTextSearch/FTS5SearchEngine.swift:5-985 — in-memory FTS5 virtual table,
+BM25 ranking via bm25(), whole-image serialization into the lex segment). Instead of a
+C B-tree engine, the TPU build keeps postings as flat CSR arrays that score on device
+via gathers + one fused scatter-add (wax_tpu/ops/bm25.py); "serializing the SQLite
+image" becomes serializing the CSR arrays (see wax_tpu/index/snapshot.py).
+
+Analyzer parity: FTS5's default unicode61 tokenizer (case-fold, split on
+non-alphanumeric, no stemming) is mirrored by `analyze`. Scoring parity: BM25 with
+k1=1.2, b=0.75 (SQLite's built-in constants); FTS5's rank is negative-better and the
+reference maps it to a positive score (FTS5SearchEngine.swift:966) — we produce the
+positive BM25 score directly and keep `score_from_rank` for parity tests.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+import unicodedata
+from collections import Counter
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["LexIndex", "LexIndexBuilder", "analyze", "BM25_K1", "BM25_B"]
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+
+def analyze(text: str) -> list[str]:
+    """unicode61-style analysis: NFKD case-fold, strip diacritics, split on
+    non-alphanumerics."""
+    text = unicodedata.normalize("NFKD", text).casefold()
+    text = "".join(c for c in text if not unicodedata.combining(c))
+    return _TOKEN_RE.findall(text)
+
+
+def score_from_rank(rank: float) -> float:
+    """Map an FTS5-style negative-better rank to a positive score in (0, 1],
+    mirroring the reference's scoreFromBM25Rank (FTS5SearchEngine.swift:966)."""
+    return 1.0 / (1.0 + max(0.0, -rank)) if rank <= 0 else 1.0 / (1.0 + rank)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class LexIndex:
+    """Device-resident CSR postings snapshot (pytree).
+
+    Attributes:
+      doc_rows:  [P] int32 — row index of each posting (grouped by term).
+      tfs:       [P] float32 — term frequency of each posting.
+      offsets:   [T+1] int32 — CSR offsets per term id.
+      idf:       [T] float32 — BM25+ idf per term.
+      doc_len:   [N_cap] float32 — analyzed token count per row.
+      frame_ids: [N_cap] int32 — row -> external id (-1 pad/tombstone).
+      active:    [N_cap] bool.
+      count:     scalar int32 — occupied rows.
+      avgdl:     scalar float32 — mean doc length over live rows.
+      max_df:    static int — longest postings list (device scoring budget W).
+    """
+
+    doc_rows: jax.Array
+    tfs: jax.Array
+    offsets: jax.Array
+    idf: jax.Array
+    doc_len: jax.Array
+    frame_ids: jax.Array
+    active: jax.Array
+    count: jax.Array
+    avgdl: jax.Array
+    max_df: int = dataclasses.field(metadata=dict(static=True), default=0)
+
+    @property
+    def n_terms(self) -> int:
+        return self.idf.shape[0]
+
+    @property
+    def n_postings(self) -> int:
+        return self.doc_rows.shape[0]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+class LexIndexBuilder:
+    """Host-side mutable postings builder producing `LexIndex` snapshots.
+
+    Documents are analyzed on add; removal tombstones the row (postings stay but are
+    masked by `active`, and are physically dropped on the next snapshot rebuild —
+    the analogue of the reference's pending-op queue + stageForCommit flush
+    (FTS5SearchEngine.swift:503-543)).
+    """
+
+    def __init__(self):
+        self._vocab: dict[str, int] = {}
+        self._postings: list[dict[int, int]] = []  # tid -> {row: tf}
+        self._doc_terms: list[list[str]] = []  # kept for vocab gc on rebuild
+        self._doc_len: list[int] = []
+        self._frame_ids: list[int] = []
+        self._active: list[bool] = []
+        self._row_of: dict[int, int] = {}
+        self._generation = 0
+
+    def __len__(self) -> int:
+        return len(self._row_of)
+
+    def __contains__(self, frame_id: int) -> bool:
+        return int(frame_id) in self._row_of
+
+    @property
+    def generation(self) -> int:
+        return self._generation
+
+    def _tid(self, term: str) -> int:
+        tid = self._vocab.get(term)
+        if tid is None:
+            tid = len(self._vocab)
+            self._vocab[term] = tid
+            self._postings.append({})
+        return tid
+
+    def add(self, frame_id: int, text: str) -> None:
+        fid = int(frame_id)
+        if fid in self._row_of:
+            self.remove(fid)
+        terms = analyze(text)
+        row = len(self._doc_len)
+        self._doc_terms.append(terms)
+        self._doc_len.append(len(terms))
+        self._frame_ids.append(fid)
+        self._active.append(True)
+        self._row_of[fid] = row
+        for term, tf in Counter(terms).items():
+            self._postings[self._tid(term)][row] = tf
+        self._generation += 1
+
+    def add_batch(self, items: list[tuple[int, str]]) -> None:
+        for fid, text in items:
+            self.add(fid, text)
+
+    def remove(self, frame_id: int) -> bool:
+        row = self._row_of.pop(int(frame_id), None)
+        if row is None:
+            return False
+        self._active[row] = False
+        self._frame_ids[row] = -1
+        self._generation += 1
+        return True
+
+    def term_ids(self, terms: list[str]) -> list[int]:
+        """Map analyzed terms to term ids, dropping unknown terms."""
+        out = []
+        for t in terms:
+            tid = self._vocab.get(t)
+            if tid is not None:
+                out.append(tid)
+        return out
+
+    def query_term_ids(self, query: str) -> list[int]:
+        return self.term_ids(analyze(query))
+
+    # -- snapshot -------------------------------------------------------------------
+    def snapshot(self) -> LexIndex:
+        n = len(self._doc_len)
+        n_cap = max(128, _round_up(max(n, 1), 128))
+        t = len(self._vocab)
+        active = np.zeros(n_cap, bool)
+        active[:n] = self._active
+        doc_len = np.zeros(n_cap, np.float32)
+        doc_len[:n] = self._doc_len
+        frame_ids = np.full(n_cap, -1, np.int32)
+        frame_ids[:n] = self._frame_ids
+        live = max(1, int(active.sum()))
+        avgdl = float(doc_len[:n][np.asarray(self._active, bool)].sum() / live) if n else 1.0
+        avgdl = max(avgdl, 1e-6)
+
+        offsets = np.zeros(t + 1, np.int32)
+        sizes = [len(p) for p in self._postings]
+        offsets[1:] = np.cumsum(sizes, dtype=np.int64).astype(np.int32)
+        p_total = int(offsets[-1])
+        p_cap = max(128, _round_up(max(p_total, 1), 128))
+        doc_rows = np.zeros(p_cap, np.int32)
+        tfs = np.zeros(p_cap, np.float32)
+        idf = np.zeros(max(t, 1), np.float32)
+        n_live = live
+        for tid, plist in enumerate(self._postings):
+            off = offsets[tid]
+            rows = sorted(plist.keys())
+            for i, r in enumerate(rows):
+                doc_rows[off + i] = r
+                tfs[off + i] = plist[r]
+            df = sum(1 for r in rows if self._active[r])
+            # BM25+ idf (Lucene/FTS5-style, always positive)
+            idf[tid] = np.log((n_live - df + 0.5) / (df + 0.5) + 1.0)
+        max_df = int(max(sizes)) if sizes else 0
+
+        return LexIndex(
+            doc_rows=jnp.asarray(doc_rows),
+            tfs=jnp.asarray(tfs),
+            offsets=jnp.asarray(offsets if t else np.zeros(2, np.int32)),
+            idf=jnp.asarray(idf),
+            doc_len=jnp.asarray(doc_len),
+            frame_ids=jnp.asarray(frame_ids),
+            active=jnp.asarray(active),
+            count=jnp.asarray(n, dtype=jnp.int32),
+            avgdl=jnp.asarray(avgdl, dtype=jnp.float32),
+            max_df=_round_up(max(max_df, 1), 128),
+        )
+
+    def compact(self) -> None:
+        """Physically drop tombstoned rows and unreferenced vocab, renumbering rows.
+        The analogue of the reference's index compaction commit
+        (MemoryOrchestrator+Maintenance.swift:160-171)."""
+        items = [
+            (fid, terms)
+            for fid, terms, alive in zip(self._frame_ids, self._doc_terms, self._active)
+            if alive and fid >= 0
+        ]
+        fresh = LexIndexBuilder()
+        for fid, terms in items:
+            # re-add from stored analysis (no re-analyze cost)
+            row = len(fresh._doc_len)
+            fresh._doc_terms.append(terms)
+            fresh._doc_len.append(len(terms))
+            fresh._frame_ids.append(fid)
+            fresh._active.append(True)
+            fresh._row_of[fid] = row
+            for term, tf in Counter(terms).items():
+                fresh._postings[fresh._tid(term)][row] = tf
+        self.__dict__.update(fresh.__dict__)
+        self._generation += 1
+
+    # -- (de)serialization hooks ------------------------------------------------------
+    def state(self) -> dict:
+        return {
+            "vocab": self._vocab,
+            "doc_terms": self._doc_terms,
+            "doc_len": self._doc_len,
+            "frame_ids": self._frame_ids,
+            "active": self._active,
+        }
+
+    @classmethod
+    def from_docs(cls, items: list[tuple[int, str]]) -> "LexIndexBuilder":
+        b = cls()
+        b.add_batch(items)
+        return b

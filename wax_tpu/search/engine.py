@@ -1,0 +1,88 @@
+"""Live hybrid search engine: frames + dense + lexical indexes with snapshot caching.
+
+The TPU-build analogue of the reference's WaxSession-owned engine pair (reference:
+Sources/Wax/WaxSession.swift:6-521 — live FTS5 + vector engine instances over a store)
+and UnifiedSearchEngineCache (UnifiedSearch/UnifiedSearchEngineCache.swift:53-123 —
+process-wide cache keyed by store identity + committed checksum, with incremental
+catch-up). Here the mutable state is host-side builders; device snapshots are cached
+per builder generation and rebuilt lazily — the functional-core equivalent of cache
+catch-up.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+
+from wax_tpu.embed.provider import BatchEmbeddingProvider, EmbeddingProvider
+from wax_tpu.index.dense import DenseIndex, DenseIndexBuilder, Similarity
+from wax_tpu.index.frames import FrameCatalog
+from wax_tpu.index.lex import LexIndex, LexIndexBuilder
+
+__all__ = ["HybridSearchEngine"]
+
+
+class HybridSearchEngine:
+    """Owns the frame catalog and both index builders; serves cached device snapshots.
+
+    `structured_evidence` is an optional hook returning evidence frame ids for a query
+    (wired to the structured memory store by the orchestrator — the analogue of the
+    reference's structured lane, FTS5SearchEngine.swift:398).
+    """
+
+    def __init__(
+        self,
+        embedder: EmbeddingProvider | BatchEmbeddingProvider | None,
+        dim: int | None = None,
+        similarity: str = Similarity.COSINE,
+        frames: FrameCatalog | None = None,
+        structured_evidence: Callable[[str, int | None], list[int]] | None = None,
+    ):
+        if dim is None:
+            if embedder is None:
+                raise ValueError("either embedder or dim is required")
+            dim = embedder.dimensions
+        self.embedder = embedder
+        self.frames = frames if frames is not None else FrameCatalog()
+        self.dense = DenseIndexBuilder(dim=dim, similarity=similarity)
+        self.lex = LexIndexBuilder()
+        self.structured_evidence = structured_evidence
+        self._dense_snap: DenseIndex | None = None
+        self._dense_gen = -1
+        self._lex_snap: LexIndex | None = None
+        self._lex_gen = -1
+        self.stats = {"dense_snapshots": 0, "lex_snapshots": 0}
+
+    # -- ingest ------------------------------------------------------------------------
+    def index_text(self, frame_id: int, text: str) -> None:
+        self.lex.add(frame_id, text)
+
+    def index_embedding(self, frame_id: int, vec: np.ndarray) -> None:
+        self.dense.add(frame_id, vec)
+
+    def index_embedding_batch(self, frame_ids: Sequence[int], vecs: np.ndarray) -> None:
+        self.dense.add_batch(np.asarray(frame_ids), vecs)
+
+    def remove(self, frame_id: int) -> None:
+        self.lex.remove(frame_id)
+        self.dense.remove(frame_id)
+
+    # -- snapshots ------------------------------------------------------------------------
+    def dense_snapshot(self) -> DenseIndex:
+        if self._dense_snap is None or self._dense_gen != self.dense.generation:
+            self._dense_snap = self.dense.snapshot()
+            self._dense_gen = self.dense.generation
+            self.stats["dense_snapshots"] += 1
+        return self._dense_snap
+
+    def lex_snapshot(self) -> LexIndex:
+        if self._lex_snap is None or self._lex_gen != self.lex.generation:
+            self._lex_snap = self.lex.snapshot()
+            self._lex_gen = self.lex.generation
+            self.stats["lex_snapshots"] += 1
+        return self._lex_snap
+
+    def embed_query(self, text: str) -> np.ndarray | None:
+        if self.embedder is None:
+            return None
+        return np.asarray(self.embedder.embed(text), np.float32)
