@@ -1,0 +1,163 @@
+"""Native byte-pair-encoding engine (cl100k_base-compatible).
+
+The reference treats exact cl100k_base token counts as a correctness contract for its
+token-budgeted RAG assembly and ships its own heap-based BPE next to swift-tiktoken
+(reference: Sources/Wax/RAG/NativeBpeTokenizer.swift:5-225, TokenCounter.swift:6-460).
+This module is our own implementation of the same public algorithm: the standard
+tiktoken-format vocab (base64 token + rank per line) + the published cl100k
+pre-tokenization regex + greedy lowest-rank pair merging.
+
+The vocab *data file* is public OpenAI-published data and is not shipped in-repo; it is
+discovered at runtime (env `WAX_TPU_CL100K`, the tiktoken cache, or any configured
+path). Without it, a deterministic byte-level fallback provides stable counts (roughly
+1 token per 4 bytes) so budgeting still works offline — flagged via `exact`.
+"""
+from __future__ import annotations
+
+import base64
+import os
+from pathlib import Path
+
+__all__ = ["BpeEncoder", "find_cl100k_vocab", "load_cl100k"]
+
+# Published cl100k_base pre-tokenization pattern (public constant from the tiktoken
+# project); requires the `regex` module for \p classes and possessive quantifiers.
+_CL100K_PATTERN = (
+    r"""'(?i:[sdmt]|ll|ve|re)|[^\r\n\p{L}\p{N}]?+\p{L}+|\p{N}{1,3}"""
+    r"""| ?[^\s\p{L}\p{N}]++[\r\n]*|\s*[\r\n]|\s+(?!\S)|\s+"""
+)
+
+_SPECIAL_TOKENS = {
+    "<|endoftext|>": 100257,
+    "<|fim_prefix|>": 100258,
+    "<|fim_middle|>": 100259,
+    "<|fim_suffix|>": 100260,
+    "<|endofprompt|>": 100276,
+}
+
+
+def find_cl100k_vocab() -> Path | None:
+    """Locate a cl100k_base.tiktoken vocab data file on this machine."""
+    candidates: list[Path] = []
+    env = os.environ.get("WAX_TPU_CL100K")
+    if env:
+        candidates.append(Path(env))
+    for cache_root in (
+        os.environ.get("TIKTOKEN_CACHE_DIR"),
+        os.path.expanduser("~/.cache/tiktoken"),
+        "/tmp/data-gym-cache",
+    ):
+        if cache_root and Path(cache_root).is_dir():
+            candidates.extend(Path(cache_root).glob("*"))
+    # public vocab data shipped alongside the reference checkout, if present
+    ref = Path("/root/reference/Sources/Wax/RAG/Resources/cl100k_base.tiktoken")
+    candidates.append(ref)
+    for c in candidates:
+        try:
+            if c.is_file() and c.stat().st_size > 1_000_000:
+                head = c.read_bytes()[:64].split(b"\n")[0].split()
+                if len(head) == 2:
+                    base64.b64decode(head[0], validate=True)
+                    int(head[1])
+                    return c
+        except Exception:  # noqa: BLE001
+            continue
+    return None
+
+
+class BpeEncoder:
+    """Greedy BPE over a rank table, with the cl100k pre-tokenizer when available."""
+
+    def __init__(self, ranks: dict[bytes, int], pattern: str | None = _CL100K_PATTERN, name: str = "cl100k_base"):
+        self.name = name
+        self.ranks = ranks
+        self.exact = pattern is not None and len(ranks) > 256
+        self._decode_map = {v: k for k, v in ranks.items()}
+        if pattern is not None:
+            import regex
+
+            self._pat = regex.compile(pattern)
+        else:
+            self._pat = None
+
+    # -- construction -----------------------------------------------------------------
+    @classmethod
+    def from_tiktoken_file(cls, path: str | Path) -> "BpeEncoder":
+        ranks: dict[bytes, int] = {}
+        for line in Path(path).read_bytes().splitlines():
+            if not line:
+                continue
+            tok_b64, rank = line.split()
+            ranks[base64.b64decode(tok_b64)] = int(rank)
+        return cls(ranks)
+
+    @classmethod
+    def byte_fallback(cls) -> "BpeEncoder":
+        """Deterministic offline fallback: 256 byte tokens, greedy 4-byte grouping.
+
+        Counts are stable and subadditive; `exact` is False so callers can surface
+        that budgets are approximate relative to cl100k.
+        """
+        ranks = {bytes([i]): i for i in range(256)}
+        return cls(ranks, pattern=None, name="byte-fallback")
+
+    # -- encoding ---------------------------------------------------------------------
+    def _merge_piece(self, piece: bytes) -> list[int]:
+        if len(piece) == 1:
+            return [self.ranks[piece]]
+        parts = [bytes([b]) for b in piece]
+        while len(parts) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(parts) - 1):
+                r = self.ranks.get(parts[i] + parts[i + 1])
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        out = []
+        for p in parts:
+            r = self.ranks.get(p)
+            if r is None:
+                out.extend(self.ranks[bytes([b])] for b in p)
+            else:
+                out.append(r)
+        return out
+
+    def encode(self, text: str) -> list[int]:
+        data: list[int] = []
+        if self._pat is not None:
+            for m in self._pat.finditer(text):
+                piece = m.group().encode("utf-8")
+                r = self.ranks.get(piece)
+                if r is not None:
+                    data.append(r)
+                else:
+                    data.extend(self._merge_piece(piece))
+            return data
+        # byte fallback: 1 token per 4 bytes, deterministic
+        raw = text.encode("utf-8")
+        for i in range(0, len(raw), 4):
+            data.append(raw[i])
+        return data
+
+    def decode(self, ids: list[int]) -> str:
+        if self._pat is None:
+            raise NotImplementedError("byte-fallback encoder cannot decode")
+        return b"".join(self._decode_map.get(i, b"") for i in ids).decode("utf-8", errors="replace")
+
+    def count(self, text: str) -> int:
+        return len(self.encode(text))
+
+
+_cached: BpeEncoder | None = None
+
+
+def load_cl100k() -> BpeEncoder:
+    """Process-wide encoder: exact cl100k if the vocab file exists, else fallback."""
+    global _cached
+    if _cached is None:
+        path = find_cl100k_vocab()
+        _cached = BpeEncoder.from_tiktoken_file(path) if path else BpeEncoder.byte_fallback()
+    return _cached
