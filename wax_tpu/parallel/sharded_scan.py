@@ -90,7 +90,7 @@ def sharded_flat_scan_topk(
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def scan(q, emb, fids, bias):
         scores = jax.lax.dot_general(
