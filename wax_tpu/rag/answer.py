@@ -1,0 +1,65 @@
+"""Deterministic answer-span extraction for offline recall-quality benchmarking.
+
+Mirrors the reference's DeterministicAnswerExtractor (reference:
+Sources/Wax/RAG/DeterministicAnswerExtractor.swift:10-50+ — heuristic candidate lanes
+for owner/date/city/allergy/pet-style questions over RAG items, used by the
+long-memory benchmark harness, not by production recall).
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from wax_tpu.rag.context import RAGContext
+from wax_tpu.text.analyzer import analyze_query
+
+__all__ = ["AnswerCandidate", "extract_answer"]
+
+_DATE_RE = re.compile(
+    r"\b((january|february|march|april|may|june|july|august|september|october|november|december)"
+    r"\s+\d{1,2}(,?\s+\d{4})?|\d{1,2}[/-]\d{1,2}[/-]\d{2,4}|(19|20)\d{2})\b",
+    re.IGNORECASE,
+)
+_OWNER_RE = re.compile(r"\b([A-Z][a-z]+)(?:'s)?\s+(?:owns?|owned|has|bought)\b|\bbelongs to\s+([A-Z][a-z]+)", )
+_LOCATION_RE = re.compile(
+    r"\b(?:in|at|near|located in|lives in|moved to)\s+([A-Z][a-zA-Z]+(?:\s+[A-Z][a-zA-Z]+)?)"
+)
+_NAME_AFTER_IS_RE = re.compile(r"\b(?:is|was|named|called)\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)")
+
+
+@dataclass(frozen=True)
+class AnswerCandidate:
+    text: str
+    lane: str
+    frame_id: int
+    score: float
+
+
+def extract_answer(context: RAGContext, query: str) -> AnswerCandidate | None:
+    """Pick the best heuristic answer span from RAG items, lane chosen by intent."""
+    signals = analyze_query(query)
+    candidates: list[AnswerCandidate] = []
+    for rank, item in enumerate(context.items):
+        weight = 1.0 / (1.0 + rank)
+        text = item.text
+        if signals.asks_date:
+            for m in _DATE_RE.finditer(text):
+                candidates.append(AnswerCandidate(m.group(0), "date", item.frame_id, 2.0 * weight))
+        if signals.asks_location:
+            for m in _LOCATION_RE.finditer(text):
+                candidates.append(AnswerCandidate(m.group(1), "location", item.frame_id, 2.0 * weight))
+        if signals.asks_ownership:
+            for m in _OWNER_RE.finditer(text):
+                name = m.group(1) or m.group(2)
+                if name:
+                    candidates.append(AnswerCandidate(name, "owner", item.frame_id, 2.0 * weight))
+        for m in _NAME_AFTER_IS_RE.finditer(text):
+            candidates.append(AnswerCandidate(m.group(1), "copula", item.frame_id, 0.8 * weight))
+        # entity-term sentences as weak generic candidates
+        for ent in signals.entity_terms:
+            if ent.lower() in text.lower():
+                candidates.append(AnswerCandidate(ent, "entity-echo", item.frame_id, 0.2 * weight))
+    if not candidates:
+        return None
+    candidates.sort(key=lambda c: (-c.score, c.lane, c.text))
+    return candidates[0]
