@@ -1,0 +1,42 @@
+"""Orchestrator configuration.
+
+Mirrors the reference's OrchestratorConfig (reference:
+Sources/Wax/Orchestrator/OrchestratorConfig.swift:4-28 — feature enables, chunking
+target/overlap 400/40, batch sizes, embedding-cache capacity, on-device provider
+requirement, scheduled live-set rewrite policy).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from wax_tpu.rag.config import FastRAGConfig
+from wax_tpu.storage.store import StoreOptions
+from wax_tpu.text.chunker import ChunkingStrategy
+
+__all__ = ["OrchestratorConfig", "RewriteSchedule"]
+
+
+@dataclass(frozen=True)
+class RewriteSchedule:
+    """Scheduled live-set rewrite gates (reference:
+    MemoryOrchestrator+Maintenance.swift:289-380 and README:175-186)."""
+
+    enabled: bool = False
+    min_flush_count: int = 8
+    min_interval_ms: int = 3_600_000
+    min_dead_bytes: int = 8 * 1024 * 1024
+
+
+@dataclass(frozen=True)
+class OrchestratorConfig:
+    enable_text_search: bool = True
+    enable_vector_search: bool = True
+    enable_structured_memory: bool = True
+    enable_access_stats: bool = True
+    chunking: ChunkingStrategy = field(default_factory=ChunkingStrategy)
+    embed_batch_size: int = 256
+    embedding_cache_capacity: int = 2048
+    require_on_device_providers: bool = True
+    store: StoreOptions = field(default_factory=StoreOptions)
+    rag: FastRAGConfig = field(default_factory=FastRAGConfig)
+    rewrite_schedule: RewriteSchedule = field(default_factory=RewriteSchedule)

@@ -1,0 +1,341 @@
+"""MemoryOrchestrator — the primary public API.
+
+Mirrors the reference's MemoryOrchestrator actor (reference:
+Sources/Wax/Orchestrator/MemoryOrchestrator.swift — open/init :136-196, remember
+:229-402 (chunk -> batched embed -> doc frame + chunk frames + text index), recall
+:503-544 (FastRAG build + access recording), search :553-605, session tagging
+:202-214, handoff records :684-776, flush/close :851-867, runtime stats :608-674,
+embedding cache wiring :172). Composition: WaxStore (crash-safe persistence) +
+HybridSearchEngine (TPU index snapshots) + FastRAGContextBuilder + AccessStats +
+StructuredMemory, with index state serialized into store segments at flush
+(the stage -> commit protocol of WaxSession.swift:421).
+"""
+from __future__ import annotations
+
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Mapping, Sequence
+
+import numpy as np
+
+from wax_tpu.embed.hash_embedder import HashEmbedder
+from wax_tpu.embed.memoizer import EmbeddingMemoizer
+from wax_tpu.embed.provider import validate_on_device
+from wax_tpu.orchestrator.config import OrchestratorConfig
+from wax_tpu.orchestrator.serialization import (
+    deserialize_dense,
+    deserialize_lex,
+    serialize_dense,
+    serialize_lex,
+)
+from wax_tpu.orchestrator.stats import ACCESS_STATS_KIND, AccessStats
+from wax_tpu.rag.builder import FastRAGContextBuilder
+from wax_tpu.rag.context import RAGContext
+from wax_tpu.search.engine import HybridSearchEngine
+from wax_tpu.search.unified import unified_search
+from wax_tpu.storage.store import StoreError, WaxStore
+from wax_tpu.text.chunker import chunk_text
+from wax_tpu.text.token_counter import TokenCounter
+from wax_tpu.types import (
+    FrameKind,
+    FrameMeta,
+    FrameStatus,
+    SearchRequest,
+    SearchResponse,
+    TimeRange,
+    now_ms,
+)
+
+__all__ = ["MemoryOrchestrator", "RememberResult"]
+
+HANDOFF_KIND = "wax.handoff"
+_INTERNAL_PREFIX = "wax.internal."
+
+
+@dataclass(frozen=True)
+class RememberResult:
+    document_id: int
+    chunk_ids: tuple[int, ...]
+
+    @property
+    def frame_ids(self) -> tuple[int, ...]:
+        return (self.document_id, *self.chunk_ids)
+
+
+class StoreFrameView:
+    """FrameCatalog-compatible read view over a WaxStore (search/RAG read path).
+    Internal frames (kind wax.internal.*) are hidden from timeline scans."""
+
+    def __init__(self, store: WaxStore):
+        self.store = store
+
+    def get(self, frame_id: int) -> FrameMeta | None:
+        return self.store.frame_meta(frame_id)
+
+    def content(self, frame_id: int) -> str | None:
+        raw = self.store.frame_content(frame_id)
+        return None if raw is None else raw.decode("utf-8", errors="ignore")
+
+    def preview(self, frame_id: int, max_bytes: int = 4096) -> str:
+        raw = self.store.frame_content(frame_id) or b""
+        return raw[:max_bytes].decode("utf-8", errors="ignore")
+
+    def is_live(self, frame_id: int) -> bool:
+        m = self.get(frame_id)
+        return (
+            m is not None
+            and m.status == FrameStatus.ACTIVE.value
+            and m.superseded_by is None
+        )
+
+    def timeline(self, time_range=None, *, limit=None, newest_first=True, **kw):
+        metas = self.store.timeline(time_range, limit=None, newest_first=newest_first)
+        metas = [m for m in metas if not m.kind.startswith(_INTERNAL_PREFIX)]
+        return metas[:limit] if limit is not None else metas
+
+
+class MemoryOrchestrator:
+    def __init__(
+        self,
+        path: str | Path,
+        embedder=None,
+        config: OrchestratorConfig = OrchestratorConfig(),
+    ):
+        self.config = config
+        self.path = Path(path)
+        embedder = embedder if embedder is not None else HashEmbedder()
+        validate_on_device(embedder, config.require_on_device_providers)
+        self.memoizer = EmbeddingMemoizer(embedder, config.embedding_cache_capacity)
+        self.counter = TokenCounter()
+
+        if self.path.exists() and self.path.stat().st_size > 0:
+            self.store = WaxStore.open(self.path, config.store)
+        else:
+            self.store = WaxStore.create(self.path, config.store)
+
+        self.engine = HybridSearchEngine(
+            embedder=self.memoizer,
+            dim=embedder.dimensions,
+            frames=StoreFrameView(self.store),
+        )
+        self.access_stats = AccessStats()
+        self._access_stats_frame: int | None = None
+        self.session_id: str | None = None
+        self._flush_count = 0
+        self._load_committed_state()
+        self.rag_builder = FastRAGContextBuilder(
+            self.engine, config.rag, self.counter, self.access_stats
+        )
+
+    # ------------------------------------------------------------------- open/load ----
+    def _load_committed_state(self) -> None:
+        """Rebuild index builders from committed segments + WAL catch-up
+        (the analogue of UnifiedSearchEngineCache incremental catch-up :252)."""
+        lex_blob = self.store.read_segment("lex")
+        if lex_blob is not None and self.config.enable_text_search:
+            attrs = self.store.toc.manifests["lex"].attrs
+            self.engine.lex = deserialize_lex(lex_blob, attrs)
+        vec_blob = self.store.read_segment("vec")
+        if vec_blob is not None and self.config.enable_vector_search:
+            attrs = self.store.toc.manifests["vec"].attrs
+            self.engine.dense = deserialize_dense(vec_blob, attrs)
+        # catch-up: replay pending embeddings recovered from the WAL / overflow segment
+        pend = self.store.pending_embeddings()
+        if pend and self.config.enable_vector_search:
+            fids = np.asarray([fid for fid, _ in pend])
+            vecs = np.stack([v for _, v in pend])
+            self.engine.dense.add_batch(fids, vecs)
+        # catch-up: lex-index any live frame not yet in the lex builder
+        if self.config.enable_text_search:
+            for m in self.store.timeline(include_superseded=True):
+                if m.kind.startswith(_INTERNAL_PREFIX) or m.frame_id in self.engine.lex:
+                    continue
+                text = m.search_text
+                if text is None and m.kind in (FrameKind.CHUNK.value, FrameKind.DOCUMENT.value):
+                    raw = self.store.frame_content(m.frame_id)
+                    text = raw.decode("utf-8", errors="ignore") if raw else None
+                if text:
+                    self.engine.lex.add(m.frame_id, text)
+        # access stats from the hidden internal frame
+        if self.config.enable_access_stats:
+            for fid in range(self.store.frame_count() - 1, -1, -1):
+                m = self.store.frame_meta(fid)
+                if m and m.kind == ACCESS_STATS_KIND and m.superseded_by is None:
+                    raw = self.store.frame_content(fid)
+                    if raw:
+                        self.access_stats = AccessStats.from_json(raw.decode("utf-8"))
+                    self._access_stats_frame = fid
+                    break
+
+    # -------------------------------------------------------------------- remember ----
+    def remember(
+        self,
+        content: str,
+        metadata: Mapping[str, str] | None = None,
+        tags: Sequence[str] = (),
+        timestamp_ms: int | None = None,
+        kind: str = FrameKind.DOCUMENT.value,
+    ) -> RememberResult:
+        """Ingest one document: chunk -> batched embeddings -> frames + indexes
+        (reference: MemoryOrchestrator.remember :229-402)."""
+        ts = timestamp_ms if timestamp_ms is not None else now_ms()
+        tags = tuple(tags)
+        if self.session_id:
+            tags = tags + (f"session:{self.session_id}",)
+        metadata = dict(metadata or {})
+
+        chunks = chunk_text(content, self.config.chunking, self.counter)
+        doc_id = self.store.put(
+            content,
+            kind=kind,
+            timestamp_ms=ts,
+            metadata=metadata,
+            tags=tags,
+            search_text=content if len(chunks) <= 1 else None,
+            chunk_count=len(chunks) if len(chunks) > 1 else None,
+        )
+        chunk_ids: list[int] = []
+        if len(chunks) <= 1:
+            texts = [content]
+            embed_targets = [doc_id]
+            if self.config.enable_text_search:
+                self.engine.index_text(doc_id, content)
+        else:
+            items = [
+                (
+                    c.text,
+                    dict(
+                        kind=FrameKind.CHUNK.value,
+                        timestamp_ms=ts,
+                        parent_id=doc_id,
+                        chunk_index=c.index,
+                        chunk_count=len(chunks),
+                        tags=tags,
+                        search_text=c.text,
+                    ),
+                )
+                for c in chunks
+            ]
+            chunk_ids = self.store.put_batch(items)
+            texts = [c.text for c in chunks]
+            embed_targets = chunk_ids
+            if self.config.enable_text_search:
+                for fid, c in zip(chunk_ids, chunks):
+                    self.engine.index_text(fid, c.text)
+
+        if self.config.enable_vector_search:
+            bs = self.config.embed_batch_size
+            for i in range(0, len(texts), bs):
+                batch = texts[i : i + bs]
+                targets = embed_targets[i : i + bs]
+                vecs = self.memoizer.embed_batch(batch)
+                self.store.put_embedding_batch(list(targets), vecs)
+                self.engine.index_embedding_batch(targets, vecs)
+
+        return RememberResult(document_id=doc_id, chunk_ids=tuple(chunk_ids))
+
+    def forget(self, frame_id: int) -> bool:
+        """Delete a frame (and its chunks) from store + indexes."""
+        m = self.store.frame_meta(frame_id)
+        if m is None:
+            return False
+        doomed = [frame_id]
+        for fid in range(self.store.frame_count()):
+            child = self.store.frame_meta(fid)
+            if child is not None and child.parent_id == frame_id:
+                doomed.append(fid)
+        for fid in doomed:
+            self.store.delete(fid)
+            self.engine.remove(fid)
+        return True
+
+    # ----------------------------------------------------------------------- recall ----
+    def recall(self, query: str, top_k: int | None = None) -> RAGContext:
+        ctx = self.rag_builder.build(query, top_k)
+        if self.config.enable_access_stats and ctx.items:
+            self.access_stats.record_batch([i.frame_id for i in ctx.items], now_ms())
+        return ctx
+
+    def search(self, request: SearchRequest | str, top_k: int = 10) -> SearchResponse:
+        if isinstance(request, str):
+            request = SearchRequest(query=request, top_k=top_k)
+        resp = unified_search(self.engine, request)
+        if self.config.enable_access_stats and resp.hits:
+            self.access_stats.record_batch([h.frame_id for h in resp.hits], now_ms())
+        return resp
+
+    def timeline(self, time_range: TimeRange | None = None, limit: int | None = None):
+        return self.engine.frames.timeline(time_range, limit=limit)
+
+    # -------------------------------------------------------------------- sessions ----
+    def session_start(self, name: str | None = None) -> str:
+        self.session_id = name or uuid.uuid4().hex[:12]
+        return self.session_id
+
+    def session_end(self) -> None:
+        self.session_id = None
+
+    def handoff(self, content: str, metadata: Mapping[str, str] | None = None) -> int:
+        """Persist a handoff record (reference: MemoryOrchestrator.swift:684-776)."""
+        return self.store.put(
+            content,
+            kind=HANDOFF_KIND,
+            timestamp_ms=now_ms(),
+            metadata=dict(metadata or {}),
+            tags=(f"session:{self.session_id}",) if self.session_id else (),
+        )
+
+    def handoff_latest(self) -> tuple[FrameMeta, str] | None:
+        for fid in range(self.store.frame_count() - 1, -1, -1):
+            m = self.store.frame_meta(fid)
+            if m and m.kind == HANDOFF_KIND and m.status == FrameStatus.ACTIVE.value:
+                raw = self.store.frame_content(fid) or b""
+                return m, raw.decode("utf-8", errors="ignore")
+        return None
+
+    # ----------------------------------------------------------------------- flush ----
+    def flush(self) -> int:
+        """Stage index segments + access stats, then commit
+        (reference: flush -> session.commit -> stage + wax.commit)."""
+        if self.config.enable_access_stats and len(self.access_stats):
+            payload = self.access_stats.export_json()
+            if self._access_stats_frame is not None:
+                self._access_stats_frame = self.store.supersede(
+                    self._access_stats_frame, payload, kind=ACCESS_STATS_KIND
+                )
+            else:
+                self._access_stats_frame = self.store.put(payload, kind=ACCESS_STATS_KIND)
+        if self.config.enable_text_search:
+            blob, attrs = serialize_lex(self.engine.lex)
+            self.store.stage_index("lex", blob, attrs)
+        if self.config.enable_vector_search:
+            blob, attrs = serialize_dense(self.engine.dense)
+            self.store.stage_index("vec", blob, attrs)
+        gen = self.store.commit()
+        self._flush_count += 1
+        return gen
+
+    def close(self) -> None:
+        self.store.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ----------------------------------------------------------------------- stats ----
+    def runtime_stats(self) -> dict:
+        """Operator-facing counters (reference: runtimeStats :608-674)."""
+        return {
+            "store": self.store.stats(),
+            "wal": self.store.wal_stats(),
+            "engine": dict(self.engine.stats),
+            "embedding_cache": dict(self.memoizer.stats),
+            "token_cache": dict(self.counter.stats),
+            "access_stats_entries": len(self.access_stats),
+            "lex_docs": len(self.engine.lex),
+            "dense_vectors": len(self.engine.dense),
+            "flush_count": self._flush_count,
+        }
