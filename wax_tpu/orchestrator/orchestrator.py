@@ -34,6 +34,7 @@ from wax_tpu.rag.builder import FastRAGContextBuilder
 from wax_tpu.rag.context import RAGContext
 from wax_tpu.search.engine import HybridSearchEngine
 from wax_tpu.search.unified import unified_search
+from wax_tpu.structured.memory import FactValue, StructuredMemory
 from wax_tpu.storage.store import StoreError, WaxStore
 from wax_tpu.text.chunker import chunk_text
 from wax_tpu.text.token_counter import TokenCounter
@@ -114,10 +115,16 @@ class MemoryOrchestrator:
         else:
             self.store = WaxStore.create(self.path, config.store)
 
+        self.structured = StructuredMemory() if config.enable_structured_memory else None
         self.engine = HybridSearchEngine(
             embedder=self.memoizer,
             dim=embedder.dimensions,
             frames=StoreFrameView(self.store),
+            structured_evidence=(
+                (lambda q, as_of: self.structured.evidence_frame_ids(q, as_of))
+                if self.structured is not None
+                else None
+            ),
         )
         self.access_stats = AccessStats()
         self._access_stats_frame: int | None = None
@@ -141,6 +148,13 @@ class MemoryOrchestrator:
             attrs = self.store.toc.manifests["vec"].attrs
             self.engine.dense = deserialize_dense(vec_blob, attrs)
         # catch-up: replay pending embeddings recovered from the WAL / overflow segment
+        if self.structured is not None:
+            sm_blob = self.store.read_segment("structured")
+            if sm_blob is not None:
+                self.structured = StructuredMemory.deserialize(sm_blob)
+                self.engine.structured_evidence = (
+                    lambda q, as_of: self.structured.evidence_frame_ids(q, as_of)
+                )
         pend = self.store.pending_embeddings()
         if pend and self.config.enable_vector_search:
             fids = np.asarray([fid for fid, _ in pend])
@@ -294,6 +308,36 @@ class MemoryOrchestrator:
                 return m, raw.decode("utf-8", errors="ignore")
         return None
 
+    # -------------------------------------------------------- structured passthrough ----
+    # (reference: MemoryOrchestrator.swift:778-847)
+    def entity_upsert(self, name: str, kind: str | None = None, aliases=()) -> int:
+        self._require_structured()
+        return self.structured.entity_upsert(name, kind, aliases)
+
+    def entity_resolve(self, name_or_alias: str) -> int | None:
+        self._require_structured()
+        return self.structured.entity_resolve(name_or_alias)
+
+    def fact_assert(
+        self, subject, predicate: str, value: FactValue, valid_from_ms=None, evidence_frames=()
+    ) -> int:
+        self._require_structured()
+        return self.structured.fact_assert(
+            subject, predicate, value, valid_from_ms, evidence_frames
+        )
+
+    def fact_retract(self, fact_id: int, valid_to_ms: int | None = None) -> bool:
+        self._require_structured()
+        return self.structured.fact_retract(fact_id, valid_to_ms)
+
+    def facts_query(self, subject=None, predicate=None, as_of_ms=None):
+        self._require_structured()
+        return self.structured.facts_query(subject, predicate, as_of_ms)
+
+    def _require_structured(self) -> None:
+        if self.structured is None:
+            raise RuntimeError("structured memory disabled in OrchestratorConfig")
+
     # ----------------------------------------------------------------------- flush ----
     def flush(self) -> int:
         """Stage index segments + access stats, then commit
@@ -312,6 +356,8 @@ class MemoryOrchestrator:
         if self.config.enable_vector_search:
             blob, attrs = serialize_dense(self.engine.dense)
             self.store.stage_index("vec", blob, attrs)
+        if self.structured is not None:
+            self.store.stage_index("structured", self.structured.serialize(), self.structured.stats_attrs())
         gen = self.store.commit()
         self._flush_count += 1
         return gen
