@@ -82,7 +82,7 @@ class TestPersistence:
             content = o2.engine.frames.content(resp.hits[0].frame_id)
             assert "Barcelona" in content
             # vector lane restored from the vec segment
-            assert len(o2.engine.dense) > 0
+            assert len(o2.engine.vector) > 0
 
     def test_unflushed_data_recovered_via_wal(self, tmp_path):
         p = tmp_path / "mem.wxs"
@@ -94,7 +94,7 @@ class TestPersistence:
         with MemoryOrchestrator(p, HashEmbedder(128), CFG) as o2:
             resp = o2.search("wifi password")
             assert resp.hits, "WAL-recovered memory must be searchable"
-            assert len(o2.engine.dense) == 2  # pending embedding replayed
+            assert len(o2.engine.vector) == 2  # pending embedding replayed
 
     def test_access_stats_persist(self, tmp_path):
         p = tmp_path / "mem.wxs"
@@ -137,7 +137,7 @@ class TestStats:
         orch.remember(MEMORIES[0])
         orch.recall("Max")
         st = orch.runtime_stats()
-        assert st["lex_docs"] >= 1 and st["dense_vectors"] >= 1
+        assert st["lex_docs"] >= 1 and st["vector_count"] >= 1
         assert "wal" in st and "store" in st
 
     def test_embedding_memoizer_hits(self, orch):

@@ -1,0 +1,92 @@
+"""Vector engine abstraction: preference factory, flat/hnsw parity on easy queries,
+serialization dispatch, orchestrator running fully on the HNSW engine."""
+import numpy as np
+import pytest
+
+from wax_tpu.embed.hash_embedder import HashEmbedder
+from wax_tpu.orchestrator.config import OrchestratorConfig
+from wax_tpu.orchestrator.orchestrator import MemoryOrchestrator
+from wax_tpu.orchestrator.serialization import (
+    deserialize_vector_engine,
+    serialize_vector_engine,
+)
+from wax_tpu.search.vector_engines import (
+    FlatVectorEngine,
+    HNSWVectorEngine,
+    make_vector_engine,
+)
+from wax_tpu.storage.store import StoreOptions
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((800, 32)).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+class TestFactory:
+    def test_preferences(self):
+        assert make_vector_engine("auto", 16).kind == "flat"
+        assert make_vector_engine("flat", 16).kind == "flat"
+        assert make_vector_engine("hnsw", 16).kind == "hnsw"
+        with pytest.raises(ValueError):
+            make_vector_engine("metal", 16)
+
+
+class TestParity:
+    def test_self_query_parity(self, vecs):
+        flat = FlatVectorEngine(dim=32)
+        hnsw = HNSWVectorEngine(dim=32, m=8, ef_construction=60)
+        ids = np.arange(len(vecs))
+        flat.add_batch(ids, vecs)
+        hnsw.add_batch(ids, vecs)
+        q = vecs[:16]
+        _, f_flat = flat.search(q, 1)
+        _, f_hnsw = hnsw.search(q, 1)
+        np.testing.assert_array_equal(f_flat[:, 0], np.arange(16))
+        np.testing.assert_array_equal(f_hnsw[:, 0], np.arange(16))
+
+    def test_empty_engines(self):
+        for eng in (FlatVectorEngine(dim=8), HNSWVectorEngine(dim=8)):
+            vals, fids = eng.search(np.ones((2, 8), np.float32), 3)
+            assert fids.shape == (2, 3) and (fids == -1).all()
+
+    def test_k_exceeds_count_padded(self, vecs):
+        flat = FlatVectorEngine(dim=32)
+        flat.add_batch(np.arange(4), vecs[:4])
+        vals, fids = flat.search(vecs[:1], 10)
+        assert fids.shape == (1, 10)
+        assert (fids[0, 4:] == -1).all()
+
+
+class TestSerializationDispatch:
+    @pytest.mark.parametrize("kind", ["flat", "hnsw"])
+    def test_roundtrip(self, vecs, kind):
+        eng = make_vector_engine(kind, 32, **({"m": 8, "ef_construction": 60} if kind == "hnsw" else {}))
+        eng.add_batch(np.arange(100), vecs[:100])
+        blob, attrs = serialize_vector_engine(eng)
+        assert attrs["engine"] == kind
+        eng2 = deserialize_vector_engine(blob, attrs)
+        assert eng2.kind == kind and len(eng2) == 100
+        _, f1 = eng.search(vecs[:4], 3)
+        _, f2 = eng2.search(vecs[:4], 3)
+        np.testing.assert_array_equal(f1, f2)
+
+
+class TestOrchestratorOnHnsw:
+    def test_end_to_end(self, tmp_path):
+        cfg = OrchestratorConfig(
+            store=StoreOptions(wal_size=512 * 1024), vector_engine="hnsw"
+        )
+        p = tmp_path / "m.wxs"
+        with MemoryOrchestrator(p, HashEmbedder(64), cfg) as o:
+            o.remember("The treasure is buried under the old lighthouse.")
+            o.remember("Council meeting notes from last tuesday.")
+            resp = o.search("where is the treasure buried")
+            assert resp.hits
+            o.flush()
+        with MemoryOrchestrator(p, HashEmbedder(64), cfg) as o2:
+            assert o2.engine.vector.kind == "hnsw"
+            resp = o2.search("treasure lighthouse")
+            assert resp.hits

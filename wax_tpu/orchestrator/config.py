@@ -31,6 +31,9 @@ class RewriteSchedule:
 class OrchestratorConfig:
     enable_text_search: bool = True
     enable_vector_search: bool = True
+    # "auto" | "flat" (exact fused scan) | "hnsw" (approximate graph) — mirrors the
+    # reference's VectorEnginePreference {auto, metalPreferred, cpuOnly}
+    vector_engine: str = "auto"
     enable_structured_memory: bool = True
     enable_access_stats: bool = True
     chunking: ChunkingStrategy = field(default_factory=ChunkingStrategy)

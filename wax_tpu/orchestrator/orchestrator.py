@@ -24,10 +24,10 @@ from wax_tpu.embed.memoizer import EmbeddingMemoizer
 from wax_tpu.embed.provider import validate_on_device
 from wax_tpu.orchestrator.config import OrchestratorConfig
 from wax_tpu.orchestrator.serialization import (
-    deserialize_dense,
     deserialize_lex,
-    serialize_dense,
+    deserialize_vector_engine,
     serialize_lex,
+    serialize_vector_engine,
 )
 from wax_tpu.orchestrator.stats import ACCESS_STATS_KIND, AccessStats
 from wax_tpu.rag.builder import FastRAGContextBuilder
@@ -125,6 +125,7 @@ class MemoryOrchestrator:
                 if self.structured is not None
                 else None
             ),
+            vector_preference=config.vector_engine,
         )
         self.access_stats = AccessStats()
         self._access_stats_frame: int | None = None
@@ -146,7 +147,7 @@ class MemoryOrchestrator:
         vec_blob = self.store.read_segment("vec")
         if vec_blob is not None and self.config.enable_vector_search:
             attrs = self.store.toc.manifests["vec"].attrs
-            self.engine.dense = deserialize_dense(vec_blob, attrs)
+            self.engine.vector = deserialize_vector_engine(vec_blob, attrs)
         # catch-up: replay pending embeddings recovered from the WAL / overflow segment
         if self.structured is not None:
             sm_blob = self.store.read_segment("structured")
@@ -159,7 +160,7 @@ class MemoryOrchestrator:
         if pend and self.config.enable_vector_search:
             fids = np.asarray([fid for fid, _ in pend])
             vecs = np.stack([v for _, v in pend])
-            self.engine.dense.add_batch(fids, vecs)
+            self.engine.vector.add_batch(fids, vecs)
         # catch-up: lex-index any live frame not yet in the lex builder
         if self.config.enable_text_search:
             for m in self.store.timeline(include_superseded=True):
@@ -354,7 +355,7 @@ class MemoryOrchestrator:
             blob, attrs = serialize_lex(self.engine.lex)
             self.store.stage_index("lex", blob, attrs)
         if self.config.enable_vector_search:
-            blob, attrs = serialize_dense(self.engine.dense)
+            blob, attrs = serialize_vector_engine(self.engine.vector)
             self.store.stage_index("vec", blob, attrs)
         if self.structured is not None:
             self.store.stage_index("structured", self.structured.serialize(), self.structured.stats_attrs())
@@ -382,6 +383,7 @@ class MemoryOrchestrator:
             "token_cache": dict(self.counter.stats),
             "access_stats_entries": len(self.access_stats),
             "lex_docs": len(self.engine.lex),
-            "dense_vectors": len(self.engine.dense),
+            "vector_count": len(self.engine.vector),
+            "vector_engine": self.engine.vector.kind,
             "flush_count": self._flush_count,
         }

@@ -22,10 +22,13 @@ __all__ = [
     "deserialize_dense",
     "serialize_lex",
     "deserialize_lex",
+    "serialize_vector_engine",
+    "deserialize_vector_engine",
 ]
 
 DENSE_FORMAT = "wxs-dense-npz-v1"
 LEX_FORMAT = "wxs-lex-json-v1"
+HNSW_FORMAT = "wxs-hnsw-npz-v1"
 
 
 def serialize_dense(builder: DenseIndexBuilder) -> tuple[bytes, dict[str, str]]:
@@ -56,6 +59,48 @@ def deserialize_dense(blob: bytes, attrs: dict[str, str]) -> DenseIndexBuilder:
         dim=int(attrs["dim"]),
         similarity=attrs.get("similarity", "cosine"),
     )
+
+
+def serialize_vector_engine(engine) -> tuple[bytes, dict[str, str]]:
+    """Serialize a FlatVectorEngine or HNSWVectorEngine into a segment blob."""
+    if engine.kind == "flat":
+        blob, attrs = serialize_dense(engine.builder)
+        attrs["engine"] = "flat"
+        return blob, attrs
+    if engine.kind == "hnsw":
+        arrays = engine.builder.state_arrays()
+        buf = io.BytesIO()
+        np.savez(buf, **arrays)
+        attrs = {
+            "format": HNSW_FORMAT,
+            "engine": "hnsw",
+            "dim": str(engine.dim),
+            "count": str(len(engine)),
+            "ef_search": str(engine.ef_search),
+        }
+        return buf.getvalue(), attrs
+    raise ValueError(f"unknown vector engine kind {engine.kind!r}")
+
+
+def deserialize_vector_engine(blob: bytes, attrs: dict[str, str]):
+    from wax_tpu.search.vector_engines import FlatVectorEngine, HNSWVectorEngine
+
+    kind = attrs.get("engine", "flat")
+    if kind == "flat":
+        builder = deserialize_dense(blob, attrs)
+        eng = FlatVectorEngine(dim=builder.dim, similarity=builder.similarity)
+        eng.builder = builder
+        return eng
+    if kind == "hnsw":
+        data = np.load(io.BytesIO(blob))
+        from wax_tpu.index.graph import HNSWBuilder
+
+        builder = HNSWBuilder.from_state_arrays({k: data[k] for k in data.files}, dim=int(attrs["dim"]))
+        eng = HNSWVectorEngine(dim=builder.dim, m=builder.m, ef_construction=builder.ef_construction)
+        eng.builder = builder
+        eng.ef_search = int(attrs.get("ef_search", "64"))
+        return eng
+    raise ValueError(f"unknown vector engine kind {kind!r}")
 
 
 def serialize_lex(builder: LexIndexBuilder) -> tuple[bytes, dict[str, str]]:

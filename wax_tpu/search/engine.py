@@ -1,4 +1,4 @@
-"""Live hybrid search engine: frames + dense + lexical indexes with snapshot caching.
+"""Live hybrid search engine: frames + vector + lexical indexes with snapshot caching.
 
 The TPU-build analogue of the reference's WaxSession-owned engine pair (reference:
 Sources/Wax/WaxSession.swift:6-521 — live FTS5 + vector engine instances over a store)
@@ -6,7 +6,8 @@ and UnifiedSearchEngineCache (UnifiedSearch/UnifiedSearchEngineCache.swift:53-12
 process-wide cache keyed by store identity + committed checksum, with incremental
 catch-up). Here the mutable state is host-side builders; device snapshots are cached
 per builder generation and rebuilt lazily — the functional-core equivalent of cache
-catch-up.
+catch-up. The vector engine is pluggable (flat fused-scan vs HNSW beam search),
+mirroring the reference's Metal-vs-USearch preference.
 """
 from __future__ import annotations
 
@@ -15,15 +16,16 @@ from typing import Callable, Sequence
 import numpy as np
 
 from wax_tpu.embed.provider import BatchEmbeddingProvider, EmbeddingProvider
-from wax_tpu.index.dense import DenseIndex, DenseIndexBuilder, Similarity
+from wax_tpu.index.dense import Similarity
 from wax_tpu.index.frames import FrameCatalog
 from wax_tpu.index.lex import LexIndex, LexIndexBuilder
+from wax_tpu.search.vector_engines import VectorEngine, make_vector_engine
 
 __all__ = ["HybridSearchEngine"]
 
 
 class HybridSearchEngine:
-    """Owns the frame catalog and both index builders; serves cached device snapshots.
+    """Owns the frame catalog, the lexical builder, and a pluggable vector engine.
 
     `structured_evidence` is an optional hook returning evidence frame ids for a query
     (wired to the structured memory store by the orchestrator — the analogue of the
@@ -37,6 +39,8 @@ class HybridSearchEngine:
         similarity: str = Similarity.COSINE,
         frames: FrameCatalog | None = None,
         structured_evidence: Callable[[str, int | None], list[int]] | None = None,
+        vector_preference: str = "auto",
+        vector_kwargs: dict | None = None,
     ):
         if dim is None:
             if embedder is None:
@@ -44,37 +48,31 @@ class HybridSearchEngine:
             dim = embedder.dimensions
         self.embedder = embedder
         self.frames = frames if frames is not None else FrameCatalog()
-        self.dense = DenseIndexBuilder(dim=dim, similarity=similarity)
+        kw = dict(vector_kwargs or {})
+        if vector_preference in ("auto", "flat"):
+            kw.setdefault("similarity", similarity)
+        self.vector: VectorEngine = make_vector_engine(vector_preference, dim=dim, **kw)
         self.lex = LexIndexBuilder()
         self.structured_evidence = structured_evidence
-        self._dense_snap: DenseIndex | None = None
-        self._dense_gen = -1
         self._lex_snap: LexIndex | None = None
         self._lex_gen = -1
-        self.stats = {"dense_snapshots": 0, "lex_snapshots": 0}
+        self.stats = {"lex_snapshots": 0}
 
     # -- ingest ------------------------------------------------------------------------
     def index_text(self, frame_id: int, text: str) -> None:
         self.lex.add(frame_id, text)
 
     def index_embedding(self, frame_id: int, vec: np.ndarray) -> None:
-        self.dense.add(frame_id, vec)
+        self.vector.add(frame_id, vec)
 
     def index_embedding_batch(self, frame_ids: Sequence[int], vecs: np.ndarray) -> None:
-        self.dense.add_batch(np.asarray(frame_ids), vecs)
+        self.vector.add_batch(np.asarray(frame_ids), vecs)
 
     def remove(self, frame_id: int) -> None:
         self.lex.remove(frame_id)
-        self.dense.remove(frame_id)
+        self.vector.remove(frame_id)
 
     # -- snapshots ------------------------------------------------------------------------
-    def dense_snapshot(self) -> DenseIndex:
-        if self._dense_snap is None or self._dense_gen != self.dense.generation:
-            self._dense_snap = self.dense.snapshot()
-            self._dense_gen = self.dense.generation
-            self.stats["dense_snapshots"] += 1
-        return self._dense_snap
-
     def lex_snapshot(self) -> LexIndex:
         if self._lex_snap is None or self._lex_gen != self.lex.generation:
             self._lex_snap = self.lex.snapshot()

@@ -23,7 +23,6 @@ import numpy as np
 
 from wax_tpu.index.lex import analyze
 from wax_tpu.ops.bm25 import bm25_topk, pad_term_ids
-from wax_tpu.ops.flat_scan import flat_scan_topk
 from wax_tpu.ops.fusion import FusedHit, rrf_fuse
 from wax_tpu.search.engine import HybridSearchEngine
 from wax_tpu.text.analyzer import QuerySignals, analyze_query
@@ -100,21 +99,13 @@ def _vector_lane(
         qv = np.asarray(request.embedding, np.float32)
     else:
         qv = engine.embed_query(request.query)
-    if qv is None:
+    if qv is None or len(engine.vector) == 0:
         return []
-    snap = engine.dense_snapshot()
-    if int(snap.count) == 0:
-        return []
-    if snap.similarity == "cosine":
-        n = np.linalg.norm(qv)
-        if n > 0:
-            qv = qv / n
-    vals, _, fids = flat_scan_topk(jnp.asarray(qv[None, :]), snap, min(fetch_k, snap.capacity))
-    return [
-        (int(f), float(v))
-        for f, v in zip(np.asarray(fids)[0], np.asarray(vals)[0])
-        if f >= 0
-    ]
+    n = np.linalg.norm(qv)
+    if n > 0:
+        qv = qv / n
+    vals, fids = engine.vector.search(qv[None, :], fetch_k)
+    return [(int(f), float(v)) for f, v in zip(fids[0], vals[0]) if f >= 0]
 
 
 def _temporal_lane(engine: HybridSearchEngine, request: SearchRequest, fetch_k: int):

@@ -1,0 +1,164 @@
+"""Vector engine abstraction: flat MXU scan vs HNSW beam search.
+
+Mirrors the reference's engine pair behind one protocol (reference:
+Sources/WaxVectorSearch/VectorSearchEngine.swift:4-18 — `search/add/addBatch/remove/
+stageForCommit` + VectorEnginePreference {auto, metalPreferred, cpuOnly}; engines
+MetalVectorEngine (brute force) and USearchVectorEngine (HNSW)). Here the pair is
+FlatVectorEngine (fused Pallas scan — exact) and HNSWVectorEngine (graph beam search —
+approximate, for corpora where even the fused scan is too slow per query batch).
+
+Top-k clamp: the reference clamps topK <= 10,000 (MetalVectorEngine.swift:18).
+"""
+from __future__ import annotations
+
+from typing import Protocol, runtime_checkable
+
+import jax.numpy as jnp
+import numpy as np
+
+from wax_tpu.index.dense import DenseIndexBuilder, Similarity
+from wax_tpu.index.graph import HNSWBuilder
+from wax_tpu.ops.beam_search import hnsw_search
+from wax_tpu.ops.flat_scan import flat_scan_topk
+
+__all__ = [
+    "VectorEngine",
+    "FlatVectorEngine",
+    "HNSWVectorEngine",
+    "make_vector_engine",
+    "MAX_TOP_K",
+]
+
+MAX_TOP_K = 10_000
+
+
+@runtime_checkable
+class VectorEngine(Protocol):
+    kind: str
+
+    def add(self, frame_id: int, vec: np.ndarray) -> None: ...
+    def add_batch(self, frame_ids, vecs: np.ndarray) -> None: ...
+    def remove(self, frame_id: int) -> bool: ...
+    def search(self, queries: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]: ...
+    def __len__(self) -> int: ...
+    def __contains__(self, frame_id: int) -> bool: ...
+
+
+class FlatVectorEngine:
+    """Exact brute-force engine over the fused Pallas scan (snapshot cached per
+    builder generation — the analogue of UnifiedSearchEngineCache catch-up)."""
+
+    kind = "flat"
+
+    def __init__(self, dim: int, similarity: str = Similarity.COSINE):
+        self.builder = DenseIndexBuilder(dim=dim, similarity=similarity)
+        self._snap = None
+        self._snap_gen = -1
+        self.snapshot_count = 0
+
+    @property
+    def dim(self) -> int:
+        return self.builder.dim
+
+    def add(self, frame_id, vec):
+        self.builder.add(frame_id, vec)
+
+    def add_batch(self, frame_ids, vecs):
+        self.builder.add_batch(np.asarray(frame_ids), vecs)
+
+    def remove(self, frame_id) -> bool:
+        return self.builder.remove(frame_id)
+
+    def snapshot(self):
+        if self._snap is None or self._snap_gen != self.builder.generation:
+            self._snap = self.builder.snapshot()
+            self._snap_gen = self.builder.generation
+            self.snapshot_count += 1
+        return self._snap
+
+    def search(self, queries: np.ndarray, k: int):
+        k = min(k, MAX_TOP_K)
+        if len(self.builder) == 0:
+            b = np.atleast_2d(queries).shape[0]
+            return np.full((b, k), -np.inf, np.float32), np.full((b, k), -1, np.int32)
+        snap = self.snapshot()
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        vals, _, fids = flat_scan_topk(q, snap, min(k, snap.capacity))
+        vals, fids = np.asarray(vals), np.asarray(fids)
+        if vals.shape[1] < k:
+            pad = k - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
+            fids = np.pad(fids, ((0, 0), (0, pad)), constant_values=-1)
+        return vals, fids
+
+    def __len__(self):
+        return len(self.builder)
+
+    def __contains__(self, fid):
+        return fid in self.builder
+
+
+class HNSWVectorEngine:
+    """Approximate graph engine (M=16 default, matching USearchVectorEngine.swift:7)."""
+
+    kind = "hnsw"
+
+    def __init__(self, dim: int, m: int = 16, ef_construction: int = 100, ef_search: int = 64):
+        self.builder = HNSWBuilder(dim=dim, m=m, ef_construction=ef_construction)
+        self.ef_search = ef_search
+        self._snap = None
+        self._snap_gen = -1
+        self.snapshot_count = 0
+
+    @property
+    def dim(self) -> int:
+        return self.builder.dim
+
+    def add(self, frame_id, vec):
+        self.builder.add(frame_id, vec)
+
+    def add_batch(self, frame_ids, vecs):
+        self.builder.add_batch(frame_ids, vecs)
+
+    def remove(self, frame_id) -> bool:
+        return self.builder.remove(frame_id)
+
+    def snapshot(self):
+        if self._snap is None or self._snap_gen != self.builder.generation:
+            self._snap = self.builder.snapshot()
+            self._snap_gen = self.builder.generation
+            self.snapshot_count += 1
+        return self._snap
+
+    def search(self, queries: np.ndarray, k: int):
+        k = min(k, MAX_TOP_K)
+        if len(self.builder) == 0:
+            b = np.atleast_2d(queries).shape[0]
+            return np.full((b, k), -np.inf, np.float32), np.full((b, k), -1, np.int32)
+        graph = self.snapshot()
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        ef = max(self.ef_search, k)
+        vals, fids = hnsw_search(q, graph, k=min(k, ef), ef=ef)
+        vals, fids = np.asarray(vals), np.asarray(fids)
+        if vals.shape[1] < k:
+            pad = k - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
+            fids = np.pad(fids, ((0, 0), (0, pad)), constant_values=-1)
+        return vals, fids
+
+    def __len__(self):
+        return len(self.builder)
+
+    def __contains__(self, fid):
+        return fid in self.builder
+
+
+def make_vector_engine(preference: str, dim: int, **kw) -> VectorEngine:
+    """preference: "auto" | "flat" | "hnsw". Auto picks the exact fused scan — on TPU
+    it is faster than graph traversal until the corpus outgrows single-batch scan
+    latency budgets; "hnsw" opts into the approximate engine explicitly."""
+    if preference in ("auto", "flat"):
+        return FlatVectorEngine(dim=dim, **kw)
+    if preference == "hnsw":
+        return HNSWVectorEngine(dim=dim, **kw)
+    raise ValueError(f"unknown vector engine preference {preference!r}")
