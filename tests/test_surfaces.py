@@ -1,0 +1,142 @@
+"""Product surfaces: MCP server protocol + tool dispatch, CLI commands.
+
+Mirrors the reference's MCP tool surface (ToolSchemas.swift:13-107) and WaxCLI flows.
+"""
+import io
+import json
+
+import pytest
+
+from wax_tpu.embed.hash_embedder import HashEmbedder
+from wax_tpu.orchestrator.config import OrchestratorConfig
+from wax_tpu.orchestrator.orchestrator import MemoryOrchestrator
+from wax_tpu.storage.store import StoreOptions
+from wax_tpu.surfaces.cli import main as cli_main
+from wax_tpu.surfaces.mcp_server import McpServer
+
+
+@pytest.fixture()
+def server(tmp_path):
+    cfg = OrchestratorConfig(store=StoreOptions(wal_size=512 * 1024))
+    orch = MemoryOrchestrator(tmp_path / "m.wxs", HashEmbedder(64), cfg)
+    yield McpServer(orch)
+    orch.close()
+
+
+def _rpc(server, method, params=None, mid=1):
+    return server.handle({"jsonrpc": "2.0", "id": mid, "method": method, "params": params or {}})
+
+
+def _call(server, tool, args):
+    resp = _rpc(server, "tools/call", {"name": tool, "arguments": args})
+    assert "error" not in resp, resp
+    return json.loads(resp["result"]["content"][0]["text"])
+
+
+class TestMcpProtocol:
+    def test_initialize(self, server):
+        resp = _rpc(server, "initialize")
+        assert resp["result"]["serverInfo"]["name"] == "wax-tpu"
+
+    def test_tools_list_includes_structured(self, server):
+        resp = _rpc(server, "tools/list")
+        names = {t["name"] for t in resp["result"]["tools"]}
+        assert {"wax_remember", "wax_recall", "wax_search", "wax_flush", "wax_stats",
+                "wax_handoff", "wax_entity_upsert", "wax_fact_assert", "wax_facts_query"} <= names
+
+    def test_unknown_method_error(self, server):
+        resp = _rpc(server, "bogus/method")
+        assert resp["error"]["code"] == -32601
+
+    def test_notification_returns_none(self, server):
+        assert server.handle({"jsonrpc": "2.0", "method": "notifications/initialized"}) is None
+
+    def test_serve_stdio_roundtrip(self, server):
+        lines = [
+            json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}}),
+            json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+                        "params": {"name": "wax_remember", "arguments": {"content": "stdio memory"}}}),
+        ]
+        out = io.StringIO()
+        server.serve_stdio(stdin=io.StringIO("\n".join(lines) + "\n"), stdout=out)
+        responses = [json.loads(l) for l in out.getvalue().strip().splitlines()]
+        assert responses[0]["id"] == 1
+        body = json.loads(responses[1]["result"]["content"][0]["text"])
+        assert body["document_id"] >= 0
+
+
+class TestMcpTools:
+    def test_remember_search_recall_cycle(self, server):
+        _call(server, "wax_remember", {"content": "The launch code is bravo-seven."})
+        hits = _call(server, "wax_search", {"query": "launch code"})["hits"]
+        assert hits
+        ctx = _call(server, "wax_recall", {"query": "what is the launch code"})
+        assert "bravo-seven" in ctx["context"]
+
+    def test_flush_stats(self, server):
+        _call(server, "wax_remember", {"content": "to be flushed"})
+        out = _call(server, "wax_flush", {})
+        assert out["generation"] >= 1
+        stats = _call(server, "wax_stats", {})
+        assert stats["lex_docs"] >= 1
+
+    def test_structured_cycle(self, server):
+        r = _call(server, "wax_remember", {"content": "Rex belongs to Ana."})
+        _call(server, "wax_entity_upsert", {"name": "Rex", "kind": "pet"})
+        f = _call(server, "wax_fact_assert", {
+            "subject": "Rex", "predicate": "owner", "value": "Ana",
+            "evidence_frames": [r["document_id"]],
+        })
+        rows = _call(server, "wax_facts_query", {"subject": "Rex"})["facts"]
+        assert rows and rows[0]["value"] == "Ana"
+        assert _call(server, "wax_fact_retract", {"fact_id": f["fact_id"]})["retracted"]
+
+    def test_handoff_cycle(self, server):
+        _call(server, "wax_session_start", {"name": "s1"})
+        _call(server, "wax_handoff", {"content": "state snapshot"})
+        latest = _call(server, "wax_handoff_latest", {})
+        assert latest["found"] and latest["content"] == "state snapshot"
+
+    def test_forget_and_timeline(self, server):
+        r = _call(server, "wax_remember", {"content": "ephemeral"})
+        tl = _call(server, "wax_timeline", {})
+        assert any(f["frame_id"] == r["document_id"] for f in tl["frames"])
+        assert _call(server, "wax_forget", {"frame_id": r["document_id"]})["deleted"]
+
+    def test_tool_error_is_jsonrpc_error(self, server):
+        resp = _rpc(server, "tools/call", {"name": "wax_nonexistent", "arguments": {}})
+        assert "error" in resp
+
+
+class TestCli:
+    def test_remember_search_verify(self, tmp_path, capsys):
+        store = str(tmp_path / "cli.wxs")
+        assert cli_main(["remember", "the cli stores this memory", "--store", store]) == 0
+        out = json.loads(capsys.readouterr().out.strip())
+        assert out["document_id"] == 0
+        assert cli_main(["search", "cli memory", "--store", store]) == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        assert json.loads(lines[0])["frame_id"] == 0
+        assert cli_main(["verify", "--deep", "--store", store]) == 0
+        assert json.loads(capsys.readouterr().out.strip())["ok"]
+
+    def test_stats(self, tmp_path, capsys):
+        store = str(tmp_path / "cli.wxs")
+        cli_main(["remember", "something", "--store", store])
+        capsys.readouterr()
+        assert cli_main(["stats", "--store", store]) == 0
+        stats = json.loads(capsys.readouterr().out)
+        assert stats["store"]["frame_count"] >= 1
+
+    def test_mcp_install_uninstall(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        assert cli_main(["mcp", "install", "--store", str(tmp_path / "s.wxs")]) == 0
+        cfg = json.loads((tmp_path / ".mcp.json").read_text())
+        assert "wax-tpu" in cfg["mcpServers"]
+        assert cli_main(["mcp", "uninstall"]) == 0
+        cfg = json.loads((tmp_path / ".mcp.json").read_text())
+        assert "wax-tpu" not in cfg["mcpServers"]
+
+    def test_mcp_doctor(self, tmp_path, capsys):
+        assert cli_main(["mcp", "doctor", "--store", str(tmp_path / "s.wxs")]) == 0
+        assert "[ok] jax" in capsys.readouterr().out

@@ -1,0 +1,405 @@
+"""MCP server: newline-delimited JSON-RPC 2.0 over stdio exposing wax_* tools.
+
+Mirrors the reference's WaxMCPServer (reference: Sources/WaxMCPServer/ —
+ToolSchemas.swift:13-107 tools wax_remember/recall/search/flush/stats/session_start/
+session_end/handoff/handoff_latest + structured wax_entity_upsert/fact_assert/
+fact_retract/facts_query/entity_resolve; main.swift:21-78 — store path resolution under
+~/.wax, env feature flags). Python stdlib only; the orchestrator does the work.
+
+Env flags (reference parity: WAX_MCP_FEATURE_*):
+  WAX_TPU_FEATURE_STRUCTURED_MEMORY=0 disables the structured tools,
+  WAX_TPU_FEATURE_ACCESS_STATS=0 disables access stats,
+  WAX_TPU_STORE overrides the store path (default ~/.wax-tpu/memory.wxs).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import traceback
+from dataclasses import replace
+from pathlib import Path
+
+from wax_tpu.orchestrator.config import OrchestratorConfig
+from wax_tpu.orchestrator.orchestrator import MemoryOrchestrator
+from wax_tpu.structured.memory import FactValue
+from wax_tpu.types import SearchMode, SearchRequest, TimeRange
+from wax_tpu.version import __version__
+
+PROTOCOL_VERSION = "2024-11-05"
+
+_TOOLS: list[dict] = [
+    {
+        "name": "wax_remember",
+        "description": "Store a memory (text). Returns frame ids.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "content": {"type": "string"},
+                "metadata": {"type": "object", "additionalProperties": {"type": "string"}},
+                "tags": {"type": "array", "items": {"type": "string"}},
+            },
+            "required": ["content"],
+        },
+    },
+    {
+        "name": "wax_recall",
+        "description": "Retrieve a token-budgeted RAG context for a query.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"query": {"type": "string"}, "top_k": {"type": "integer"}},
+            "required": ["query"],
+        },
+    },
+    {
+        "name": "wax_search",
+        "description": "Hybrid search (BM25 + vector + structured + temporal, RRF-fused).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string"},
+                "top_k": {"type": "integer"},
+                "mode": {"type": "string", "enum": ["hybrid", "text", "vector"]},
+                "after_ms": {"type": "integer"},
+                "before_ms": {"type": "integer"},
+            },
+            "required": ["query"],
+        },
+    },
+    {
+        "name": "wax_forget",
+        "description": "Delete a memory frame (and its chunks).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"frame_id": {"type": "integer"}},
+            "required": ["frame_id"],
+        },
+    },
+    {
+        "name": "wax_timeline",
+        "description": "Time-ordered list of stored memories.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"limit": {"type": "integer"}},
+        },
+    },
+    {"name": "wax_flush", "description": "Commit all pending state to disk.", "inputSchema": {"type": "object", "properties": {}}},
+    {"name": "wax_stats", "description": "Runtime statistics.", "inputSchema": {"type": "object", "properties": {}}},
+    {
+        "name": "wax_session_start",
+        "description": "Start a tagged ingest session.",
+        "inputSchema": {"type": "object", "properties": {"name": {"type": "string"}}},
+    },
+    {"name": "wax_session_end", "description": "End the current session.", "inputSchema": {"type": "object", "properties": {}}},
+    {
+        "name": "wax_handoff",
+        "description": "Persist an agent handoff record.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"content": {"type": "string"}},
+            "required": ["content"],
+        },
+    },
+    {"name": "wax_handoff_latest", "description": "Fetch the most recent handoff record.", "inputSchema": {"type": "object", "properties": {}}},
+]
+
+_STRUCTURED_TOOLS: list[dict] = [
+    {
+        "name": "wax_entity_upsert",
+        "description": "Create or update an entity with optional aliases.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "name": {"type": "string"},
+                "kind": {"type": "string"},
+                "aliases": {"type": "array", "items": {"type": "string"}},
+            },
+            "required": ["name"],
+        },
+    },
+    {
+        "name": "wax_entity_resolve",
+        "description": "Resolve an entity id by name or alias.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"name": {"type": "string"}},
+            "required": ["name"],
+        },
+    },
+    {
+        "name": "wax_fact_assert",
+        "description": "Assert a typed fact about an entity.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "subject": {"type": "string"},
+                "predicate": {"type": "string"},
+                "value": {"type": "string"},
+                "value_kind": {"type": "string", "enum": ["text", "int", "real", "bool", "time"]},
+                "valid_from_ms": {"type": "integer"},
+                "evidence_frames": {"type": "array", "items": {"type": "integer"}},
+            },
+            "required": ["subject", "predicate", "value"],
+        },
+    },
+    {
+        "name": "wax_fact_retract",
+        "description": "Retract (close the validity span of) a fact.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"fact_id": {"type": "integer"}},
+            "required": ["fact_id"],
+        },
+    },
+    {
+        "name": "wax_facts_query",
+        "description": "Query facts by subject/predicate, optionally as-of a timestamp.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "subject": {"type": "string"},
+                "predicate": {"type": "string"},
+                "as_of_ms": {"type": "integer"},
+            },
+        },
+    },
+]
+
+
+def _parse_fact_value(value: str, kind: str) -> FactValue:
+    if kind == "int":
+        return FactValue.integer(int(value))
+    if kind == "real":
+        return FactValue.real(float(value))
+    if kind == "bool":
+        return FactValue.boolean(value.lower() in ("1", "true", "yes"))
+    if kind == "time":
+        return FactValue.time_ms(int(value))
+    return FactValue.text(value)
+
+
+class McpServer:
+    def __init__(self, orchestrator: MemoryOrchestrator, structured_enabled: bool = True):
+        self.orch = orchestrator
+        self.structured_enabled = structured_enabled and orchestrator.structured is not None
+
+    # ------------------------------------------------------------------ dispatch ----
+    def tools(self) -> list[dict]:
+        tools = list(_TOOLS)
+        if self.structured_enabled:
+            tools += _STRUCTURED_TOOLS
+        return tools
+
+    def call_tool(self, name: str, args: dict) -> dict:
+        handler = getattr(self, f"_tool_{name}", None)
+        if handler is None:
+            raise ValueError(f"unknown tool {name}")
+        return handler(args)
+
+    # -------------------------------------------------------------------- handlers ----
+    def _tool_wax_remember(self, a):
+        res = self.orch.remember(a["content"], a.get("metadata"), tuple(a.get("tags", ())))
+        return {"document_id": res.document_id, "chunk_ids": list(res.chunk_ids)}
+
+    def _tool_wax_recall(self, a):
+        ctx = self.orch.recall(a["query"], a.get("top_k"))
+        return {
+            "context": ctx.render(),
+            "total_tokens": ctx.total_tokens,
+            "items": [
+                {"kind": i.kind.value, "frame_id": i.frame_id, "score": i.score, "text": i.text}
+                for i in ctx.items
+            ],
+        }
+
+    def _tool_wax_search(self, a):
+        mode = {"hybrid": SearchMode.HYBRID, "text": SearchMode.TEXT_ONLY, "vector": SearchMode.VECTOR_ONLY}[
+            a.get("mode", "hybrid")
+        ]
+        tr = None
+        if a.get("after_ms") is not None or a.get("before_ms") is not None:
+            tr = TimeRange(a.get("after_ms"), a.get("before_ms"))
+        req = SearchRequest(query=a["query"], top_k=a.get("top_k", 10), mode=mode, time_range=tr)
+        resp = self.orch.search(req)
+        return {
+            "query_type": resp.query_type.value,
+            "hits": [
+                {
+                    "frame_id": h.frame_id,
+                    "score": h.score,
+                    "preview": h.preview,
+                    "sources": [s.value for s in h.sources],
+                }
+                for h in resp.hits
+            ],
+        }
+
+    def _tool_wax_forget(self, a):
+        return {"deleted": self.orch.forget(int(a["frame_id"]))}
+
+    def _tool_wax_timeline(self, a):
+        metas = self.orch.timeline(limit=a.get("limit", 50))
+        return {
+            "frames": [
+                {"frame_id": m.frame_id, "timestamp_ms": m.timestamp_ms, "kind": m.kind}
+                for m in metas
+            ]
+        }
+
+    def _tool_wax_flush(self, a):
+        return {"generation": self.orch.flush()}
+
+    def _tool_wax_stats(self, a):
+        return self.orch.runtime_stats()
+
+    def _tool_wax_session_start(self, a):
+        return {"session_id": self.orch.session_start(a.get("name"))}
+
+    def _tool_wax_session_end(self, a):
+        self.orch.session_end()
+        return {"ok": True}
+
+    def _tool_wax_handoff(self, a):
+        return {"frame_id": self.orch.handoff(a["content"])}
+
+    def _tool_wax_handoff_latest(self, a):
+        got = self.orch.handoff_latest()
+        if got is None:
+            return {"found": False}
+        meta, content = got
+        return {"found": True, "frame_id": meta.frame_id, "timestamp_ms": meta.timestamp_ms, "content": content}
+
+    def _tool_wax_entity_upsert(self, a):
+        self._check_structured()
+        return {"entity_id": self.orch.entity_upsert(a["name"], a.get("kind"), a.get("aliases", ()))}
+
+    def _tool_wax_entity_resolve(self, a):
+        self._check_structured()
+        return {"entity_id": self.orch.entity_resolve(a["name"])}
+
+    def _tool_wax_fact_assert(self, a):
+        self._check_structured()
+        value = _parse_fact_value(a["value"], a.get("value_kind", "text"))
+        fid = self.orch.fact_assert(
+            a["subject"], a["predicate"], value, a.get("valid_from_ms"), a.get("evidence_frames", ())
+        )
+        return {"fact_id": fid}
+
+    def _tool_wax_fact_retract(self, a):
+        self._check_structured()
+        return {"retracted": self.orch.fact_retract(int(a["fact_id"]))}
+
+    def _tool_wax_facts_query(self, a):
+        self._check_structured()
+        rows = self.orch.facts_query(a.get("subject"), a.get("predicate"), a.get("as_of_ms"))
+        return {
+            "facts": [
+                {
+                    "fact_id": r.fact_id,
+                    "subject": r.subject,
+                    "predicate": r.predicate,
+                    "value": str(r.value.value),
+                    "value_kind": r.value.kind,
+                    "valid_from_ms": r.valid_from_ms,
+                    "valid_to_ms": r.valid_to_ms,
+                    "evidence_frames": list(r.evidence_frames),
+                }
+                for r in rows
+            ]
+        }
+
+    def _check_structured(self):
+        if not self.structured_enabled:
+            raise ValueError("structured memory tools disabled")
+
+    # ----------------------------------------------------------------------- rpc ----
+    def handle(self, msg: dict) -> dict | None:
+        mid = msg.get("id")
+        method = msg.get("method", "")
+        try:
+            if method == "initialize":
+                result = {
+                    "protocolVersion": PROTOCOL_VERSION,
+                    "capabilities": {"tools": {}},
+                    "serverInfo": {"name": "wax-tpu", "version": __version__},
+                }
+            elif method == "notifications/initialized":
+                return None
+            elif method == "tools/list":
+                result = {"tools": self.tools()}
+            elif method == "tools/call":
+                name = msg["params"]["name"]
+                args = msg["params"].get("arguments", {})
+                out = self.call_tool(name, args)
+                result = {"content": [{"type": "text", "text": json.dumps(out)}]}
+            elif method == "ping":
+                result = {}
+            else:
+                if mid is None:
+                    return None
+                return {
+                    "jsonrpc": "2.0",
+                    "id": mid,
+                    "error": {"code": -32601, "message": f"method not found: {method}"},
+                }
+            if mid is None:
+                return None
+            return {"jsonrpc": "2.0", "id": mid, "result": result}
+        except Exception as e:  # noqa: BLE001
+            if mid is None:
+                return None
+            return {
+                "jsonrpc": "2.0",
+                "id": mid,
+                "error": {"code": -32603, "message": f"{type(e).__name__}: {e}"},
+            }
+
+    def serve_stdio(self, stdin=None, stdout=None) -> None:
+        stdin = stdin or sys.stdin
+        stdout = stdout or sys.stdout
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                msg = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            resp = self.handle(msg)
+            if resp is not None:
+                stdout.write(json.dumps(resp) + "\n")
+                stdout.flush()
+
+
+def default_store_path() -> Path:
+    return Path(os.environ.get("WAX_TPU_STORE", str(Path.home() / ".wax-tpu" / "memory.wxs")))
+
+
+def build_server(store_path: str | Path | None = None) -> McpServer:
+    structured = os.environ.get("WAX_TPU_FEATURE_STRUCTURED_MEMORY", "1") != "0"
+    access = os.environ.get("WAX_TPU_FEATURE_ACCESS_STATS", "1") != "0"
+    path = Path(store_path) if store_path else default_store_path()
+    path.parent.mkdir(parents=True, exist_ok=True)
+    cfg = OrchestratorConfig(enable_structured_memory=structured, enable_access_stats=access)
+    orch = MemoryOrchestrator(path, config=cfg)
+    return McpServer(orch, structured_enabled=structured)
+
+
+def main() -> None:
+    server = build_server()
+    try:
+        server.serve_stdio()
+    except KeyboardInterrupt:
+        pass
+    except Exception:  # noqa: BLE001
+        traceback.print_exc(file=sys.stderr)
+    finally:
+        try:
+            server.orch.flush()
+        except Exception:  # noqa: BLE001
+            pass
+        server.orch.close()
+
+
+if __name__ == "__main__":
+    main()
