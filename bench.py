@@ -82,14 +82,19 @@ def _bench_flat_scan(n: int, d: int, b: int, k: int, lo: int, hi: int) -> float:
     import jax
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(0)
-    emb = rng.standard_normal((n, d)).astype(np.float32)
-    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
-    emb = jnp.asarray(emb)
+    # generate data ON DEVICE — shipping gigabytes of host arrays through the TPU
+    # tunnel dominates wall-clock otherwise
+    @jax.jit
+    def make_data():
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        emb = jax.random.normal(k1, (n, d), jnp.float32)
+        emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+        q0 = jax.random.normal(k2, (b, d), jnp.float32)
+        q0 = q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)
+        return emb, q0
+
+    emb, q0 = jax.block_until_ready(make_data())
     bias = jnp.zeros((1, n), jnp.float32)
-    q0 = rng.standard_normal((b, d)).astype(np.float32)
-    q0 /= np.linalg.norm(q0, axis=1, keepdims=True)
-    q0 = jnp.asarray(q0)
 
     chained = _chained_scan_fn(emb, bias, k)
     chained(q0, 1).block_until_ready()  # compile

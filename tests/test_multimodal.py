@@ -1,0 +1,162 @@
+"""Photo/Video RAG: ingest data models, transcript mapping, GPS/time constraints,
+dedupe, recall with evidence.
+
+Stub providers mirror the reference's mocks (Mocks/MockProviders.swift:5-47:
+StubOCRProvider, StubCaptionProvider, StubTranscriptProvider;
+MockEmbedders.swift DeterministicMultimodalEmbedder).
+"""
+import numpy as np
+import pytest
+
+from wax_tpu.embed.hash_embedder import HashEmbedder
+from wax_tpu.multimodal.photo import PhotoRAGConfig, PhotoRAGOrchestrator, gps_bin
+from wax_tpu.multimodal.protocols import OCRBlock, TranscriptSpan
+from wax_tpu.multimodal.video import VideoRAGConfig, VideoRAGOrchestrator
+from wax_tpu.orchestrator.config import OrchestratorConfig
+from wax_tpu.storage.store import StoreOptions
+from wax_tpu.types import TimeRange
+
+_OC = OrchestratorConfig(store=StoreOptions(wal_size=512 * 1024))
+
+
+class StubTranscript:
+    def __init__(self, spans):
+        self.spans = spans
+
+    def transcript(self, video_ref):
+        return self.spans
+
+
+class StubOCR:
+    def __init__(self, blocks):
+        self.blocks = blocks
+
+    def ocr(self, image):
+        return self.blocks
+
+
+class StubCaption:
+    def __init__(self, text):
+        self.text = text
+
+    def caption(self, image):
+        return self.text
+
+
+class DeterministicMultimodalEmbedder:
+    """Hash text; images embed near their descriptive text (joint space fake)."""
+
+    def __init__(self, dim=64):
+        self._h = HashEmbedder(dim)
+
+    @property
+    def dimensions(self):
+        return self._h.dimensions
+
+    @property
+    def identity(self):
+        return "det-multimodal"
+
+    def embed_text(self, text):
+        return self._h.embed(text)
+
+    def embed_image(self, image):
+        return self._h.embed(f"image:{image if isinstance(image, str) else 'pixels'}")
+
+
+class TestVideoRAG:
+    def test_ingest_and_recall_segments(self, tmp_path):
+        spans = [
+            TranscriptSpan(0, 9_000, "welcome to the cooking show"),
+            TranscriptSpan(9_500, 21_000, "today we bake sourdough bread"),
+            TranscriptSpan(21_500, 30_000, "let the dough rest overnight"),
+        ]
+        cfg = VideoRAGConfig(orchestrator=_OC)
+        with VideoRAGOrchestrator(tmp_path / "v.wxs", HashEmbedder(64), cfg) as v:
+            res = v.ingest("vid1", duration_ms=30_000, transcript_provider=StubTranscript(spans),
+                           keyframe_refs=["kf0.jpg", "kf1.jpg", "kf2.jpg"])
+            assert len(res.segment_frames) == 3
+            hits = v.recall("baking sourdough bread")
+            assert hits and hits[0].video_id == "vid1"
+            assert hits[0].segment_index == 1
+            assert hits[0].start_ms == 10_000 and hits[0].keyframe_ref == "kf1.jpg"
+
+    def test_overlap_threshold_250ms(self, tmp_path):
+        # span overlaps segment 1 by only 200ms -> excluded from it
+        spans = [TranscriptSpan(9_800, 10_200, "tiny overlap marker")]
+        with VideoRAGOrchestrator(tmp_path / "v.wxs", HashEmbedder(64), VideoRAGConfig(orchestrator=_OC)) as v:
+            res = v.ingest("vid2", duration_ms=20_000, transcript_provider=StubTranscript(spans))
+            assert len(res.segment_frames) == 0  # no segment gets >=250ms of it
+
+    def test_dedupe_by_video_id(self, tmp_path):
+        spans = [TranscriptSpan(0, 5_000, "hello world")]
+        with VideoRAGOrchestrator(tmp_path / "v.wxs", HashEmbedder(64), VideoRAGConfig(orchestrator=_OC)) as v:
+            r1 = v.ingest("vid3", 5_000, StubTranscript(spans))
+            r2 = v.ingest("vid3", 5_000, StubTranscript(spans))
+            assert not r1.skipped_duplicate and r2.skipped_duplicate
+
+    def test_max_segments_cap(self, tmp_path):
+        spans = [TranscriptSpan(i * 10_000, i * 10_000 + 9_000, f"part {i}") for i in range(500)]
+        cfg = VideoRAGConfig(orchestrator=_OC)
+        with VideoRAGOrchestrator(tmp_path / "v.wxs", HashEmbedder(64), cfg) as v:
+            res = v.ingest("vid4", duration_ms=5_000_000, transcript_provider=StubTranscript(spans))
+            assert len(res.segment_frames) <= cfg.max_segments_per_video
+
+    def test_persistence(self, tmp_path):
+        spans = [TranscriptSpan(0, 8_000, "persistent transcript content")]
+        p = tmp_path / "v.wxs"
+        with VideoRAGOrchestrator(p, HashEmbedder(64), VideoRAGConfig(orchestrator=_OC)) as v:
+            v.ingest("vid5", 8_000, StubTranscript(spans))
+            v.flush()
+        with VideoRAGOrchestrator(p, HashEmbedder(64), VideoRAGConfig(orchestrator=_OC)) as v2:
+            assert v2.ingest("vid5", 8_000, StubTranscript(spans)).skipped_duplicate
+            assert v2.recall("persistent transcript")
+
+
+class TestPhotoRAG:
+    def _orch(self, tmp_path):
+        return PhotoRAGOrchestrator(
+            tmp_path / "p.wxs",
+            embedder=DeterministicMultimodalEmbedder(),
+            ocr_provider=StubOCR([OCRBlock("EXIT sign above the door", confidence=0.9)]),
+            caption_provider=StubCaption("a red door in a brick wall"),
+            config=PhotoRAGConfig(orchestrator=_OC),
+        )
+
+    def test_ingest_creates_frames(self, tmp_path):
+        with self._orch(tmp_path) as p:
+            res = p.ingest("asset1", "img1", taken_at_ms=1_700_000_000_000,
+                           gps=(41.39, 2.17), thumbnail_ref="thumb1.jpg")
+            assert res.caption_frame is not None
+            assert res.ocr_frames and res.region_frames
+
+    def test_recall_by_caption_and_ocr(self, tmp_path):
+        with self._orch(tmp_path) as p:
+            p.ingest("asset1", "img1", taken_at_ms=1_700_000_000_000, gps=(41.39, 2.17))
+            hits = p.recall("red door brick")
+            assert hits and hits[0].asset_id == "asset1"
+            hits2 = p.recall("exit sign")
+            assert hits2 and hits2[0].kind == "wax.photo.ocr"
+
+    def test_gps_constraint(self, tmp_path):
+        with self._orch(tmp_path) as p:
+            p.ingest("bcn", "img1", gps=(41.39, 2.17))
+            p.ingest("nyc", "img2", gps=(40.71, -74.00))
+            hits = p.recall("red door brick", near=(41.3901, 2.1702))
+            assert hits and all(h.asset_id == "bcn" for h in hits)
+
+    def test_time_constraint(self, tmp_path):
+        with self._orch(tmp_path) as p:
+            p.ingest("old", "img1", taken_at_ms=1_000_000)
+            p.ingest("new", "img2", taken_at_ms=2_000_000)
+            hits = p.recall("red door", time_range=TimeRange(after_ms=1_500_000))
+            assert hits and all(h.asset_id == "new" for h in hits)
+
+    def test_dedupe(self, tmp_path):
+        with self._orch(tmp_path) as p:
+            assert not p.ingest("a", "img").skipped_duplicate
+            assert p.ingest("a", "img").skipped_duplicate
+
+    def test_gps_bin(self):
+        assert gps_bin(41.39222, 2.17111) == gps_bin(41.39, 2.17)
+        assert gps_bin(41.39, 2.17) != gps_bin(40.71, -74.0)
