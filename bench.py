@@ -26,19 +26,21 @@ import numpy as np
 BASELINE_MS = 0.84  # reference warm Metal vector search @10K x 384 (README.md:94)
 
 
-def _chained_scan_fn(emb, bias, k: int):
+def _chained_scan_fn(n: int, d: int, k: int):
+    """Build a jitted (q0, iters, emb, bias) -> scalar chained-scan fn. The index
+    arrays are ARGUMENTS, not closure constants — closing over them bakes gigabytes
+    of constants into the executable and breaks large-N compilation."""
     import jax
     import jax.numpy as jnp
 
-    from wax_tpu.ops.flat_scan import _KPAD, _TB, _TN, _scan_topk_kernel
+    from wax_tpu.ops.flat_scan import _KPAD, _TB, _pick_tn, _scan_topk_kernel
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n, d = emb.shape
-    tn = min(_TN, n)
+    tn = _pick_tn(n)
     nn = n // tn
 
-    def scan_once(q):
+    def scan_once(q, emb, bias):
         kernel = functools.partial(_scan_topk_kernel, tn=tn, k=k)
         b = q.shape[0]
         vals, idxs = pl.pallas_call(
@@ -66,10 +68,10 @@ def _chained_scan_fn(emb, bias, k: int):
         return mv
 
     @jax.jit
-    def chained(q0, iters):
+    def chained(q0, iters, emb, bias):
         def body(i, carry):
             q, acc = carry
-            v = scan_once(q)
+            v = scan_once(q, emb, bias)
             return q + (v[:, :1] * 1e-9).astype(q.dtype), acc + v[0, 0]
 
         return jax.lax.fori_loop(0, iters, body, (q0, jnp.float32(0)))[1]
@@ -96,14 +98,20 @@ def _bench_flat_scan(n: int, d: int, b: int, k: int, lo: int, hi: int) -> float:
     emb, q0 = jax.block_until_ready(make_data())
     bias = jnp.zeros((1, n), jnp.float32)
 
-    chained = _chained_scan_fn(emb, bias, k)
-    chained(q0, 1).block_until_ready()  # compile
+    chained = _chained_scan_fn(n, d, k)
+    chained(q0, 1, emb, bias).block_until_ready()  # compile
+
+    rep = [0]
 
     def t(iters: int) -> float:
         best = float("inf")
         for _ in range(3):
+            rep[0] += 1
+            # unique input values per call so no layer (incl. any transport-level
+            # result cache) can replay a previous execution
+            qq = q0 * (1.0 + 1e-6 * rep[0])
             t0 = time.perf_counter()
-            chained(q0, iters).block_until_ready()
+            chained(qq, iters, emb, bias).block_until_ready()
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -1,0 +1,81 @@
+"""Concurrency stress: concurrent ingest + recall + flush cycles against one
+orchestrator must neither crash nor corrupt state.
+
+The host-side analogue of the reference's race-testing axis (reference:
+ConcurrencyStressTests.swift:5-36 — concurrent ingest+recall, rapid cycles — with
+Swift actor isolation replaced by the orchestrator's entry-point lock)."""
+import threading
+
+import pytest
+
+from wax_tpu.embed.hash_embedder import HashEmbedder
+from wax_tpu.orchestrator.config import OrchestratorConfig
+from wax_tpu.orchestrator.orchestrator import MemoryOrchestrator
+from wax_tpu.storage.store import StoreOptions
+
+CFG = OrchestratorConfig(store=StoreOptions(wal_size=1024 * 1024))
+
+
+class TestConcurrencyStress:
+    def test_concurrent_ingest_and_recall(self, tmp_path):
+        orch = MemoryOrchestrator(tmp_path / "c.wxs", HashEmbedder(64), CFG)
+        errors: list[Exception] = []
+        n_writers, n_readers, per = 4, 4, 12
+
+        def writer(tid):
+            try:
+                for i in range(per):
+                    orch.remember(f"writer {tid} memory {i} about topic {i % 3}")
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        def reader(tid):
+            try:
+                for i in range(per):
+                    orch.recall(f"topic {i % 3} memory")
+                    orch.search(f"writer memory {i}")
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=writer, args=(t,)) for t in range(n_writers)] + [
+            threading.Thread(target=reader, args=(t,)) for t in range(n_readers)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors
+        assert orch.store.frame_count() >= n_writers * per
+        orch.flush()
+        assert orch.store.verify(deep=True)["ok"]
+        orch.close()
+
+    def test_rapid_flush_cycles_under_writes(self, tmp_path):
+        orch = MemoryOrchestrator(tmp_path / "f.wxs", HashEmbedder(64), CFG)
+        errors: list[Exception] = []
+        stop = threading.Event()
+
+        def flusher():
+            try:
+                while not stop.is_set():
+                    orch.flush()
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        t = threading.Thread(target=flusher)
+        t.start()
+        try:
+            for i in range(30):
+                orch.remember(f"interleaved memory {i}")
+        finally:
+            stop.set()
+            t.join(timeout=120)
+        assert not errors, errors
+        orch.flush()
+        report = orch.store.verify(deep=True)
+        assert report["ok"], report
+        # reopen: all memories visible
+        path = orch.path
+        orch.close()
+        with MemoryOrchestrator(path, HashEmbedder(64), CFG) as o2:
+            assert len([m for m in o2.timeline()]) >= 30

@@ -1,0 +1,108 @@
+"""Distributed hybrid retrieval on the 8-virtual-device CPU mesh: sharded BM25 parity
+with single-chip scoring, and the one-program hybrid matches host-side RRF fusion."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wax_tpu.index.dense import DenseIndexBuilder
+from wax_tpu.index.lex import LexIndexBuilder
+from wax_tpu.ops.bm25 import bm25_topk, pad_term_ids
+from wax_tpu.ops.flat_scan import flat_scan_topk, normalize_rows
+from wax_tpu.ops.fusion import rrf_fuse
+from wax_tpu.parallel.mesh import data_mesh
+from wax_tpu.parallel.sharded_hybrid import (
+    shard_lex_index,
+    sharded_bm25_topk,
+    sharded_hybrid_topk,
+)
+from wax_tpu.parallel.sharded_scan import shard_dense_index
+
+TOPICS = ["fox", "quantum", "market", "recipe", "rover", "cat", "river", "music"]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(5)
+    docs = []
+    for i in range(256):
+        t = TOPICS[i % len(TOPICS)]
+        docs.append((i, f"document {i} about {t} and the {t} domain with detail {i % 7}"))
+    from wax_tpu.embed.hash_embedder import HashEmbedder
+
+    emb = HashEmbedder(64)
+    vecs = emb.embed_batch([t for _, t in docs])
+    return docs, vecs, emb
+
+
+@pytest.fixture(scope="module")
+def built(corpus):
+    docs, vecs, emb = corpus
+    dense = DenseIndexBuilder(dim=64)
+    dense.add_batch(np.asarray([fid for fid, _ in docs]), vecs)
+    lex = LexIndexBuilder()
+    lex.add_batch(docs)
+    return dense, lex, emb
+
+
+class TestShardedBm25:
+    @pytest.mark.parametrize("n_dev", [2, 8])
+    def test_matches_single_chip(self, built, n_dev):
+        dense, lex, emb = built
+        mesh = data_mesh(n_dev)
+        snap = lex.snapshot()
+        sharded = shard_lex_index(lex, mesh, n_rows_global=int(snap.doc_len.shape[0]))
+        tids = jnp.asarray(pad_term_ids(lex.query_term_ids("fox domain detail"))[None, :])
+        v_ref, _, f_ref = bm25_topk(tids, snap, 10, mode="any")
+        v_sh, f_sh = sharded_bm25_topk(tids, sharded, 10, mesh)
+        ref = {(int(f), round(float(v), 4)) for f, v in zip(np.asarray(f_ref)[0], np.asarray(v_ref)[0]) if f >= 0}
+        got = {(int(f), round(float(v), 4)) for f, v in zip(np.asarray(f_sh)[0], np.asarray(v_sh)[0]) if f >= 0}
+        assert ref == got
+
+
+class TestShardedHybrid:
+    def test_fused_matches_host_rrf(self, built):
+        dense, lex, emb = built
+        mesh = data_mesh(8)
+        dsnap = dense.snapshot()
+        lsnap = lex.snapshot()
+        d_sh = shard_dense_index(dsnap, mesh)
+        l_sh = shard_lex_index(lex, mesh, n_rows_global=dsnap.capacity)
+        query = "quantum domain detail"
+        qv = normalize_rows(jnp.asarray(emb.embed(query)[None, :]))
+        tids = jnp.asarray(pad_term_ids(lex.query_term_ids(query))[None, :])
+
+        k = 10
+        fetch = max(2 * k, 16)
+        fv, ff = sharded_hybrid_topk(qv, tids, d_sh, l_sh, k, mesh)
+
+        # host-side oracle: same lanes, host RRF with equal weights
+        dv, _, df = flat_scan_topk(qv, dsnap, fetch, backend="xla")
+        lv, _, lf = bm25_topk(tids, lsnap, fetch, mode="any")
+        lanes = {
+            "dense": [(int(f), float(v)) for f, v in zip(np.asarray(df)[0], np.asarray(dv)[0]) if f >= 0],
+            "bm25": [(int(f), float(v)) for f, v in zip(np.asarray(lf)[0], np.asarray(lv)[0]) if f >= 0],
+        }
+        fused = rrf_fuse(lanes, {"dense": 0.5, "bm25": 0.5}, rrf_k=60.0, top_k=k)
+        oracle = [(h.frame_id, round(h.score, 6)) for h in fused]
+        got = [
+            (int(f), round(float(v), 6))
+            for f, v in zip(np.asarray(ff)[0], np.asarray(fv)[0])
+            if f >= 0
+        ]
+        assert {g[0] for g in got} == {o[0] for o in oracle}
+        for (gf, gv), (of, ov) in zip(sorted(got), sorted(oracle)):
+            assert gf == of and gv == pytest.approx(ov, abs=1e-5)
+
+    def test_batch_queries(self, built):
+        dense, lex, emb = built
+        mesh = data_mesh(4)
+        dsnap = dense.snapshot()
+        d_sh = shard_dense_index(dsnap, mesh)
+        l_sh = shard_lex_index(lex, mesh, n_rows_global=dsnap.capacity)
+        queries = ["fox domain", "market detail", "music document"]
+        qv = normalize_rows(jnp.asarray(emb.embed_batch(queries)))
+        tids = jnp.asarray(np.stack([pad_term_ids(lex.query_term_ids(q)) for q in queries]))
+        fv, ff = sharded_hybrid_topk(qv, tids, d_sh, l_sh, 5, mesh)
+        ff = np.asarray(ff)
+        assert ff.shape == (3, 5)
+        assert (ff[:, 0] >= 0).all()

@@ -38,10 +38,20 @@ from wax_tpu.ops.topk import NEG_INF, masked_top_k
 
 __all__ = ["flat_scan_topk", "scan_scores", "normalize_rows"]
 
-# Tile sizes: TB x TN score block lives in VMEM (512*512*4 = 1 MiB), the q and db
-# blocks add TB*D + TN*D. For d=768 f32 that is ~3.5 MiB total — comfortably in VMEM.
+# Tile sizes: the TB x TN score block lives in VMEM alongside the q/db tiles. Wider
+# db tiles amortize per-grid-cell overhead: measured 148us (TN=512) -> 111us (TN=2048)
+# per 256-query batch at 10K x 384 on v5e (scripts/perf_compare.py sweep). TN is chosen
+# per index as the widest candidate dividing its capacity.
 _TB = 256  # query-batch tile (sublane-major)
-_TN = 512  # database tile (lane-major)
+_TN = 512  # fallback database tile (lane-major)
+_TN_CANDIDATES = (2048, 1024, 512)
+
+
+def _pick_tn(capacity: int) -> int:
+    for t in _TN_CANDIDATES:
+        if capacity % t == 0:
+            return t
+    return min(_TN, capacity)
 
 
 def normalize_rows(x: jax.Array, eps: float = 1e-30) -> jax.Array:
@@ -217,7 +227,7 @@ def flat_scan_topk(
         raise ValueError("pallas backend supports cosine/dot only")
 
     tb = min(_TB, _round_up(b, 8))
-    tn = min(_TN, index.capacity)
+    tn = _pick_tn(index.capacity)
     b_pad = _round_up(b, tb)
     q = queries
     if b_pad != b:

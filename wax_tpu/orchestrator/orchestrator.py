@@ -12,6 +12,8 @@ StructuredMemory, with index state serialized into store segments at flush
 """
 from __future__ import annotations
 
+import functools
+import threading
 import uuid
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -52,6 +54,20 @@ __all__ = ["MemoryOrchestrator", "RememberResult"]
 
 HANDOFF_KIND = "wax.handoff"
 _INTERNAL_PREFIX = "wax.internal."
+
+
+def _synchronized(method):
+    """Serialize public entry points — the host-side analogue of the reference's
+    actor isolation (the Wax/engines/orchestrator actors, SURVEY.md §5 race
+    detection). Device work inside stays parallel; only mutable host state is
+    serialized."""
+
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        with self._lock:
+            return method(self, *args, **kwargs)
+
+    return wrapper
 
 
 @dataclass(frozen=True)
@@ -105,6 +121,7 @@ class MemoryOrchestrator:
     ):
         self.config = config
         self.path = Path(path)
+        self._lock = threading.RLock()
         embedder = embedder if embedder is not None else HashEmbedder()
         validate_on_device(embedder, config.require_on_device_providers)
         self.memoizer = EmbeddingMemoizer(embedder, config.embedding_cache_capacity)
@@ -184,6 +201,7 @@ class MemoryOrchestrator:
                     break
 
     # -------------------------------------------------------------------- remember ----
+    @_synchronized
     def remember(
         self,
         content: str,
@@ -250,6 +268,7 @@ class MemoryOrchestrator:
 
         return RememberResult(document_id=doc_id, chunk_ids=tuple(chunk_ids))
 
+    @_synchronized
     def forget(self, frame_id: int) -> bool:
         """Delete a frame (and its chunks) from store + indexes."""
         m = self.store.frame_meta(frame_id)
@@ -266,12 +285,14 @@ class MemoryOrchestrator:
         return True
 
     # ----------------------------------------------------------------------- recall ----
+    @_synchronized
     def recall(self, query: str, top_k: int | None = None) -> RAGContext:
         ctx = self.rag_builder.build(query, top_k)
         if self.config.enable_access_stats and ctx.items:
             self.access_stats.record_batch([i.frame_id for i in ctx.items], now_ms())
         return ctx
 
+    @_synchronized
     def search(self, request: SearchRequest | str, top_k: int = 10) -> SearchResponse:
         if isinstance(request, str):
             request = SearchRequest(query=request, top_k=top_k)
@@ -280,6 +301,7 @@ class MemoryOrchestrator:
             self.access_stats.record_batch([h.frame_id for h in resp.hits], now_ms())
         return resp
 
+    @_synchronized
     def timeline(self, time_range: TimeRange | None = None, limit: int | None = None):
         return self.engine.frames.timeline(time_range, limit=limit)
 
@@ -291,6 +313,7 @@ class MemoryOrchestrator:
     def session_end(self) -> None:
         self.session_id = None
 
+    @_synchronized
     def handoff(self, content: str, metadata: Mapping[str, str] | None = None) -> int:
         """Persist a handoff record (reference: MemoryOrchestrator.swift:684-776)."""
         return self.store.put(
@@ -301,6 +324,7 @@ class MemoryOrchestrator:
             tags=(f"session:{self.session_id}",) if self.session_id else (),
         )
 
+    @_synchronized
     def handoff_latest(self) -> tuple[FrameMeta, str] | None:
         for fid in range(self.store.frame_count() - 1, -1, -1):
             m = self.store.frame_meta(fid)
@@ -311,14 +335,17 @@ class MemoryOrchestrator:
 
     # -------------------------------------------------------- structured passthrough ----
     # (reference: MemoryOrchestrator.swift:778-847)
+    @_synchronized
     def entity_upsert(self, name: str, kind: str | None = None, aliases=()) -> int:
         self._require_structured()
         return self.structured.entity_upsert(name, kind, aliases)
 
+    @_synchronized
     def entity_resolve(self, name_or_alias: str) -> int | None:
         self._require_structured()
         return self.structured.entity_resolve(name_or_alias)
 
+    @_synchronized
     def fact_assert(
         self, subject, predicate: str, value: FactValue, valid_from_ms=None, evidence_frames=()
     ) -> int:
@@ -327,10 +354,12 @@ class MemoryOrchestrator:
             subject, predicate, value, valid_from_ms, evidence_frames
         )
 
+    @_synchronized
     def fact_retract(self, fact_id: int, valid_to_ms: int | None = None) -> bool:
         self._require_structured()
         return self.structured.fact_retract(fact_id, valid_to_ms)
 
+    @_synchronized
     def facts_query(self, subject=None, predicate=None, as_of_ms=None):
         self._require_structured()
         return self.structured.facts_query(subject, predicate, as_of_ms)
@@ -340,6 +369,7 @@ class MemoryOrchestrator:
             raise RuntimeError("structured memory disabled in OrchestratorConfig")
 
     # ----------------------------------------------------------------------- flush ----
+    @_synchronized
     def flush(self) -> int:
         """Stage index segments + access stats, then commit
         (reference: flush -> session.commit -> stage + wax.commit)."""
@@ -373,6 +403,7 @@ class MemoryOrchestrator:
         self.close()
 
     # ----------------------------------------------------------------------- stats ----
+    @_synchronized
     def runtime_stats(self) -> dict:
         """Operator-facing counters (reference: runtimeStats :608-674)."""
         return {

@@ -1,0 +1,265 @@
+"""Mesh-sharded hybrid retrieval: dense scan + BM25 + RRF fusion in ONE XLA program.
+
+The multi-chip generalization of the unified-search hot path (SURVEY.md §2.7's
+required equivalent): the corpus — embedding matrix AND CSR postings — is sharded over
+the mesh "data" axis; a replicated query batch (dense vectors + padded term ids) runs
+both lanes locally on every shard, local top-k candidates merge across ICI with
+all-gathers, and weighted reciprocal-rank fusion of the two global rankings happens on
+device. Host code sees one jitted call: (queries, term_ids) -> fused top-k frame ids.
+
+Determinism matches the host path: stable lax.top_k merges + (score desc, then lane
+order, then candidate position) tie-breaks.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from wax_tpu.index.lex import BM25_B, BM25_K1, LexIndex, LexIndexBuilder
+from wax_tpu.ops.topk import NEG_INF
+from wax_tpu.parallel.mesh import DATA_AXIS, shard_rows
+from wax_tpu.parallel.sharded_scan import ShardedDenseIndex
+
+__all__ = ["ShardedLexIndex", "shard_lex_index", "sharded_hybrid_topk", "sharded_bm25_topk"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ShardedLexIndex:
+    """Row-sharded CSR postings: leading axis = shard (laid over the data axis).
+
+    Per-shard arrays are padded to common shapes; `row_base` maps local rows to the
+    global row space shared with the dense index.
+    """
+
+    doc_rows: jax.Array  # [S, P_max] int32 local row ids
+    tfs: jax.Array  # [S, P_max] f32
+    offsets: jax.Array  # [S, T+1] int32
+    idf: jax.Array  # [S, T] f32 (global idf replicated per shard row)
+    doc_len: jax.Array  # [S, N_local] f32
+    frame_ids: jax.Array  # [S, N_local] int32
+    live: jax.Array  # [S, N_local] bool
+    row_base: jax.Array  # [S] int32 global row offset of each shard
+    avgdl: jax.Array  # scalar f32
+    max_df: int = field(metadata=dict(static=True), default=0)
+
+
+def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) -> ShardedLexIndex:
+    """Split a host lex builder into per-shard CSR arrays over contiguous row ranges.
+
+    Row space must match the dense index (global rows 0..n_rows_global-1 map to the
+    same frames in both indexes).
+    """
+    s = mesh.shape[DATA_AXIS]
+    per = -(-n_rows_global // s)
+    full = builder.snapshot()
+    # host-side numpy views of the global CSR
+    doc_rows = np.asarray(full.doc_rows)
+    tfs = np.asarray(full.tfs)
+    offsets = np.asarray(full.offsets)
+    idf = np.asarray(full.idf)
+    doc_len_g = np.asarray(full.doc_len)
+    frame_ids_g = np.asarray(full.frame_ids)
+    active_g = np.asarray(full.active)
+    count = int(full.count)
+    t = len(offsets) - 1
+
+    shard_postings = []  # list of (doc_rows_local, tfs, offsets)
+    max_p = 1
+    max_df = 1
+    for si in range(s):
+        lo, hi = si * per, min((si + 1) * per, n_rows_global)
+        rows_l, tfs_l = [], []
+        offs = np.zeros(t + 1, np.int64)
+        for tid in range(t):
+            a, b = offsets[tid], offsets[tid + 1]
+            seg_rows = doc_rows[a:b]
+            mask = (seg_rows >= lo) & (seg_rows < hi)
+            rl = seg_rows[mask] - lo
+            rows_l.append(rl)
+            tfs_l.append(tfs[a:b][mask])
+            offs[tid + 1] = offs[tid] + len(rl)
+            max_df = max(max_df, len(rl))
+        rows_cat = np.concatenate(rows_l) if rows_l else np.zeros(0, np.int32)
+        tfs_cat = np.concatenate(tfs_l) if tfs_l else np.zeros(0, np.float32)
+        max_p = max(max_p, len(rows_cat))
+        shard_postings.append((rows_cat, tfs_cat, offs))
+
+    p_pad = ((max_p + 127) // 128) * 128
+    dr = np.zeros((s, p_pad), np.int32)
+    tf = np.zeros((s, p_pad), np.float32)
+    off = np.zeros((s, t + 1), np.int32)
+    dl = np.zeros((s, per), np.float32)
+    fid = np.full((s, per), -1, np.int32)
+    live = np.zeros((s, per), bool)
+    base = np.zeros(s, np.int32)
+    for si, (rows_cat, tfs_cat, offs) in enumerate(shard_postings):
+        dr[si, : len(rows_cat)] = rows_cat
+        tf[si, : len(tfs_cat)] = tfs_cat
+        off[si] = offs
+        lo, hi = si * per, min((si + 1) * per, n_rows_global)
+        w = hi - lo
+        if w > 0 and lo < len(doc_len_g):
+            src_hi = min(hi, len(doc_len_g))
+            dl[si, : src_hi - lo] = doc_len_g[lo:src_hi]
+            fid[si, : src_hi - lo] = frame_ids_g[lo:src_hi]
+            live[si, : src_hi - lo] = active_g[lo:src_hi] & (np.arange(lo, src_hi) < count)
+        base[si] = lo
+
+    return ShardedLexIndex(
+        doc_rows=shard_rows(mesh, jnp.asarray(dr)),
+        tfs=shard_rows(mesh, jnp.asarray(tf)),
+        offsets=shard_rows(mesh, jnp.asarray(off)),
+        idf=shard_rows(mesh, jnp.broadcast_to(jnp.asarray(idf)[None, :], (s, max(t, 1))).copy()),
+        doc_len=shard_rows(mesh, jnp.asarray(dl)),
+        frame_ids=shard_rows(mesh, jnp.asarray(fid)),
+        live=shard_rows(mesh, jnp.asarray(live)),
+        row_base=shard_rows(mesh, jnp.asarray(base)),
+        avgdl=full.avgdl,
+        max_df=((max_df + 127) // 128) * 128,
+    )
+
+
+def _local_bm25(term_ids, lex_shard, avgdl, w):
+    """[B, Q] term ids -> [B, N_local] scores on one shard (arrays have no shard dim)."""
+    doc_rows, tfs, offsets, idf, doc_len, live = lex_shard
+    b, q = term_ids.shape
+    n_local = doc_len.shape[0]
+    valid_term = term_ids >= 0
+    safe = jnp.maximum(term_ids, 0)
+    off = jnp.take(offsets, safe)
+    length = jnp.take(offsets, safe + 1) - off
+    j = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    valid = valid_term[..., None] & (j < length[..., None])
+    pos = off[..., None] + jnp.minimum(j, jnp.maximum(length[..., None] - 1, 0))
+    rows = jnp.take(doc_rows, pos)
+    tf = jnp.take(tfs, pos)
+    dl = jnp.take(doc_len, rows)
+    idf_q = jnp.take(idf, safe)[..., None]
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+    contrib = jnp.where(valid, idf_q * (tf * (BM25_K1 + 1.0)) / jnp.maximum(denom, 1e-9), 0.0)
+    scores = jnp.zeros((b, n_local), jnp.float32)
+    scores = scores.at[jnp.arange(b)[:, None], rows.reshape(b, q * w)].add(
+        contrib.reshape(b, q * w), mode="drop"
+    )
+    return jnp.where(live[None, :], scores, 0.0)
+
+
+def _gather_merge(vals, fids, k, n_shards, axis):
+    av = jax.lax.all_gather(vals, axis)
+    af = jax.lax.all_gather(fids, axis)
+    b = vals.shape[0]
+    av = jnp.transpose(av, (1, 0, 2)).reshape(b, n_shards * vals.shape[1])
+    af = jnp.transpose(af, (1, 0, 2)).reshape(b, n_shards * vals.shape[1])
+    mv, pos = jax.lax.top_k(av, k)
+    mf = jnp.take_along_axis(af, pos, axis=-1)
+    return mv, jnp.where(mv > NEG_INF * 0.5, mf, -1)
+
+
+def sharded_bm25_topk(term_ids, lex: ShardedLexIndex, k: int, mesh: Mesh):
+    """Distributed BM25 top-k: per-shard scatter-add scoring + ICI merge."""
+    n_shards = mesh.shape[DATA_AXIS]
+    w = lex.max_df
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run2(tids, doc_rows, tfs, offsets, idf, doc_len, live, frame_ids):
+        shard = (doc_rows[0], tfs[0], offsets[0], idf[0], doc_len[0], live[0])
+        scores = _local_bm25(tids, shard, lex.avgdl, w)
+        kk = min(k, scores.shape[1])
+        vals, rows = jax.lax.top_k(jnp.where(scores > 0, scores, NEG_INF), kk)
+        gfids = jnp.where(vals > NEG_INF * 0.5, jnp.take(frame_ids[0], jnp.maximum(rows, 0)), -1)
+        return _gather_merge(vals, gfids.astype(jnp.int32), k, n_shards, DATA_AXIS)
+
+    return run2(term_ids, lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live, lex.frame_ids)
+
+
+def sharded_hybrid_topk(
+    queries,
+    term_ids,
+    dense: ShardedDenseIndex,
+    lex: ShardedLexIndex,
+    k: int,
+    mesh: Mesh,
+    w_dense: float = 0.5,
+    w_bm25: float = 0.5,
+    rrf_k: float = 60.0,
+):
+    """One-program hybrid search: both lanes + ICI merges + on-device RRF fusion.
+
+    Returns (fused_scores [B, k], frame_ids [B, k]).
+    """
+    n_shards = mesh.shape[DATA_AXIS]
+    w = lex.max_df
+    fetch = max(2 * k, 16)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(), P(),
+            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(q, tids, emb, d_fids, d_bias, doc_rows, tfs, offsets, idf, doc_len, live, l_fids):
+        b = q.shape[0]
+        # dense lane
+        scores_d = jax.lax.dot_general(
+            q.astype(emb.dtype), emb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) + d_bias[None, :]
+        kk_d = min(fetch, emb.shape[0])
+        dv, drows = jax.lax.top_k(scores_d, kk_d)
+        dfid = jnp.where(dv > NEG_INF * 0.5, jnp.take(d_fids, jnp.maximum(drows, 0)), -1)
+        dv_g, dfid_g = _gather_merge(dv, dfid, fetch, n_shards, DATA_AXIS)
+        # bm25 lane
+        shard = (doc_rows[0], tfs[0], offsets[0], idf[0], doc_len[0], live[0])
+        scores_l = _local_bm25(tids, shard, lex.avgdl, w)
+        kk_l = min(fetch, scores_l.shape[1])
+        lv, lrows = jax.lax.top_k(jnp.where(scores_l > 0, scores_l, NEG_INF), kk_l)
+        lfid = jnp.where(lv > NEG_INF * 0.5, jnp.take(l_fids[0], jnp.maximum(lrows, 0)), -1)
+        lv_g, lfid_g = _gather_merge(lv, lfid.astype(jnp.int32), fetch, n_shards, DATA_AXIS)
+
+        # on-device weighted RRF over the two global rankings (rank = position + 1)
+        ranks = jnp.arange(1, fetch + 1, dtype=jnp.float32)[None, :]
+        inc_d = jnp.where(dfid_g >= 0, w_dense / (rrf_k + ranks), 0.0)
+        inc_l = jnp.where(lfid_g >= 0, w_bm25 / (rrf_k + ranks), 0.0)
+        # merge candidate sets by frame id: concat then segment-combine via sort
+        all_fid = jnp.concatenate([dfid_g, lfid_g], axis=1)
+        all_inc = jnp.concatenate([inc_d, inc_l], axis=1)
+        order = jnp.argsort(all_fid, axis=1)
+        fid_s = jnp.take_along_axis(all_fid, order, axis=1)
+        inc_s = jnp.take_along_axis(all_inc, order, axis=1)
+        same = jnp.concatenate(
+            [jnp.zeros_like(fid_s[:, :1], bool), fid_s[:, 1:] == fid_s[:, :-1]], axis=1
+        )
+        # two-entry groups at most (one per lane): fold the duplicate into its left neighbor
+        folded = inc_s + jnp.where(
+            jnp.concatenate([same[:, 1:], jnp.zeros_like(same[:, :1])], axis=1),
+            jnp.concatenate([inc_s[:, 1:], jnp.zeros_like(inc_s[:, :1])], axis=1),
+            0.0,
+        )
+        score = jnp.where(same | (fid_s < 0), NEG_INF, folded)
+        fv, pos = jax.lax.top_k(score, k)
+        ffid = jnp.take_along_axis(fid_s, pos, axis=1)
+        ffid = jnp.where(fv > NEG_INF * 0.5, ffid, -1)
+        return fv, ffid
+
+    return run(
+        queries, term_ids,
+        dense.emb, dense.frame_ids, dense.bias,
+        lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live, lex.frame_ids,
+    )

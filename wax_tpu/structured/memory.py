@@ -144,7 +144,9 @@ def _span_hash(fact_hash: str, valid_from: int, valid_to: int | None) -> str:
 
 class StructuredMemory:
     def __init__(self, conn: sqlite3.Connection | None = None):
-        self.conn = conn or sqlite3.connect(":memory:")
+        # check_same_thread=False: access is serialized by the orchestrator's
+        # entry-point lock (sqlite3 builds with SQLITE_THREADSAFE are fine with this)
+        self.conn = conn if conn is not None else sqlite3.connect(":memory:", check_same_thread=False)
         self.conn.executescript(_SCHEMA)
 
     # ------------------------------------------------------------------- entities ----
@@ -351,7 +353,7 @@ class StructuredMemory:
 
     @classmethod
     def deserialize(cls, blob: bytes) -> "StructuredMemory":
-        conn = sqlite3.connect(":memory:")
+        conn = sqlite3.connect(":memory:", check_same_thread=False)
         conn.deserialize(blob)
         return cls(conn)
 
