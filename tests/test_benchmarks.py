@@ -1,0 +1,159 @@
+"""Benchmarks-as-tests: env-gated ingest/search/recall benchmarks with JSON output and
+percentile guardrails, plus a soak/stability profile.
+
+Mirrors the reference's benchmark test axis (reference: RAGBenchmarks.swift:28-789 —
+ingest text/hybrid at 200/1K/5K/10K docs, search latency, FastRAG build, cold open;
+scales via WAX_BENCHMARK_SCALE smoke|standard|stress in RAGBenchmarkSupport.swift:15-60;
+JSON emission + guardrails per README:190-203; ProductionReadinessStabilityTests.swift
+:34-210 — soak profiles with RSS and latency-percentile drift gates).
+
+Run: WAX_TPU_BENCHMARK=1 [WAX_TPU_BENCHMARK_SCALE=smoke|standard|stress]
+     [WAX_TPU_BENCHMARK_OUTPUT=path.json] python -m pytest tests/test_benchmarks.py -q
+"""
+import json
+import os
+import resource
+import time
+
+import numpy as np
+import pytest
+
+from wax_tpu.embed.hash_embedder import HashEmbedder
+from wax_tpu.orchestrator.config import OrchestratorConfig
+from wax_tpu.orchestrator.orchestrator import MemoryOrchestrator
+from wax_tpu.storage.store import StoreOptions
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("WAX_TPU_BENCHMARK") != "1",
+    reason="benchmarks are env-gated: set WAX_TPU_BENCHMARK=1",
+)
+
+SCALES = {"smoke": 200, "standard": 1000, "stress": 5000}
+SCALE = os.environ.get("WAX_TPU_BENCHMARK_SCALE", "smoke")
+N_DOCS = SCALES.get(SCALE, 200)
+
+_results: list[dict] = []
+
+
+def _emit(metric: str, value: float, unit: str) -> None:
+    rec = {"metric": metric, "value": round(value, 4), "unit": unit, "scale": SCALE}
+    _results.append(rec)
+    print(json.dumps(rec))
+
+
+def teardown_module(module):
+    out = os.environ.get("WAX_TPU_BENCHMARK_OUTPUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(_results, f, indent=1)
+
+
+def _docs(n):
+    topics = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    return [
+        f"Document {i} discusses {topics[i % 8]} subsystem details and change {i % 23} "
+        f"with outcome {i % 5} measured over window {i % 11}."
+        for i in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return _docs(N_DOCS)
+
+
+CFG = OrchestratorConfig(store=StoreOptions(wal_size=16 * 1024 * 1024))
+
+
+class TestIngestBench:
+    def test_ingest_throughput(self, tmp_path, corpus):
+        orch = MemoryOrchestrator(tmp_path / "b.wxs", HashEmbedder(384), CFG)
+        t0 = time.perf_counter()
+        for d in corpus:
+            orch.remember(d)
+        dt = time.perf_counter() - t0
+        orch.flush()
+        orch.close()
+        _emit(f"ingest_docs_per_s_{SCALE}", len(corpus) / dt, "docs/s")
+        # guardrail: must beat 50 docs/s even on a throttled host
+        assert len(corpus) / dt > 50
+
+
+class TestSearchBench:
+    @pytest.fixture(scope="class")
+    def orch(self, tmp_path_factory, corpus):
+        p = tmp_path_factory.mktemp("bench") / "s.wxs"
+        o = MemoryOrchestrator(p, HashEmbedder(384), CFG)
+        for d in corpus:
+            o.remember(d)
+        o.flush()
+        yield o
+        o.close()
+
+    def test_warm_search_latency(self, orch):
+        queries = [f"subsystem {t} outcome" for t in ("alpha", "beta", "gamma", "delta")] * 8
+        orch.search(queries[0])  # warm
+        lat = []
+        for q in queries:
+            t0 = time.perf_counter()
+            orch.search(q)
+            lat.append(time.perf_counter() - t0)
+        p50, p95 = np.percentile(lat, [50, 95])
+        _emit(f"warm_search_p50_{SCALE}", p50 * 1e3, "ms")
+        _emit(f"warm_search_p95_{SCALE}", p95 * 1e3, "ms")
+        assert p95 < 60.0, f"p95 {p95*1e3:.1f} ms over guardrail"
+
+    def test_recall_build_latency(self, orch):
+        orch.recall("alpha subsystem change")  # warm
+        lat = []
+        for i in range(16):
+            t0 = time.perf_counter()
+            ctx = orch.recall(f"subsystem change {i % 5} outcome")
+            lat.append(time.perf_counter() - t0)
+            assert ctx.total_tokens <= ctx.budget_tokens
+        _emit(f"recall_build_p50_{SCALE}", np.percentile(lat, 50) * 1e3, "ms")
+
+    def test_cold_open_to_first_query(self, orch, tmp_path):
+        path = orch.path
+        orch.flush()
+        t0 = time.perf_counter()
+        o2 = MemoryOrchestrator(path.parent / "cold_copy.wxs", HashEmbedder(384), CFG)
+        o2.close()
+        # measure true cold open on the populated store (readonly second handle
+        # is blocked by the writer lease, so close first)
+        orch.close()
+        t0 = time.perf_counter()
+        o3 = MemoryOrchestrator(path, HashEmbedder(384), CFG)
+        o3.search("alpha subsystem")
+        dt = time.perf_counter() - t0
+        o3.close()
+        _emit(f"cold_open_first_query_{SCALE}", dt * 1e3, "ms")
+
+
+class TestSoak:
+    def test_soak_stability(self, tmp_path):
+        """Sustained ingest+recall cycles: RSS growth and latency drift bounded
+        (reference: ProductionReadinessStabilityTests soak/burn profiles)."""
+        orch = MemoryOrchestrator(tmp_path / "soak.wxs", HashEmbedder(128), CFG)
+        cycles = 6 if SCALE == "smoke" else 12
+        per = 25
+        rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        first_lat = last_lat = None
+        for c in range(cycles):
+            for i in range(per):
+                orch.remember(f"soak cycle {c} memory {i} about region {i % 4}")
+            lat = []
+            for i in range(8):
+                t0 = time.perf_counter()
+                orch.recall(f"region {i % 4} memory")
+                lat.append(time.perf_counter() - t0)
+            p50 = float(np.percentile(lat, 50))
+            if first_lat is None:
+                first_lat = p50
+            last_lat = p50
+            orch.flush()
+        rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+        orch.close()
+        _emit("soak_latency_drift_ratio", last_lat / max(first_lat, 1e-9), "x")
+        _emit("soak_rss_growth", (rss1 - rss0) / 1024, "MiB")
+        assert last_lat / max(first_lat, 1e-9) < 8.0, "recall latency drifted"

@@ -1,0 +1,88 @@
+"""Sift (git-history search) end-to-end on a synthetic repo + golden-embedding drift
+fixtures (reference: WaxRepo suite; minilm_baseline_embeddings.json golden fixture)."""
+import json
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from wax_tpu.embed.hash_embedder import HashEmbedder
+from wax_tpu.surfaces.repo import RepoIndexer, parse_git_log
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+@pytest.fixture(scope="module")
+def git_repo(tmp_path_factory):
+    repo = tmp_path_factory.mktemp("gitrepo")
+    env_cmds = [
+        ["git", "init", "-q"],
+        ["git", "config", "user.email", "t@example.com"],
+        ["git", "config", "user.name", "Tester"],
+    ]
+    for c in env_cmds:
+        subprocess.run(c, cwd=repo, check=True, capture_output=True)
+    commits = [
+        ("auth.py", "add login endpoint with JWT token validation"),
+        ("db.py", "fix race condition in connection pool shutdown"),
+        ("search.py", "implement fuzzy search over product catalog"),
+    ]
+    for fname, msg in commits:
+        (repo / fname).write_text(f"# {msg}\n")
+        subprocess.run(["git", "add", fname], cwd=repo, check=True, capture_output=True)
+        subprocess.run(["git", "commit", "-q", "-m", msg], cwd=repo, check=True, capture_output=True)
+    return repo
+
+
+class TestGitLogParsing:
+    def test_parse(self, git_repo):
+        commits = parse_git_log(git_repo)
+        assert len(commits) == 3
+        assert commits[0].subject.startswith("implement fuzzy")
+        assert commits[0].author == "Tester"
+        assert any("search.py" in c.files for c in commits)
+
+
+class TestRepoIndexer:
+    def test_index_and_search(self, git_repo, tmp_path):
+        idx = RepoIndexer(tmp_path / "repo.wxs", HashEmbedder(64))
+        try:
+            added = idx.index(git_repo)
+            assert added == 3
+            hits = idx.search("race condition connection pool")
+            assert hits and "race condition" in hits[0]["preview"]
+            assert len(hits[0]["sha"]) == 40
+            # incremental: second index adds nothing
+            assert idx.index(git_repo) == 0
+        finally:
+            idx.close()
+
+
+class TestGoldenEmbeddings:
+    """Drift guard: the deterministic hash embedder must produce byte-stable vectors
+    across refactors (analogue of the reference's minilm_baseline_embeddings.json)."""
+
+    GOLDEN = FIXTURES / "hash_embedder_golden.json"
+    TEXTS = ["the quick brown fox", "quantum entanglement", "sourdough recipe"]
+
+    def test_matches_golden(self):
+        emb = HashEmbedder(dimensions=32)
+        got = {t: np.round(emb.embed(t), 6).tolist() for t in self.TEXTS}
+        if not self.GOLDEN.exists():
+            self.GOLDEN.parent.mkdir(exist_ok=True)
+            self.GOLDEN.write_text(json.dumps(got, indent=1))
+            pytest.skip("golden fixture created; rerun to verify")
+        golden = json.loads(self.GOLDEN.read_text())
+        for t in self.TEXTS:
+            np.testing.assert_allclose(got[t], golden[t], atol=1e-6, err_msg=t)
+
+
+class TestDiagnostics:
+    def test_swallowed_logging(self):
+        from wax_tpu.utils.diagnostics import log_swallowed, reset_swallowed, swallowed_counts
+
+        reset_swallowed()
+        log_swallowed("test-ctx", ValueError("boom"))
+        log_swallowed("test-ctx", KeyError("x"))
+        assert swallowed_counts()["test-ctx"] == 2

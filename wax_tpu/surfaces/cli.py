@@ -216,6 +216,10 @@ def main(argv: list[str] | None = None) -> int:
     _add_store_arg(p)
     p.set_defaults(fn=cmd_verify)
 
+    from wax_tpu.surfaces.repo import add_repo_commands
+
+    add_repo_commands(sub)
+
     args = ap.parse_args(argv)
     return args.fn(args)
 
