@@ -107,6 +107,32 @@ class TestMcpTools:
         resp = _rpc(server, "tools/call", {"name": "wax_nonexistent", "arguments": {}})
         assert "error" in resp
 
+    def test_video_tools(self, server):
+        out = _call(server, "wax_video_ingest", {
+            "video_id": "v1",
+            "duration_ms": 20_000,
+            "transcript": [
+                {"start_ms": 0, "end_ms": 9_000, "text": "intro to gardening"},
+                {"start_ms": 10_000, "end_ms": 19_000, "text": "pruning roses properly"},
+            ],
+        })
+        assert len(out["segment_frames"]) == 2
+        hits = _call(server, "wax_video_recall", {"query": "pruning roses"})["hits"]
+        assert hits and hits[0]["segment_index"] == 1
+
+    def test_photo_tools(self, server):
+        _call(server, "wax_photo_ingest", {
+            "asset_id": "p1",
+            "caption": "sunset over the harbor with sailboats",
+            "ocr_texts": ["PIER 39"],
+            "gps": [37.80, -122.41],
+            "taken_at_ms": 1_700_000_000_000,
+        })
+        hits = _call(server, "wax_photo_recall", {"query": "harbor sailboats sunset"})["hits"]
+        assert hits and hits[0]["asset_id"] == "p1"
+        hits2 = _call(server, "wax_photo_recall", {"query": "pier sign", "near": [37.8001, -122.4102]})["hits"]
+        assert hits2 and hits2[0]["asset_id"] == "p1"
+
 
 class TestCli:
     def test_remember_search_verify(self, tmp_path, capsys):

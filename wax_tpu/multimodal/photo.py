@@ -99,7 +99,11 @@ class PhotoRAGOrchestrator:
         gps: tuple[float, float] | None = None,
         tags: Sequence[str] = (),
         thumbnail_ref: str | None = None,
+        caption_text: str | None = None,
+        ocr_texts: Sequence[str] | None = None,
     ) -> PhotoIngestResult:
+        """Ingest one asset. `caption_text`/`ocr_texts` override the providers when
+        the host has already run its own vision pipeline (the MCP path)."""
         if asset_id in self._ingested:
             return PhotoIngestResult(asset_id, self._ingested[asset_id], None, (), (), True)
         ts = taken_at_ms if taken_at_ms is not None else now_ms()
@@ -130,26 +134,31 @@ class PhotoRAGOrchestrator:
 
         embed_jobs: list[tuple[int, np.ndarray]] = []
         caption_frame = None
-        if self.caption_provider is not None:
+        caption = caption_text
+        if caption is None and self.caption_provider is not None:
             caption = self.caption_provider.caption(image)
-            if caption.strip():
-                caption_frame = child(caption, PHOTO_CAPTION_KIND)
-                if self.mm_embedder is not None:
-                    embed_jobs.append((caption_frame, np.asarray(self.mm_embedder.embed_text(caption))))
+        if caption and caption.strip():
+            caption_frame = child(caption, PHOTO_CAPTION_KIND)
+            if self.mm_embedder is not None:
+                embed_jobs.append((caption_frame, np.asarray(self.mm_embedder.embed_text(caption))))
 
         ocr_frames: list[int] = []
-        if self.ocr_provider is not None:
-            blocks = [
-                b
+        if ocr_texts is not None:
+            texts = [t for t in ocr_texts if t.strip()][: self.config.max_ocr_blocks]
+        elif self.ocr_provider is not None:
+            texts = [
+                b.text
                 for b in self.ocr_provider.ocr(image)
                 if b.confidence >= self.config.min_ocr_confidence and b.text.strip()
             ][: self.config.max_ocr_blocks]
-            if blocks:
-                summary = " ".join(b.text for b in blocks)
-                fid = child(summary, PHOTO_OCR_KIND, {"blocks": str(len(blocks))})
-                ocr_frames.append(fid)
-                if self.mm_embedder is not None:
-                    embed_jobs.append((fid, np.asarray(self.mm_embedder.embed_text(summary))))
+        else:
+            texts = []
+        if texts:
+            summary = " ".join(texts)
+            fid = child(summary, PHOTO_OCR_KIND, {"blocks": str(len(texts))})
+            ocr_frames.append(fid)
+            if self.mm_embedder is not None:
+                embed_jobs.append((fid, np.asarray(self.mm_embedder.embed_text(summary))))
 
         region_frames: list[int] = []
         if self.mm_embedder is not None:

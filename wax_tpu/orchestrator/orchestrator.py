@@ -269,6 +269,24 @@ class MemoryOrchestrator:
         return RememberResult(document_id=doc_id, chunk_ids=tuple(chunk_ids))
 
     @_synchronized
+    def remember_file(self, path: str | Path, **kwargs) -> RememberResult:
+        """Ingest a file: PDFs go through text extraction, everything else is read as
+        UTF-8 text (reference: MemoryOrchestrator+File.swift:5-36 + PDFTextExtractor)."""
+        p = Path(path)
+        raw = p.read_bytes()
+        if raw.startswith(b"%PDF"):
+            from wax_tpu.text.pdf import extract_pdf_text
+
+            content = extract_pdf_text(raw)
+            if not content:
+                raise ValueError(f"no extractable text in PDF {p}")
+        else:
+            content = raw.decode("utf-8", errors="ignore")
+        kwargs.setdefault("metadata", {})
+        kwargs["metadata"] = {**dict(kwargs["metadata"]), "source_file": p.name}
+        return self.remember(content, **kwargs)
+
+    @_synchronized
     def forget(self, frame_id: int) -> bool:
         """Delete a frame (and its chunks) from store + indexes."""
         m = self.store.frame_meta(frame_id)

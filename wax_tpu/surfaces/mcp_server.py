@@ -103,6 +103,74 @@ _TOOLS: list[dict] = [
     {"name": "wax_handoff_latest", "description": "Fetch the most recent handoff record.", "inputSchema": {"type": "object", "properties": {}}},
 ]
 
+_MULTIMODAL_TOOLS: list[dict] = [
+    {
+        "name": "wax_video_ingest",
+        "description": "Ingest a video via its host-supplied transcript spans.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "video_id": {"type": "string"},
+                "duration_ms": {"type": "integer"},
+                "transcript": {
+                    "type": "array",
+                    "items": {
+                        "type": "object",
+                        "properties": {
+                            "start_ms": {"type": "integer"},
+                            "end_ms": {"type": "integer"},
+                            "text": {"type": "string"},
+                        },
+                        "required": ["start_ms", "end_ms", "text"],
+                    },
+                },
+                "keyframe_refs": {"type": "array", "items": {"type": "string"}},
+            },
+            "required": ["video_id", "duration_ms", "transcript"],
+        },
+    },
+    {
+        "name": "wax_video_recall",
+        "description": "Recall video segments matching a query.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"query": {"type": "string"}, "top_k": {"type": "integer"}},
+            "required": ["query"],
+        },
+    },
+    {
+        "name": "wax_photo_ingest",
+        "description": "Ingest a photo asset via host-supplied caption/OCR text.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "asset_id": {"type": "string"},
+                "caption": {"type": "string"},
+                "ocr_texts": {"type": "array", "items": {"type": "string"}},
+                "taken_at_ms": {"type": "integer"},
+                "gps": {"type": "array", "items": {"type": "number"}, "minItems": 2, "maxItems": 2},
+                "thumbnail_ref": {"type": "string"},
+            },
+            "required": ["asset_id"],
+        },
+    },
+    {
+        "name": "wax_photo_recall",
+        "description": "Recall photos matching a query with optional time/location constraints.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string"},
+                "top_k": {"type": "integer"},
+                "after_ms": {"type": "integer"},
+                "before_ms": {"type": "integer"},
+                "near": {"type": "array", "items": {"type": "number"}, "minItems": 2, "maxItems": 2},
+            },
+            "required": ["query"],
+        },
+    },
+]
+
 _STRUCTURED_TOOLS: list[dict] = [
     {
         "name": "wax_entity_upsert",
@@ -179,13 +247,55 @@ def _parse_fact_value(value: str, kind: str) -> FactValue:
 
 
 class McpServer:
-    def __init__(self, orchestrator: MemoryOrchestrator, structured_enabled: bool = True):
+    def __init__(
+        self,
+        orchestrator: MemoryOrchestrator,
+        structured_enabled: bool = True,
+        video_store: str | Path | None = None,
+        photo_store: str | Path | None = None,
+    ):
         self.orch = orchestrator
         self.structured_enabled = structured_enabled and orchestrator.structured is not None
+        # lazy multimodal stores (the reference runs three stores:
+        # ~/.wax/{memory,video,photo}.mv2s — main.swift:21-28)
+        self._video_store = Path(video_store) if video_store else self.orch.path.parent / "video.wxs"
+        self._photo_store = Path(photo_store) if photo_store else self.orch.path.parent / "photo.wxs"
+        self._video = None
+        self._photo = None
+
+    def _video_rag(self):
+        if self._video is None:
+            from wax_tpu.multimodal.video import VideoRAGOrchestrator
+
+            self._video = VideoRAGOrchestrator(self._video_store)
+        return self._video
+
+    def _photo_rag(self):
+        if self._photo is None:
+            from wax_tpu.embed.hash_embedder import HashEmbedder
+            from wax_tpu.multimodal.photo import PhotoRAGOrchestrator
+
+            class _TextSpaceEmbedder:
+                """Joint-space embedder over text inputs (MCP ships text, not pixels)."""
+
+                def __init__(self):
+                    self._h = HashEmbedder(384)
+
+                dimensions = 384
+                identity = "mcp-text-space"
+
+                def embed_text(self, text):
+                    return self._h.embed(text)
+
+                def embed_image(self, image):
+                    return self._h.embed(f"image:{image}")
+
+            self._photo = PhotoRAGOrchestrator(self._photo_store, embedder=_TextSpaceEmbedder())
+        return self._photo
 
     # ------------------------------------------------------------------ dispatch ----
     def tools(self) -> list[dict]:
-        tools = list(_TOOLS)
+        tools = list(_TOOLS) + list(_MULTIMODAL_TOOLS)
         if self.structured_enabled:
             tools += _STRUCTURED_TOOLS
         return tools
@@ -268,6 +378,82 @@ class McpServer:
             return {"found": False}
         meta, content = got
         return {"found": True, "frame_id": meta.frame_id, "timestamp_ms": meta.timestamp_ms, "content": content}
+
+    def _tool_wax_video_ingest(self, a):
+        from wax_tpu.multimodal.protocols import TranscriptSpan
+
+        spans = [TranscriptSpan(s["start_ms"], s["end_ms"], s["text"]) for s in a["transcript"]]
+
+        class _Inline:
+            def transcript(self, ref):
+                return spans
+
+        res = self._video_rag().ingest(
+            a["video_id"], int(a["duration_ms"]), _Inline(), a.get("keyframe_refs")
+        )
+        return {
+            "root_frame": res.root_frame,
+            "segment_frames": list(res.segment_frames),
+            "skipped_duplicate": res.skipped_duplicate,
+        }
+
+    def _tool_wax_video_recall(self, a):
+        hits = self._video_rag().recall(a["query"], a.get("top_k", 8))
+        return {
+            "hits": [
+                {
+                    "video_id": h.video_id,
+                    "segment_index": h.segment_index,
+                    "start_ms": h.start_ms,
+                    "end_ms": h.end_ms,
+                    "score": h.score,
+                    "text": h.text,
+                    "keyframe_ref": h.keyframe_ref,
+                }
+                for h in hits
+            ]
+        }
+
+    def _tool_wax_photo_ingest(self, a):
+        gps = tuple(a["gps"]) if a.get("gps") else None
+        res = self._photo_rag().ingest(
+            a["asset_id"],
+            image=a.get("thumbnail_ref", a["asset_id"]),
+            taken_at_ms=a.get("taken_at_ms"),
+            gps=gps,
+            thumbnail_ref=a.get("thumbnail_ref"),
+            caption_text=a.get("caption"),
+            ocr_texts=a.get("ocr_texts"),
+        )
+        return {
+            "root_frame": res.root_frame,
+            "caption_frame": res.caption_frame,
+            "ocr_frames": list(res.ocr_frames),
+            "skipped_duplicate": res.skipped_duplicate,
+        }
+
+    def _tool_wax_photo_recall(self, a):
+        from wax_tpu.types import TimeRange
+
+        tr = None
+        if a.get("after_ms") is not None or a.get("before_ms") is not None:
+            tr = TimeRange(a.get("after_ms"), a.get("before_ms"))
+        near = tuple(a["near"]) if a.get("near") else None
+        hits = self._photo_rag().recall(a["query"], a.get("top_k", 8), time_range=tr, near=near)
+        return {
+            "hits": [
+                {
+                    "asset_id": h.asset_id,
+                    "score": h.score,
+                    "kind": h.kind,
+                    "text": h.text,
+                    "taken_at_ms": h.taken_at_ms,
+                    "gps": h.gps,
+                    "thumbnail_ref": h.thumbnail_ref,
+                }
+                for h in hits
+            ]
+        }
 
     def _tool_wax_entity_upsert(self, a):
         self._check_structured()
@@ -354,6 +540,16 @@ class McpServer:
                 "error": {"code": -32603, "message": f"{type(e).__name__}: {e}"},
             }
 
+    def close(self) -> None:
+        for sub in (self._video, self._photo):
+            if sub is not None:
+                try:
+                    sub.flush()
+                except Exception:  # noqa: BLE001
+                    pass
+                sub.close()
+        self.orch.close()
+
     def serve_stdio(self, stdin=None, stdout=None) -> None:
         stdin = stdin or sys.stdin
         stdout = stdout or sys.stdout
@@ -398,7 +594,7 @@ def main() -> None:
             server.orch.flush()
         except Exception:  # noqa: BLE001
             pass
-        server.orch.close()
+        server.close()
 
 
 if __name__ == "__main__":
