@@ -8,6 +8,7 @@ requirement, scheduled live-set rewrite policy).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from typing import Callable
 
 from wax_tpu.rag.config import FastRAGConfig
 from wax_tpu.storage.store import StoreOptions
@@ -43,3 +44,6 @@ class OrchestratorConfig:
     store: StoreOptions = field(default_factory=StoreOptions)
     rag: FastRAGConfig = field(default_factory=FastRAGConfig)
     rewrite_schedule: RewriteSchedule = field(default_factory=RewriteSchedule)
+    # injectable clock (ms) for deterministic replay/tests (reference:
+    # TimestampOverrideTests / deterministicNowMs); None = wall clock
+    clock_ms: Callable[[], int] | None = None

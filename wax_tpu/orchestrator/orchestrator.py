@@ -122,6 +122,7 @@ class MemoryOrchestrator:
         self.config = config
         self.path = Path(path)
         self._lock = threading.RLock()
+        self._now = config.clock_ms if config.clock_ms is not None else now_ms
         embedder = embedder if embedder is not None else HashEmbedder()
         validate_on_device(embedder, config.require_on_device_providers)
         self.memoizer = EmbeddingMemoizer(embedder, config.embedding_cache_capacity)
@@ -212,7 +213,7 @@ class MemoryOrchestrator:
     ) -> RememberResult:
         """Ingest one document: chunk -> batched embeddings -> frames + indexes
         (reference: MemoryOrchestrator.remember :229-402)."""
-        ts = timestamp_ms if timestamp_ms is not None else now_ms()
+        ts = timestamp_ms if timestamp_ms is not None else self._now()
         tags = tuple(tags)
         if self.session_id:
             tags = tags + (f"session:{self.session_id}",)
@@ -307,7 +308,7 @@ class MemoryOrchestrator:
     def recall(self, query: str, top_k: int | None = None) -> RAGContext:
         ctx = self.rag_builder.build(query, top_k)
         if self.config.enable_access_stats and ctx.items:
-            self.access_stats.record_batch([i.frame_id for i in ctx.items], now_ms())
+            self.access_stats.record_batch([i.frame_id for i in ctx.items], self._now())
         return ctx
 
     @_synchronized
@@ -316,7 +317,7 @@ class MemoryOrchestrator:
             request = SearchRequest(query=request, top_k=top_k)
         resp = unified_search(self.engine, request)
         if self.config.enable_access_stats and resp.hits:
-            self.access_stats.record_batch([h.frame_id for h in resp.hits], now_ms())
+            self.access_stats.record_batch([h.frame_id for h in resp.hits], self._now())
         return resp
 
     @_synchronized
@@ -337,7 +338,7 @@ class MemoryOrchestrator:
         return self.store.put(
             content,
             kind=HANDOFF_KIND,
-            timestamp_ms=now_ms(),
+            timestamp_ms=self._now(),
             metadata=dict(metadata or {}),
             tags=(f"session:{self.session_id}",) if self.session_id else (),
         )
