@@ -17,7 +17,7 @@ from pathlib import Path
 __all__ = ["load_library", "native_available"]
 
 _SRC_DIR = Path(__file__).parent
-_SOURCES = ["hnsw.cpp"]
+_SOURCES = ["hnsw.cpp", "lz4.cpp"]
 _LIB_BASENAME = "libwaxnative"
 
 _loaded: ctypes.CDLL | None = None
@@ -81,6 +81,12 @@ def native_available() -> bool:
 
 def _configure(lib: ctypes.CDLL) -> None:
     c = ctypes
+    lib.wax_lz4_bound.restype = c.c_int64
+    lib.wax_lz4_bound.argtypes = [c.c_int64]
+    lib.wax_lz4_compress.restype = c.c_int64
+    lib.wax_lz4_compress.argtypes = [c.c_char_p, c.c_int64, c.POINTER(c.c_uint8), c.c_int64]
+    lib.wax_lz4_decompress.restype = c.c_int64
+    lib.wax_lz4_decompress.argtypes = [c.c_char_p, c.c_int64, c.POINTER(c.c_uint8), c.c_int64]
     lib.wax_hnsw_create.restype = c.c_void_p
     lib.wax_hnsw_create.argtypes = [c.c_int, c.c_int, c.c_int, c.c_uint64, c.c_int]
     lib.wax_hnsw_free.argtypes = [c.c_void_p]

@@ -21,11 +21,12 @@ from __future__ import annotations
 
 import os
 import signal
-import zlib
 from dataclasses import dataclass, field, replace
 from pathlib import Path
 
 import numpy as np
+
+from wax_tpu.storage.compression import ENC_RAW, ENC_ZLIB, compress, decompress
 
 from wax_tpu.storage.codec import BinaryDecoder, CodecError
 from wax_tpu.storage.fdfile import FDFile, FileLock
@@ -56,9 +57,6 @@ from wax_tpu.storage.wal import (
 from wax_tpu.types import FrameMeta, FrameStatus, TimeRange, now_ms
 
 __all__ = ["WaxStore", "StoreOptions", "StoreError", "StaleIndexError", "CrashCheckpoint"]
-
-ENC_RAW = 0
-ENC_ZLIB = 1
 
 
 class StoreError(Exception):
@@ -94,6 +92,7 @@ class StoreOptions:
     wal_size: int = DEFAULT_WAL_SIZE
     fsync_on_append: bool = False
     compress_payloads: bool = True
+    compression: str = "zlib"  # "zlib" | "lz4" (native) | "none"
     auto_commit_fill: float = 0.8
     enable_replay_snapshot: bool = True
 
@@ -333,7 +332,7 @@ class WaxStore:
         raw = self.fd.pread_exact(off, ln)
         if sha256(raw) != sha:
             raise StoreError(f"payload checksum mismatch for frame {frame_id}")
-        return zlib.decompress(raw) if enc == ENC_ZLIB else raw
+        return decompress(raw, enc)
 
     def frame_contents(self, frame_ids: list[int]) -> dict[int, bytes]:
         return {fid: c for fid in frame_ids if (c := self.frame_content(fid)) is not None}
@@ -377,11 +376,10 @@ class WaxStore:
             raise StoreError("store closed")
 
     def _encode_payload(self, content: bytes) -> tuple[bytes, int]:
-        if self.options.compress_payloads and len(content) > 64:
-            z = zlib.compress(content, 6)
-            if len(z) < len(content):  # store-smaller-only (reference Wax.swift:771-782)
-                return z, ENC_ZLIB
-        return content, ENC_RAW
+        # store-smaller-only policy (reference Wax.swift:771-782)
+        if not self.options.compress_payloads:
+            return content, ENC_RAW
+        return compress(content, self.options.compression)
 
     def _append_payload(self, payload: bytes) -> int:
         off = self.data_end
