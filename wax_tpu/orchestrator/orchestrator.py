@@ -149,10 +149,20 @@ class MemoryOrchestrator:
         self._access_stats_frame: int | None = None
         self.session_id: str | None = None
         self._flush_count = 0
+        self._maintainer = None
         self._load_committed_state()
         self.rag_builder = FastRAGContextBuilder(
             self.engine, config.rag, self.counter, self.access_stats
         )
+
+    @property
+    def maintainer(self):
+        """Lazy maintenance facade (surrogates, compaction, live-set rewrite)."""
+        if self._maintainer is None:
+            from wax_tpu.orchestrator.maintenance import Maintainer
+
+            self._maintainer = Maintainer(self)
+        return self._maintainer
 
     # ------------------------------------------------------------------- open/load ----
     def _load_committed_state(self) -> None:
@@ -410,6 +420,9 @@ class MemoryOrchestrator:
             self.store.stage_index("structured", self.structured.serialize(), self.structured.stats_attrs())
         gen = self.store.commit()
         self._flush_count += 1
+        if self.config.rewrite_schedule.enabled:
+            self.maintainer.note_flush()
+            self.maintainer.maybe_scheduled_rewrite()
         return gen
 
     def close(self) -> None:
