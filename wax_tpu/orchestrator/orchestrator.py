@@ -118,9 +118,13 @@ class MemoryOrchestrator:
         path: str | Path,
         embedder=None,
         config: OrchestratorConfig = OrchestratorConfig(),
+        readonly: bool = False,
     ):
+        """`readonly=True` opens with a shared lease: searches/recall work, any
+        mutation raises (reference: WaxSession read-only mode, WaxSession.swift:50-74)."""
         self.config = config
         self.path = Path(path)
+        self.readonly = readonly
         self._lock = threading.RLock()
         self._now = config.clock_ms if config.clock_ms is not None else now_ms
         embedder = embedder if embedder is not None else HashEmbedder()
@@ -129,7 +133,9 @@ class MemoryOrchestrator:
         self.counter = TokenCounter()
 
         if self.path.exists() and self.path.stat().st_size > 0:
-            self.store = WaxStore.open(self.path, config.store)
+            self.store = WaxStore.open(self.path, config.store, readonly=readonly)
+        elif readonly:
+            raise StoreError(f"{self.path} does not exist (read-only open)")
         else:
             self.store = WaxStore.create(self.path, config.store)
 
@@ -210,6 +216,10 @@ class MemoryOrchestrator:
                         self.access_stats = AccessStats.from_json(raw.decode("utf-8"))
                     self._access_stats_frame = fid
                     break
+
+    def _check_writable(self) -> None:
+        if self.readonly:
+            raise StoreError("orchestrator opened read-only")
 
     # -------------------------------------------------------------------- remember ----
     @_synchronized
