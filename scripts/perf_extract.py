@@ -1,5 +1,4 @@
-"""Kernel extraction-cost study: K sweep + chunked-extraction prototype, one process,
-raw times printed so linearity can be verified by eye."""
+"""Extraction-cost study v2 (value-fetch sync): K sweep + dtype, one process."""
 import functools
 import time
 
@@ -22,11 +21,11 @@ def make_data():
     return emb, q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)
 
 
-emb, q0 = jax.block_until_ready(make_data())
+emb32, q32 = jax.block_until_ready(make_data())
 bias = jnp.zeros((1, N), jnp.float32)
 
 
-def current_kernel(K):
+def make_kernel(K):
     def kernel(q_ref, db_ref, b_ref, v_ref, i_ref):
         j = pl.program_id(1)
         s = jax.lax.dot_general(q_ref[:], db_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
@@ -53,57 +52,9 @@ def current_kernel(K):
     return kernel
 
 
-def chunked_kernel(K):
-    """Chunked extraction: maintain per-128-lane-chunk maxima; per step only the
-    winning chunk is re-scanned. Full-tile passes per step: 1 select + 1 mask."""
-    C = TN // 128
-
-    def kernel(q_ref, db_ref, b_ref, v_ref, i_ref):
-        j = pl.program_id(1)
-        s = jax.lax.dot_general(q_ref[:], db_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        s = s + b_ref[:]
-        tb = s.shape[0]
-        s3 = s.reshape(tb, C, 128)
-        cm = jnp.max(s3, axis=2)  # [tb, C]
-        chunk_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, C), 1)
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, (tb, 128), 1)
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (tb, 128), 1)
-
-        def body(t, carry):
-            s3, cm, vals, idxs = carry
-            m = jnp.max(cm, axis=1, keepdims=True)  # [tb, 1]
-            amc = jnp.min(jnp.where(cm == m, chunk_ids, C), axis=1, keepdims=True)  # [tb,1]
-            # select winning chunk per row: [tb, 128]
-            onehot = (chunk_ids == amc)[..., None]  # [tb, C, 1]
-            srow = jnp.sum(jnp.where(onehot, s3, NEG_INF), axis=1, where=onehot, initial=NEG_INF)
-            aml = jnp.min(jnp.where(srow == m, lane128, 128), axis=1, keepdims=True)  # [tb,1]
-            gcol = amc * 128 + aml
-            sel = lanes == t
-            vals = jnp.where(sel, m, vals)
-            idxs = jnp.where(sel, gcol + j * TN, idxs)
-            # mask extracted element and refresh that chunk's max
-            srow2 = jnp.where(lane128 == aml, NEG_INF, srow)
-            s3 = jnp.where(onehot & (lane128 == aml)[:, None, :], NEG_INF, s3)
-            new_cmax = jnp.max(srow2, axis=1, keepdims=True)
-            cm = jnp.where(chunk_ids == amc, new_cmax, cm)
-            return s3, cm, vals, idxs
-
-        init = (
-            s3,
-            cm,
-            jnp.full((tb, 128), NEG_INF, jnp.float32),
-            jnp.full((tb, 128), -1, jnp.int32),
-        )
-        _, _, vals, idxs = jax.lax.fori_loop(0, K, body, init)
-        v_ref[:] = vals
-        i_ref[:] = idxs
-
-    return kernel
-
-
-def build(kern_factory, K):
+def build(K, dtype):
     nn = N // TN
-    kern = kern_factory(K)
+    kern = make_kernel(K)
 
     def scan(q, emb, bias):
         vals, idxs = pl.pallas_call(
@@ -124,7 +75,7 @@ def build(kern_factory, K):
             ],
             cost_estimate=pl.CostEstimate(flops=2 * B * N * D, bytes_accessed=(B * D + N * D) * 4, transcendentals=0),
         )(q, emb, bias)
-        mv, mi = jax.lax.top_k(vals.reshape(B, nn, 128)[:, :, :K].reshape(B, -1), K)
+        mv, _ = jax.lax.top_k(vals.reshape(B, nn, 128)[:, :, :K].reshape(B, -1), K)
         return mv
 
     @jax.jit
@@ -132,48 +83,29 @@ def build(kern_factory, K):
         def body(i, carry):
             q, acc = carry
             v = scan(q, emb, bias)
-            return q + v[:, :1] * 1e-9, acc + v[0, 0]
+            return q + (v[:, :1] * 1e-9).astype(q.dtype), acc + v[0, 0]
 
         return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
 
-    return chained, scan
+    return chained
 
 
-def measure(name, chained):
-    times = {}
+def measure(name, chained, q0, emb):
+    float(chained(q0, 1, emb, bias))
     rep = [0]
 
     def t(iters):
         rep[0] += 1
         qq = q0 * (1.0 + 1e-6 * rep[0])
-        best = 1e9
-        for _ in range(2):
-            t0 = time.perf_counter()
-            chained(qq, iters, emb, bias).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        return best
+        t0 = time.perf_counter()
+        float(chained(qq, iters, emb, bias))
+        return time.perf_counter() - t0
 
-    chained(q0, 1, emb, bias).block_until_ready()
-    for iters in (100, 400, 800):
-        times[iters] = t(iters)
-    slope = (times[800] - times[100]) / 700
-    print(
-        f"{name}: raw {times[100]*1e3:.1f}/{times[400]*1e3:.1f}/{times[800]*1e3:.1f} ms "
-        f"-> {slope*1e6:.1f} us/batch",
-        flush=True,
-    )
+    lo, hi = t(500), t(4000)
+    print(f"{name}: {((hi - lo) / 3500) * 1e6:.1f} us/batch  (raw {lo*1e3:.0f}/{hi*1e3:.0f} ms)", flush=True)
 
 
-# correctness of chunked vs current (CPU-free: compare on device)
-ch_cur, scan_cur = build(current_kernel, 10)
-ch_chk, scan_chk = build(chunked_kernel, 10)
-v1 = jax.jit(lambda q: scan_cur(q, emb, bias))(q0)
-v2 = jax.jit(lambda q: scan_chk(q, emb, bias))(q0)
-print("chunked matches current:", bool(jnp.allclose(v1, v2, atol=1e-5)), flush=True)
-
-for K in (1, 10, 32):
-    c, _ = build(current_kernel, K)
-    measure(f"current K={K}", c)
-for K in (10, 32):
-    c, _ = build(chunked_kernel, K)
-    measure(f"chunked K={K}", c)
+for K in (1, 5, 10):
+    measure(f"f32 K={K}", build(K, jnp.float32), q32, emb32)
+emb16, q16 = emb32.astype(jnp.bfloat16), q32.astype(jnp.bfloat16)
+measure("bf16 K=10", build(10, jnp.bfloat16), q16, emb16)
