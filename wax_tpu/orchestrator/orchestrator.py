@@ -130,6 +130,8 @@ class MemoryOrchestrator:
         embedder = embedder if embedder is not None else HashEmbedder()
         validate_on_device(embedder, config.require_on_device_providers)
         self.memoizer = EmbeddingMemoizer(embedder, config.embedding_cache_capacity)
+        # constructing the counter here prewarms the BPE vocab during open, the
+        # analogue of the reference's tokenizer preload overlap (:141-154)
         self.counter = TokenCounter()
 
         if self.path.exists() and self.path.stat().st_size > 0:
