@@ -475,11 +475,20 @@ class WaxStore:
     # -------------------------------------------------------------------- staging ----
     def stage_index(self, kind: str, blob: bytes, attrs: dict[str, str] | None = None) -> None:
         """Stage an index segment for the next commit (reference:
-        stageLexIndexForNextCommit :1248 / stageVecIndexForNextCommit :1294)."""
+        stageLexIndexForNextCommit :1248 / stageVecIndexForNextCommit :1294).
+
+        Staging a blob identical to the committed segment is a no-op for the data
+        region — the commit reuses the existing manifest. This bounds file growth on
+        repeated unchanged commits (the reference shipped exactly this fix: unchanged
+        index compaction grew the file ~7.7 MB/run before, README:158)."""
         self._check_writable()
-        self._staged[kind] = (blob, dict(attrs or {}))
         if kind == "vec":
             self._staged_vec_covers_seq = self.wal.stats.last_seq
+        current = self.toc.manifests.get(kind)
+        if current is not None and current.length == len(blob) and current.sha == sha256(blob):
+            self._staged.pop(kind, None)  # keep the committed segment as-is
+            return
+        self._staged[kind] = (blob, dict(attrs or {}))
 
     def pending_embeddings(self) -> list[tuple[int, np.ndarray]]:
         return [(fid, vec) for _, fid, vec in self._pending_embeddings]
@@ -491,7 +500,7 @@ class WaxStore:
         uncovered = [
             (seq, fid, vec)
             for seq, fid, vec in self._pending_embeddings
-            if "vec" not in self._staged or seq > self._staged_vec_covers_seq
+            if seq > self._staged_vec_covers_seq
         ]
         if uncovered and not allow_pending_embeddings:
             raise StaleIndexError(
