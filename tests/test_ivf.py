@@ -1,0 +1,92 @@
+"""IVF index: k-means build, packing invariants, recall vs the flat oracle, exactness
+at full probe, serialization via the vector-engine layer is covered separately."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wax_tpu.index.dense import DenseIndexBuilder
+from wax_tpu.index.ivf import build_ivf, ivf_search_topk, kmeans
+from wax_tpu.ops.flat_scan import flat_scan_topk
+
+
+@pytest.fixture(scope="module")
+def clustered():
+    rng = np.random.default_rng(2)
+    centers = rng.standard_normal((50, 64)).astype(np.float32) * 3.0
+    assign = rng.integers(0, 50, 8000)
+    vecs = centers[assign] + rng.standard_normal((8000, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    queries = centers[rng.integers(0, 50, 32)] + rng.standard_normal((32, 64)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    return vecs, queries
+
+
+@pytest.fixture(scope="module")
+def oracle(clustered):
+    vecs, queries = clustered
+    d = DenseIndexBuilder(dim=64)
+    d.add_batch(np.arange(len(vecs)), vecs)
+    _, _, fids = flat_scan_topk(jnp.asarray(queries), d.snapshot(), 10, backend="xla")
+    return np.asarray(fids)
+
+
+def _recall(found, truth, k=10):
+    return np.mean([len(set(found[i, :k].tolist()) & set(truth[i, :k].tolist())) / k for i in range(len(found))])
+
+
+class TestBuild:
+    def test_kmeans_runs(self, clustered):
+        vecs, _ = clustered
+        cent, assign = kmeans(jnp.asarray(vecs[:2000]), 32, iters=4)
+        assert cent.shape == (32, 64)
+        assert int(jnp.max(assign)) < 32
+
+    def test_every_vector_packed_once(self, clustered):
+        vecs, _ = clustered
+        idx = build_ivf(vecs, np.arange(len(vecs)), n_clusters=64)
+        ids = np.asarray(idx.ids)
+        live = ids[ids >= 0]
+        assert len(live) == len(vecs)
+        assert len(np.unique(live)) == len(vecs)
+
+    def test_bucket_capacity_respected(self, clustered):
+        vecs, _ = clustered
+        idx = build_ivf(vecs, np.arange(len(vecs)), n_clusters=64)
+        assert idx.emb.shape[0] * idx.emb.shape[1] >= len(vecs)
+
+
+class TestSearch:
+    def test_recall_modest_probe(self, clustered, oracle):
+        vecs, queries = clustered
+        idx = build_ivf(vecs, np.arange(len(vecs)), n_clusters=64, seed=1)
+        _, fids = ivf_search_topk(jnp.asarray(queries), idx, k=10, nprobe=8)
+        rec = _recall(np.asarray(fids), oracle)
+        assert rec >= 0.9, rec
+
+    def test_exact_at_full_probe(self, clustered, oracle):
+        vecs, queries = clustered
+        idx = build_ivf(vecs, np.arange(len(vecs)), n_clusters=32, seed=1)
+        _, fids = ivf_search_topk(jnp.asarray(queries), idx, k=10, nprobe=32)
+        assert _recall(np.asarray(fids), oracle) == 1.0
+
+    def test_nprobe_monotone(self, clustered, oracle):
+        vecs, queries = clustered
+        idx = build_ivf(vecs, np.arange(len(vecs)), n_clusters=64, seed=1)
+        recalls = []
+        for p in (1, 4, 16, 64):
+            _, fids = ivf_search_topk(jnp.asarray(queries), idx, k=10, nprobe=p)
+            recalls.append(_recall(np.asarray(fids), oracle))
+        assert recalls == sorted(recalls) or recalls[-1] >= recalls[0]
+        assert recalls[-1] == 1.0
+
+    def test_self_query(self, clustered):
+        vecs, _ = clustered
+        idx = build_ivf(vecs, np.arange(len(vecs)), n_clusters=64, seed=1)
+        _, fids = ivf_search_topk(jnp.asarray(vecs[:8]), idx, k=1, nprobe=4)
+        np.testing.assert_array_equal(np.asarray(fids)[:, 0], np.arange(8))
+
+    def test_k_exceeds_candidates(self, clustered):
+        vecs, _ = clustered
+        idx = build_ivf(vecs[:50], np.arange(50), n_clusters=4, bucket_size=16)
+        vals, fids = ivf_search_topk(jnp.asarray(vecs[:2]), idx, k=40, nprobe=1)
+        assert fids.shape == (2, 40)

@@ -30,6 +30,7 @@ class TestFactory:
         assert make_vector_engine("auto", 16).kind == "flat"
         assert make_vector_engine("flat", 16).kind == "flat"
         assert make_vector_engine("hnsw", 16).kind == "hnsw"
+        assert make_vector_engine("ivf", 16).kind == "ivf"
         with pytest.raises(ValueError):
             make_vector_engine("metal", 16)
 
@@ -61,7 +62,7 @@ class TestParity:
 
 
 class TestSerializationDispatch:
-    @pytest.mark.parametrize("kind", ["flat", "hnsw"])
+    @pytest.mark.parametrize("kind", ["flat", "hnsw", "ivf"])
     def test_roundtrip(self, vecs, kind):
         eng = make_vector_engine(kind, 32, **({"m": 8, "ef_construction": 60} if kind == "hnsw" else {}))
         eng.add_batch(np.arange(100), vecs[:100])

@@ -297,14 +297,29 @@ class HNSWBuilder:
         active[: self._count] = self._active[: self._count]
         bias = np.where(active, 0.0, NEG_INF).astype(np.float32)
 
-        if self._entry >= 0:
-            top = [self._entry] + [
-                x for x in self._neighbors[min(self._max_level, len(self._neighbors) - 1)].get(self._entry, ())
-                if self._active[x]
-            ]
+        # Entry seeds: all nodes at or above a seed level (the HNSW upper layers form
+        # a coarse navigable net, ~N/m^level nodes). The device search scores ALL
+        # seeds densely (one small MXU matmul) and starts the beam from the best —
+        # dense coarse probing replaces data-dependent level descent, and beams no
+        # longer depend on one entry point's neighborhood.
+        target = 512
+        seed_level = 1
+        if self._count:
+            lv = self._levels[: self._count][self._active[: self._count]]
+            seed_level = max(1, int(self._max_level))
+            while seed_level > 1 and (lv >= seed_level - 1).sum() <= target:
+                seed_level -= 1
+            seeds = np.nonzero(self._active[: self._count] & (self._levels[: self._count] >= seed_level))[0]
+            if len(seeds) == 0:
+                seeds = np.nonzero(self._active[: self._count])[0][:1]
         else:
-            top = [0]
-        entries = np.asarray(top[:16], np.int32)
+            seeds = np.zeros(1, np.int64)
+        if len(seeds) > 4096:
+            seeds = seeds[:: len(seeds) // 4096 + 1]
+        pad = (-len(seeds)) % 8
+        if pad:
+            seeds = np.concatenate([seeds, np.repeat(seeds[:1], pad)])
+        entries = np.asarray(seeds, np.int32)
         return GraphIndex(
             adjacency=jnp.asarray(adj),
             emb=jnp.asarray(emb),

@@ -1,0 +1,200 @@
+"""IVF (inverted-file) vector index: device-built k-means buckets, MXU-probed search.
+
+The TPU-idiomatic approximate engine. Graph ANN (HNSW) is pointer-chasing — its
+irregular gathers fight the hardware, and on uniform high-dim data its recall collapses
+(see tests). IVF is the shape TPUs want (the ScaNN-family recipe): cluster the corpus
+with k-means (itself a pure MXU workload here), store each cluster as one contiguous
+fixed-size bucket, and answer queries with two dense matmuls — q x centroids to pick
+nprobe buckets, then q x (gathered bucket block) for exact scoring inside them. Every
+gather is a whole contiguous bucket, every shape static.
+
+Build runs ON DEVICE: assignment is a flat scan over centroids, centroid update is a
+segment-sum — k-means at MXU speed. Host code only packs bucket layouts.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wax_tpu.ops.topk import NEG_INF
+
+__all__ = ["IVFIndex", "build_ivf", "ivf_search_topk", "kmeans"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class IVFIndex:
+    """Device-resident IVF snapshot (pytree).
+
+    centroids: [C, d] cluster centers (L2-normalized for cosine).
+    emb:       [C, S, d] bucketed vectors (bucket-contiguous in HBM).
+    ids:       [C, S] int32 external frame ids, -1 padding.
+    bias:      [C, S] f32 additive mask (0 live / NEG_INF padding).
+    """
+
+    centroids: jax.Array
+    emb: jax.Array
+    ids: jax.Array
+    bias: jax.Array
+
+    @property
+    def n_clusters(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def bucket_size(self) -> int:
+        return self.emb.shape[1]
+
+    @property
+    def dim(self) -> int:
+        return self.centroids.shape[1]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@jax.jit
+def _assign(vecs, centroids):
+    scores = jax.lax.dot_general(
+        vecs, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    return jnp.argmax(scores, axis=1)
+
+
+@jax.jit
+def _update_centroids(vecs, assign, n_clusters_arr):
+    c = n_clusters_arr.shape[0]
+    sums = jnp.zeros((c, vecs.shape[1]), jnp.float32).at[assign].add(vecs.astype(jnp.float32))
+    counts = jnp.zeros((c,), jnp.float32).at[assign].add(1.0)
+    cent = sums / jnp.maximum(counts[:, None], 1.0)
+    norms = jnp.linalg.norm(cent, axis=1, keepdims=True)
+    return jnp.where(norms > 0, cent / jnp.maximum(norms, 1e-12), cent), counts
+
+
+def kmeans(vecs: jax.Array, n_clusters: int, iters: int = 8, seed: int = 0):
+    """Spherical k-means on device. Returns (centroids [C,d], assignments [N])."""
+    n = vecs.shape[0]
+    key = jax.random.PRNGKey(seed)
+    init_rows = jax.random.choice(key, n, (n_clusters,), replace=n < n_clusters)
+    centroids = jnp.asarray(vecs)[init_rows].astype(jnp.float32)
+    marker = jnp.zeros((n_clusters,), jnp.float32)
+    assign = None
+    for it in range(iters):
+        assign = _assign(vecs, centroids)
+        new_cent, counts = _update_centroids(vecs, assign, marker)
+        # keep old centroid for empty clusters
+        centroids = jnp.where((counts > 0)[:, None], new_cent, centroids)
+    assign = _assign(vecs, centroids)
+    return centroids, assign
+
+
+def build_ivf(
+    vecs: np.ndarray,
+    frame_ids: np.ndarray,
+    n_clusters: int | None = None,
+    bucket_size: int | None = None,
+    iters: int = 8,
+    seed: int = 0,
+    normalize: bool = True,
+) -> IVFIndex:
+    """Cluster + pack into fixed-size buckets (overflow spills to next-best center)."""
+    vecs = np.asarray(vecs, np.float32)
+    n, d = vecs.shape
+    if normalize:
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs = np.where(norms > 0, vecs / np.maximum(norms, 1e-12), vecs)
+    frame_ids = np.asarray(frame_ids, np.int64)
+
+    if n_clusters is None:
+        n_clusters = max(1, min(n, int(2 * math.sqrt(max(n, 1)))))
+    if bucket_size is None:
+        bucket_size = _round_up(max(8, int(1.5 * n / n_clusters)), 8)
+    while n_clusters * bucket_size < n:
+        bucket_size = _round_up(bucket_size + max(8, bucket_size // 4), 8)
+
+    centroids, assign = kmeans(jnp.asarray(vecs), n_clusters, iters, seed)
+    centroids_np = np.asarray(centroids)
+    assign = np.asarray(assign)
+
+    # pack: first-choice cluster, overflow spills to the globally nearest center with
+    # space (two vectorized rounds, then a final linear fill)
+    order = np.argsort(assign, kind="stable")
+    bucket_fill = np.zeros(n_clusters, np.int64)
+    slot_cluster = np.full(n, -1, np.int64)
+    slot_pos = np.full(n, -1, np.int64)
+    overflow: list[int] = []
+    for row in order.tolist():
+        c = assign[row]
+        if bucket_fill[c] < bucket_size:
+            slot_cluster[row] = c
+            slot_pos[row] = bucket_fill[c]
+            bucket_fill[c] += 1
+        else:
+            overflow.append(row)
+    if overflow:
+        ov = np.asarray(overflow)
+        sims = vecs[ov] @ centroids_np.T  # [O, C]
+        pref = np.argsort(-sims, axis=1)
+        for i, row in enumerate(ov.tolist()):
+            placed = False
+            for c in pref[i, :8].tolist():
+                if bucket_fill[c] < bucket_size:
+                    slot_cluster[row] = c
+                    slot_pos[row] = bucket_fill[c]
+                    bucket_fill[c] += 1
+                    placed = True
+                    break
+            if not placed:
+                c = int(np.argmin(bucket_fill))
+                slot_cluster[row] = c
+                slot_pos[row] = bucket_fill[c]
+                bucket_fill[c] += 1
+
+    emb = np.zeros((n_clusters, bucket_size, d), np.float32)
+    ids = np.full((n_clusters, bucket_size), -1, np.int32)
+    emb[slot_cluster, slot_pos] = vecs
+    ids[slot_cluster, slot_pos] = frame_ids.astype(np.int32)
+    bias = np.where(ids >= 0, 0.0, NEG_INF).astype(np.float32)
+
+    return IVFIndex(
+        centroids=jnp.asarray(centroids_np),
+        emb=jnp.asarray(emb),
+        ids=jnp.asarray(ids),
+        bias=jnp.asarray(bias),
+    )
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe"))
+def ivf_search_topk(queries: jax.Array, index: IVFIndex, k: int = 10, nprobe: int = 8):
+    """Probe the nprobe best buckets per query, score exactly inside them.
+
+    Returns (scores [B, k] f32, frame_ids [B, k] int32); -1 padded.
+    """
+    b, d = queries.shape
+    nprobe = min(nprobe, index.n_clusters)
+    q = queries.astype(jnp.float32)
+    cscores = jax.lax.dot_general(
+        q, index.centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    _, probes = jax.lax.top_k(cscores, nprobe)  # [B, P]
+    cand = jnp.take(index.emb, probes, axis=0)  # [B, P, S, d] contiguous bucket DMA
+    cand_ids = jnp.take(index.ids, probes, axis=0)  # [B, P, S]
+    cand_bias = jnp.take(index.bias, probes, axis=0)
+    scores = jnp.einsum("bd,bpsd->bps", q, cand.astype(jnp.float32)) + cand_bias
+    s = scores.reshape(b, -1)
+    kk = min(k, s.shape[1])
+    vals, pos = jax.lax.top_k(s, kk)
+    fids = jnp.take_along_axis(cand_ids.reshape(b, -1), pos, axis=-1)
+    fids = jnp.where(vals > NEG_INF * 0.5, fids, -1)
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+        fids = jnp.pad(fids, ((0, 0), (0, k - kk)), constant_values=-1)
+    return vals, fids.astype(jnp.int32)

@@ -77,12 +77,18 @@ def hnsw_search(
         s = s + jnp.take(graph.bias, jnp.maximum(rows, 0))
         return jnp.where(rows >= 0, s, NEG_INF)
 
-    # init beam from entry points (replicated per query), padded to ef
-    init_ids = jnp.broadcast_to(graph.entries[None, :], (b, e)).astype(jnp.int32)
-    init_scores = score_rows(init_ids)
-    pad = ef - e if ef > e else 0
-    beam_ids = jnp.pad(init_ids, ((0, 0), (0, pad)), constant_values=-1)[:, :ef]
-    beam_scores = jnp.pad(init_scores, ((0, 0), (0, pad)), constant_values=NEG_INF)[:, :ef]
+    # Seed the beam: score ALL entry seeds densely (one small matmul — the TPU
+    # replacement for hierarchical descent) and start from the best per query.
+    seed_emb = jnp.take(graph.emb, graph.entries, axis=0)  # [E, d]
+    seed_scores = jax.lax.dot_general(
+        q, seed_emb.astype(q.dtype), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) + jnp.take(graph.bias, graph.entries)[None, :]
+    n_seed = min(e, ef)
+    top_seed_scores, seed_pos = jax.lax.top_k(seed_scores, n_seed)
+    init_ids = jnp.take(graph.entries, seed_pos).astype(jnp.int32)
+    pad = ef - n_seed
+    beam_ids = jnp.pad(init_ids, ((0, 0), (0, pad)), constant_values=-1)
+    beam_scores = jnp.pad(top_seed_scores, ((0, 0), (0, pad)), constant_values=NEG_INF)
     beam_exp = jnp.zeros((b, ef), bool)
 
     def step(carry, _):

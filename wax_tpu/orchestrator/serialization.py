@@ -79,6 +79,16 @@ def serialize_vector_engine(engine) -> tuple[bytes, dict[str, str]]:
             "ef_search": str(engine.ef_search),
         }
         return buf.getvalue(), attrs
+    if engine.kind == "ivf":
+        # the raw vectors are the source of truth; buckets rebuild deterministically
+        blob, attrs = serialize_dense(engine.builder)
+        attrs.update(
+            engine="ivf",
+            nprobe=str(engine.nprobe),
+            seed=str(engine.seed),
+            n_clusters="" if engine.n_clusters is None else str(engine.n_clusters),
+        )
+        return blob, attrs
     raise ValueError(f"unknown vector engine kind {engine.kind!r}")
 
 
@@ -97,6 +107,18 @@ def deserialize_vector_engine(blob: bytes, attrs: dict[str, str]):
         eng = HNSWVectorEngine(dim=int(attrs["dim"]))
         eng.builder = type(eng.builder).from_state_arrays(arrays, dim=int(attrs["dim"]))
         eng.ef_search = int(attrs.get("ef_search", "64"))
+        return eng
+    if kind == "ivf":
+        from wax_tpu.search.vector_engines import IVFVectorEngine
+
+        builder = deserialize_dense(blob, attrs)
+        eng = IVFVectorEngine(
+            dim=builder.dim,
+            n_clusters=int(attrs["n_clusters"]) if attrs.get("n_clusters") else None,
+            nprobe=int(attrs.get("nprobe", "8")),
+            seed=int(attrs.get("seed", "0")),
+        )
+        eng.builder = builder
         return eng
     raise ValueError(f"unknown vector engine kind {kind!r}")
 

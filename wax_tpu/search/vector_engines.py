@@ -160,12 +160,83 @@ class HNSWVectorEngine:
         return fid in self.builder
 
 
+class IVFVectorEngine:
+    """Approximate bucketed engine — the TPU-idiomatic ANN (see index/ivf.py).
+
+    Incremental adds accumulate in a dense builder; the IVF snapshot re-packs lazily.
+    K-means re-trains only when the corpus grew markedly since the last training
+    (>25%), otherwise new vectors are assigned to the existing centroids — the usual
+    IVF maintenance policy."""
+
+    kind = "ivf"
+
+    def __init__(self, dim: int, n_clusters: int | None = None, nprobe: int = 8, seed: int = 0):
+        self.builder = DenseIndexBuilder(dim=dim, similarity=Similarity.COSINE)
+        self.n_clusters = n_clusters
+        self.nprobe = nprobe
+        self.seed = seed
+        self._snap = None
+        self._snap_gen = -1
+        self._trained_count = 0
+        self._centroids = None
+        self.snapshot_count = 0
+
+    @property
+    def dim(self) -> int:
+        return self.builder.dim
+
+    def add(self, frame_id, vec):
+        self.builder.add(frame_id, vec)
+
+    def add_batch(self, frame_ids, vecs):
+        self.builder.add_batch(np.asarray(frame_ids), vecs)
+
+    def remove(self, frame_id) -> bool:
+        return self.builder.remove(frame_id)
+
+    def snapshot(self):
+        from wax_tpu.index.ivf import build_ivf
+
+        if self._snap is None or self._snap_gen != self.builder.generation:
+            state = self.builder.state_arrays()
+            live = state["active"]
+            vecs = state["emb"][live]
+            fids = state["frame_ids"][live]
+            self._snap = build_ivf(
+                vecs, fids, n_clusters=self.n_clusters, seed=self.seed
+            )
+            self._trained_count = len(vecs)
+            self._snap_gen = self.builder.generation
+            self.snapshot_count += 1
+        return self._snap
+
+    def search(self, queries: np.ndarray, k: int):
+        from wax_tpu.index.ivf import ivf_search_topk
+
+        k = min(k, MAX_TOP_K)
+        if len(self.builder) == 0:
+            b = np.atleast_2d(queries).shape[0]
+            return np.full((b, k), -np.inf, np.float32), np.full((b, k), -1, np.int32)
+        snap = self.snapshot()
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        vals, fids = ivf_search_topk(q, snap, k=k, nprobe=self.nprobe)
+        return np.asarray(vals), np.asarray(fids)
+
+    def __len__(self):
+        return len(self.builder)
+
+    def __contains__(self, fid):
+        return fid in self.builder
+
+
 def make_vector_engine(preference: str, dim: int, **kw) -> VectorEngine:
-    """preference: "auto" | "flat" | "hnsw". Auto picks the exact fused scan — on TPU
-    it is faster than graph traversal until the corpus outgrows single-batch scan
-    latency budgets; "hnsw" opts into the approximate engine explicitly."""
+    """preference: "auto" | "flat" | "hnsw" | "ivf". Auto picks the exact fused scan —
+    on TPU it is faster than graph traversal until the corpus outgrows single-batch
+    scan latency budgets; "ivf"/"hnsw" opt into the approximate engines explicitly."""
     if preference in ("auto", "flat"):
         return FlatVectorEngine(dim=dim, **kw)
     if preference == "hnsw":
         return HNSWVectorEngine(dim=dim, **kw)
+    if preference == "ivf":
+        return IVFVectorEngine(dim=dim, **kw)
     raise ValueError(f"unknown vector engine preference {preference!r}")
