@@ -175,9 +175,12 @@ class HNSWBuilder:
                 continue
             lst.append(y)
             if len(lst) > cap:
+                # diversity-heuristic prune (plain most-similar severs long-range
+                # links and detaches cluster islands)
                 sims = self._sim(self._vecs[x], np.asarray(lst))
                 order = np.argsort(-sims)
-                neigh[x] = [lst[i] for i in order[:cap]]
+                scored = [(float(sims[i]), lst[i]) for i in order]
+                neigh[x] = self._select_neighbors(self._vecs[x], scored, cap)
 
     # -------------------------------------------------------------------- mutation ----
     def add(self, frame_id: int, vec: np.ndarray) -> None:

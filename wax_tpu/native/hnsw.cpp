@@ -156,14 +156,15 @@ struct Hnsw {
       if (std::find(lst.begin(), lst.end(), ys[t]) != lst.end()) continue;
       lst.push_back(ys[t]);
       if ((int)lst.size() > cap) {
+        // prune with the diversity heuristic, NOT plain most-similar: keeping only
+        // the closest neighbors severs long-range links and detaches cluster islands
         const float* xv = vec(xs[t]);
         std::vector<Pair> scored;
         scored.reserve(lst.size());
         for (int32_t n : lst) scored.push_back({sim(xv, vec(n)), n});
         std::sort(scored.begin(), scored.end(),
                   [](const Pair& p, const Pair& q2) { return p.sim > q2.sim; });
-        lst.clear();
-        for (int i = 0; i < cap; ++i) lst.push_back(scored[i].node);
+        lst = select_neighbors(scored, cap);
       }
     }
   }
