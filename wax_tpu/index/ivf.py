@@ -14,7 +14,7 @@ segment-sum — k-means at MXU speed. Host code only packs bucket layouts.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ stubs (tests/test_multimodal.py), exactly as in the reference's mock suite.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Protocol, Sequence, runtime_checkable
 
 import numpy as np

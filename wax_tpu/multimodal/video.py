@@ -13,7 +13,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Sequence
 
-from wax_tpu.multimodal.protocols import TranscriptProvider, TranscriptSpan
+from wax_tpu.multimodal.protocols import TranscriptProvider
 from wax_tpu.orchestrator.config import OrchestratorConfig
 from wax_tpu.orchestrator.orchestrator import MemoryOrchestrator
 from wax_tpu.types import SearchRequest, now_ms

@@ -20,8 +20,6 @@ import time
 from dataclasses import dataclass
 from pathlib import Path
 
-import numpy as np
-
 from wax_tpu.rag.surrogates import SurrogateTier, generate_surrogate
 from wax_tpu.types import FrameKind, FrameStatus, now_ms
 

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from wax_tpu.index.dense import DenseIndexBuilder, Similarity
-from wax_tpu.index.graph import HNSWBuilder
 from wax_tpu.ops.beam_search import hnsw_search
 from wax_tpu.ops.flat_scan import flat_scan_topk
 

@@ -21,12 +21,12 @@ from __future__ import annotations
 
 import os
 import signal
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from pathlib import Path
 
 import numpy as np
 
-from wax_tpu.storage.compression import ENC_RAW, ENC_ZLIB, compress, decompress
+from wax_tpu.storage.compression import ENC_RAW, compress, decompress
 
 from wax_tpu.storage.codec import BinaryDecoder, CodecError
 from wax_tpu.storage.fdfile import FDFile, FileLock

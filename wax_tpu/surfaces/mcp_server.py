@@ -17,7 +17,6 @@ import json
 import os
 import sys
 import traceback
-from dataclasses import replace
 from pathlib import Path
 
 from wax_tpu.orchestrator.config import OrchestratorConfig
