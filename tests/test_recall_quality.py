@@ -1,0 +1,89 @@
+"""Recall-quality harness: a synthetic long-memory corpus with known facts; measures
+end-to-end answer accuracy via the deterministic extractor.
+
+Mirrors the reference's LongMemoryBenchmarkHarness + recall-quality axis (RAGBenchmarks
+with DeterministicAnswerExtractor over long-memory JSON corpora fixtures).
+"""
+import pytest
+
+from wax_tpu.embed.hash_embedder import HashEmbedder
+from wax_tpu.orchestrator.config import OrchestratorConfig
+from wax_tpu.orchestrator.orchestrator import MemoryOrchestrator
+from wax_tpu.rag.answer import extract_answer
+from wax_tpu.rag.config import FastRAGConfig
+from wax_tpu.storage.store import StoreOptions
+from wax_tpu.text.chunker import ChunkingStrategy
+
+CFG = OrchestratorConfig(
+    store=StoreOptions(wal_size=1024 * 1024),
+    chunking=ChunkingStrategy(target_tokens=120, overlap_tokens=12),
+    rag=FastRAGConfig(deterministic_now_ms=1_700_010_000_000),
+)
+
+# (memory, question, expected answer substring, lane)
+FACTS = [
+    ("Rocky the labrador was born on April 12, 2019 in Denver.",
+     "when was Rocky born", "2019", "date"),
+    ("Aunt Clara lives in Lisbon where she teaches piano.",
+     "where does Clara live", "Lisbon", "location"),
+    ("The espresso machine belongs to Marcus from accounting.",
+     "who owns the espresso machine", "Marcus", "owner"),
+    ("Grandpa Joe moved to Osaka in 2003 after retiring.",
+     "where does Joe live", "Osaka", "location"),
+    ("Luna the cat was adopted on June 10, 2022 from the river shelter.",
+     "when was Luna adopted", "2022", "date"),
+    ("The red kayak belongs to Priya; she stores it in the garage.",
+     "who owns the red kayak", "Priya", "owner"),
+]
+
+DISTRACTORS = [
+    f"Journal entry {i}: today was mostly about {topic}, nothing unusual happened."
+    for i, topic in enumerate(
+        ["gardening", "meetings", "traffic", "cooking", "emails", "laundry",
+         "shopping", "reading", "weather", "budgets"] * 5
+    )
+]
+
+
+@pytest.fixture(scope="module")
+def orch(tmp_path_factory):
+    p = tmp_path_factory.mktemp("quality") / "q.wxs"
+    o = MemoryOrchestrator(p, HashEmbedder(256), CFG)
+    o.remember_batch([m for m, _, _, _ in FACTS])
+    o.remember_batch(DISTRACTORS)
+    yield o
+    o.close()
+
+
+class TestRecallQuality:
+    def test_answer_accuracy(self, orch):
+        correct = 0
+        for memory, question, expected, lane in FACTS:
+            ctx = orch.recall(question)
+            ans = extract_answer(ctx, question)
+            if ans is not None and expected.lower() in ans.text.lower():
+                correct += 1
+        accuracy = correct / len(FACTS)
+        assert accuracy >= 0.8, f"answer accuracy {accuracy:.2f} below 0.8"
+
+    def test_top_context_contains_fact(self, orch):
+        hits = 0
+        for memory, question, expected, _ in FACTS:
+            ctx = orch.recall(question)
+            joined = ctx.render().lower()
+            if expected.lower() in joined:
+                hits += 1
+        assert hits / len(FACTS) >= 0.8
+
+    def test_batched_ingest_equivalent_to_single(self, tmp_path):
+        a = MemoryOrchestrator(tmp_path / "a.wxs", HashEmbedder(128), CFG)
+        b = MemoryOrchestrator(tmp_path / "b.wxs", HashEmbedder(128), CFG)
+        docs = [m for m, _, _, _ in FACTS]
+        for d in docs:
+            a.remember(d, timestamp_ms=1_700_000_000_000)
+        b.remember_batch(docs, timestamp_ms=1_700_000_000_000)
+        qa = a.search("who owns the espresso machine").hits
+        qb = b.search("who owns the espresso machine").hits
+        assert [h.frame_id for h in qa] == [h.frame_id for h in qb]
+        a.close()
+        b.close()

@@ -292,6 +292,73 @@ class MemoryOrchestrator:
         return RememberResult(document_id=doc_id, chunk_ids=tuple(chunk_ids))
 
     @_synchronized
+    def remember_batch(
+        self,
+        contents: Sequence[str],
+        metadatas: Sequence[Mapping[str, str]] | None = None,
+        timestamp_ms: int | None = None,
+    ) -> list[RememberResult]:
+        """Bulk ingest: one embedding forward per batch across documents and one WAL
+        batch per store write (reference: the batched-ingest path exercised by
+        RAGBenchmarks' batched profiles)."""
+        with self._lock:
+            self._check_writable()
+            ts = timestamp_ms if timestamp_ms is not None else self._now()
+            metadatas = metadatas or [{}] * len(contents)
+            results: list[RememberResult] = []
+            texts: list[str] = []
+            targets: list[int] = []
+            for content, metadata in zip(contents, metadatas):
+                chunks = chunk_text(content, self.config.chunking, self.counter)
+                tags = (f"session:{self.session_id}",) if self.session_id else ()
+                doc_id = self.store.put(
+                    content,
+                    kind=FrameKind.DOCUMENT.value,
+                    timestamp_ms=ts,
+                    metadata=dict(metadata),
+                    tags=tags,
+                    search_text=content if len(chunks) <= 1 else None,
+                    chunk_count=len(chunks) if len(chunks) > 1 else None,
+                )
+                chunk_ids: list[int] = []
+                if len(chunks) <= 1:
+                    if self.config.enable_text_search:
+                        self.engine.index_text(doc_id, content)
+                    texts.append(content)
+                    targets.append(doc_id)
+                else:
+                    items = [
+                        (
+                            c.text,
+                            dict(
+                                kind=FrameKind.CHUNK.value,
+                                timestamp_ms=ts,
+                                parent_id=doc_id,
+                                chunk_index=c.index,
+                                chunk_count=len(chunks),
+                                tags=tags,
+                                search_text=c.text,
+                            ),
+                        )
+                        for c in chunks
+                    ]
+                    chunk_ids = self.store.put_batch(items)
+                    for fid, c in zip(chunk_ids, chunks):
+                        if self.config.enable_text_search:
+                            self.engine.index_text(fid, c.text)
+                        texts.append(c.text)
+                        targets.append(fid)
+                results.append(RememberResult(doc_id, tuple(chunk_ids)))
+            if self.config.enable_vector_search and texts:
+                bs = self.config.embed_batch_size
+                for i in range(0, len(texts), bs):
+                    vecs = self.memoizer.embed_batch(texts[i : i + bs])
+                    batch_targets = targets[i : i + bs]
+                    self.store.put_embedding_batch(list(batch_targets), vecs)
+                    self.engine.index_embedding_batch(batch_targets, vecs)
+            return results
+
+    @_synchronized
     def remember_file(self, path: str | Path, **kwargs) -> RememberResult:
         """Ingest a file: PDFs go through text extraction, everything else is read as
         UTF-8 text (reference: MemoryOrchestrator+File.swift:5-36 + PDFTextExtractor)."""

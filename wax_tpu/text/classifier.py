@@ -15,14 +15,17 @@ from wax_tpu.types import QueryType
 
 __all__ = ["classify_query", "AdaptiveFusionConfig"]
 
+# Temporal = the query is about *recency/time ranges* (relative-time words, explicit
+# date filters) — NOT "when was X born", which is a factual question about a date
+# stored in content and routes through the factual lanes + asks_date intent.
 _TEMPORAL_RE = re.compile(
     r"\b(yesterday|today|tomorrow|tonight|recently|recent|latest|last\s+(week|month|year|night)|"
-    r"this\s+(week|month|year|morning)|ago|when\s+did|when\s+was|on\s+\d{1,2}[/-]\d{1,2}|"
-    r"(19|20)\d{2}|january|february|march|april|may|june|july|august|september|october|november|december)\b",
+    r"this\s+(week|month|year|morning)|\d+\s+(days?|weeks?|months?|years?)\s+ago|"
+    r"on\s+\d{1,2}[/-]\d{1,2}|what\s+happened)\b",
     re.IGNORECASE,
 )
 _FACTUAL_RE = re.compile(
-    r"^\s*(who|what|where|which|whose|how\s+(many|much|old)|did|does|is|are|was|were)\b",
+    r"^\s*(who|what|where|when|which|whose|how\s+(many|much|old)|did|does|is|are|was|were)\b",
     re.IGNORECASE,
 )
 _EXPLORATORY_RE = re.compile(
