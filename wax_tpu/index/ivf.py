@@ -58,12 +58,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+_ASSIGN_BLOCK = 65536
+
+
 @jax.jit
-def _assign(vecs, centroids):
+def _assign_block(vecs, centroids):
     scores = jax.lax.dot_general(
         vecs, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     return jnp.argmax(scores, axis=1)
+
+
+def _assign(vecs, centroids):
+    """Blocked assignment: the full [N, C] score matrix would not fit in HBM at the
+    10M-scale configs, so rows are processed in fixed blocks."""
+    n = vecs.shape[0]
+    if n <= _ASSIGN_BLOCK:
+        return _assign_block(vecs, centroids)
+    out = []
+    for s in range(0, n, _ASSIGN_BLOCK):
+        block = jax.lax.dynamic_slice_in_dim(vecs, s, min(_ASSIGN_BLOCK, n - s), 0)
+        out.append(_assign_block(block, centroids))
+    return jnp.concatenate(out)
 
 
 @jax.jit
@@ -176,23 +192,41 @@ import functools
 def ivf_search_topk(queries: jax.Array, index: IVFIndex, k: int = 10, nprobe: int = 8):
     """Probe the nprobe best buckets per query, score exactly inside them.
 
+    Buckets are visited with a lax.scan (one [B, S, d] block-gather + MXU score +
+    running top-k merge per step) so memory stays bounded at any nprobe/corpus size —
+    materializing all probed buckets at once would need nprobe x S x d floats per
+    query (tens of GB at the 1M x 768 configs).
+
     Returns (scores [B, k] f32, frame_ids [B, k] int32); -1 padded.
     """
     b, d = queries.shape
     nprobe = min(nprobe, index.n_clusters)
+    s_bucket = index.bucket_size
     q = queries.astype(jnp.float32)
     cscores = jax.lax.dot_general(
         q, index.centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     _, probes = jax.lax.top_k(cscores, nprobe)  # [B, P]
-    cand = jnp.take(index.emb, probes, axis=0)  # [B, P, S, d] contiguous bucket DMA
-    cand_ids = jnp.take(index.ids, probes, axis=0)  # [B, P, S]
-    cand_bias = jnp.take(index.bias, probes, axis=0)
-    scores = jnp.einsum("bd,bpsd->bps", q, cand.astype(jnp.float32)) + cand_bias
-    s = scores.reshape(b, -1)
-    kk = min(k, s.shape[1])
-    vals, pos = jax.lax.top_k(s, kk)
-    fids = jnp.take_along_axis(cand_ids.reshape(b, -1), pos, axis=-1)
+    kk = min(k, s_bucket * nprobe)
+
+    def step(carry, probe_col):  # probe_col: [B] bucket ids for this probe rank
+        best_v, best_f = carry
+        cand = jnp.take(index.emb, probe_col, axis=0)  # [B, S, d] contiguous DMA
+        cand_ids = jnp.take(index.ids, probe_col, axis=0)  # [B, S]
+        cand_bias = jnp.take(index.bias, probe_col, axis=0)
+        scores = jnp.einsum("bd,bsd->bs", q, cand.astype(jnp.float32)) + cand_bias
+        step_k = min(kk, s_bucket)
+        v, pos = jax.lax.top_k(scores, step_k)
+        f = jnp.take_along_axis(cand_ids, pos, axis=-1)
+        mv, mpos = jax.lax.top_k(jnp.concatenate([best_v, v], axis=1), kk)
+        mf = jnp.take_along_axis(jnp.concatenate([best_f, f], axis=1), mpos, axis=1)
+        return (mv, mf), None
+
+    init = (
+        jnp.full((b, kk), NEG_INF, jnp.float32),
+        jnp.full((b, kk), -1, jnp.int32),
+    )
+    (vals, fids), _ = jax.lax.scan(step, init, jnp.transpose(probes))
     fids = jnp.where(vals > NEG_INF * 0.5, fids, -1)
     if kk < k:
         vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
