@@ -36,14 +36,22 @@ vecs_dev, q = jax.block_until_ready(make_data())
 print(f"data ready: {N}x{D}", flush=True)
 
 t0 = time.perf_counter()
-vecs_np = np.asarray(vecs_dev)  # host copy for packing
-idx = build_ivf(vecs_np, np.arange(N), n_clusters=NCLUSTERS, iters=6)
+idx = build_ivf(vecs_dev, np.arange(N), n_clusters=NCLUSTERS, iters=6)
+jax.block_until_ready(idx.emb)
 print(f"ivf build ({NCLUSTERS} clusters): {time.perf_counter()-t0:.1f}s "
       f"bucket={idx.bucket_size}", flush=True)
 
-dense = DenseIndexBuilder(dim=D, capacity=N)
-dense.add_batch(np.arange(N), vecs_np)
-dsnap = dense.snapshot()
+# device-resident dense snapshot for ground truth (no host round trip)
+from wax_tpu.index.dense import DenseIndex
+
+cap = ((N + 511) // 512) * 512
+emb_pad = jnp.pad(vecs_dev, ((0, cap - N), (0, 0)))
+dsnap = DenseIndex(
+    emb=emb_pad,
+    frame_ids=jnp.pad(jnp.arange(N, dtype=jnp.int32), (0, cap - N), constant_values=-1),
+    active=jnp.pad(jnp.ones(N, bool), (0, cap - N)),
+    count=jnp.asarray(N, jnp.int32),
+)
 
 _, _, gt_fids = flat_scan_topk(q, dsnap, K, backend="pallas")
 gt = np.asarray(gt_fids)

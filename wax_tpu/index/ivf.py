@@ -13,6 +13,7 @@ segment-sum — k-means at MXU speed. Host code only packs bucket layouts.
 """
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 
@@ -110,7 +111,7 @@ def kmeans(vecs: jax.Array, n_clusters: int, iters: int = 8, seed: int = 0):
 
 
 def build_ivf(
-    vecs: np.ndarray,
+    vecs,
     frame_ids: np.ndarray,
     n_clusters: int | None = None,
     bucket_size: int | None = None,
@@ -118,12 +119,19 @@ def build_ivf(
     seed: int = 0,
     normalize: bool = True,
 ) -> IVFIndex:
-    """Cluster + pack into fixed-size buckets (overflow spills to next-best center)."""
-    vecs = np.asarray(vecs, np.float32)
-    n, d = vecs.shape
+    """Cluster + pack into fixed-size buckets (overflow spills to next-best center).
+
+    Accepts host or device vectors; the vector matrix never round-trips to the host —
+    only cluster assignments (4 bytes/row) do, and bucket packing is a device
+    permutation scatter. Matters on tunneled TPU setups where pulling a multi-GB
+    corpus is minutes of wall clock.
+    """
+    vecs_dev = jnp.asarray(vecs)
+    n, d = vecs_dev.shape
     if normalize:
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        vecs = np.where(norms > 0, vecs / np.maximum(norms, 1e-12), vecs)
+        vecs_dev = jax.jit(
+            lambda v: v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        )(vecs_dev.astype(jnp.float32))
     frame_ids = np.asarray(frame_ids, np.int64)
 
     if n_clusters is None:
@@ -133,12 +141,10 @@ def build_ivf(
     while n_clusters * bucket_size < n:
         bucket_size = _round_up(bucket_size + max(8, bucket_size // 4), 8)
 
-    centroids, assign = kmeans(jnp.asarray(vecs), n_clusters, iters, seed)
-    centroids_np = np.asarray(centroids)
-    assign = np.asarray(assign)
+    centroids, assign_dev = kmeans(vecs_dev, n_clusters, iters, seed)
+    assign = np.asarray(assign_dev)  # [N] int32 — the only per-row host transfer
 
-    # pack: first-choice cluster, overflow spills to the globally nearest center with
-    # space (two vectorized rounds, then a final linear fill)
+    # pack on host over assignments only
     order = np.argsort(assign, kind="stable")
     bucket_fill = np.zeros(n_clusters, np.int64)
     slot_cluster = np.full(n, -1, np.int64)
@@ -154,11 +160,13 @@ def build_ivf(
             overflow.append(row)
     if overflow:
         ov = np.asarray(overflow)
-        sims = vecs[ov] @ centroids_np.T  # [O, C]
+        sims = np.asarray(
+            _assign_scores(jnp.take(vecs_dev, jnp.asarray(ov), axis=0), centroids)
+        )  # [O, C] — overflow rows only
         pref = np.argsort(-sims, axis=1)
         for i, row in enumerate(ov.tolist()):
             placed = False
-            for c in pref[i, :8].tolist():
+            for c in pref[i, : min(8, n_clusters)].tolist():
                 if bucket_fill[c] < bucket_size:
                     slot_cluster[row] = c
                     slot_pos[row] = bucket_fill[c]
@@ -171,21 +179,37 @@ def build_ivf(
                 slot_pos[row] = bucket_fill[c]
                 bucket_fill[c] += 1
 
-    emb = np.zeros((n_clusters, bucket_size, d), np.float32)
-    ids = np.full((n_clusters, bucket_size), -1, np.int32)
-    emb[slot_cluster, slot_pos] = vecs
-    ids[slot_cluster, slot_pos] = frame_ids.astype(np.int32)
+    slot_index = slot_cluster * bucket_size + slot_pos  # [N] flat bucket slot per row
+    emb = _scatter_buckets(vecs_dev, jnp.asarray(slot_index), n_clusters * bucket_size)
+    emb = emb.reshape(n_clusters, bucket_size, d)
+    ids = np.full((n_clusters * bucket_size,), -1, np.int32)
+    ids[slot_index] = frame_ids.astype(np.int32)
+    ids = ids.reshape(n_clusters, bucket_size)
     bias = np.where(ids >= 0, 0.0, NEG_INF).astype(np.float32)
 
     return IVFIndex(
-        centroids=jnp.asarray(centroids_np),
-        emb=jnp.asarray(emb),
+        centroids=centroids,
+        emb=emb,
         ids=jnp.asarray(ids),
         bias=jnp.asarray(bias),
     )
 
 
-import functools
+@jax.jit
+def _assign_scores(vecs, centroids):
+    return jax.lax.dot_general(
+        vecs, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _scatter_buckets(vecs, slot_index, total_slots: int):
+    @functools.partial(jax.jit, static_argnames=("total",))
+    def scatter(v, idx, total):
+        out = jnp.zeros((total, v.shape[1]), v.dtype)
+        return out.at[idx].set(v)
+
+    return scatter(vecs, slot_index, total_slots)
+
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))

@@ -171,6 +171,38 @@ def _use_interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------------
+# Block-max top-k (exact, no extraction loop)
+#
+# Claim: every top-k element lives in one of the top-k 128-column chunks ranked by
+# chunk max. Proof: if x is a top-k element, at most k-1 elements exceed it, so at
+# most k-1 chunks have max > x, while chunk(x).max >= x — chunk(x) ranks top-k.
+# So: matmul -> per-chunk max -> top_k over ~N/128 maxima -> gather those k chunks
+# -> top_k over k*128 candidates. All plain XLA; top_k never sees more than
+# max(N/128, 128k) elements, which removes the sort bottleneck of the naive path.
+# ---------------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _blockmax_topk(queries, emb, bias, k: int):
+    b, d = queries.shape
+    n = emb.shape[0]
+    scores = jax.lax.dot_general(
+        queries.astype(emb.dtype), emb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bias
+    c = n // 128
+    s3 = scores.reshape(b, c, 128)
+    cmax = jnp.max(s3, axis=2)  # [B, C]
+    kc = min(k, c)
+    _, chunks = jax.lax.top_k(cmax, kc)  # [B, kc]
+    cand = jnp.take_along_axis(s3, chunks[:, :, None], axis=1)  # [B, kc, 128]
+    vals, pos = jax.lax.top_k(cand.reshape(b, kc * 128), k)
+    rows = jnp.take_along_axis(chunks, pos // 128, axis=1) * 128 + pos % 128
+    rows = jnp.where(vals <= NEG_INF * 0.5, -1, rows)
+    return vals, rows.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------------
 
@@ -234,7 +266,10 @@ def flat_scan_topk(
         q = jnp.pad(queries, ((0, b_pad - b), (0, 0)))
     q = q.astype(index.emb.dtype)
     bias = _index_bias(index)
-    vals, rows = _pallas_scan_topk(q, index.emb, bias, k, tb, tn, _use_interpret())
+    if backend == "blockmax":
+        vals, rows = _blockmax_topk(q, index.emb, bias, k)
+    else:
+        vals, rows = _pallas_scan_topk(q, index.emb, bias, k, tb, tn, _use_interpret())
     vals, rows = vals[:b], rows[:b]
     safe = jnp.maximum(rows, 0)
     fids = jnp.where(rows >= 0, jnp.take(index.frame_ids, safe), -1).astype(jnp.int32)
