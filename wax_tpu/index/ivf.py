@@ -137,9 +137,10 @@ def build_ivf(
     if n_clusters is None:
         n_clusters = max(1, min(n, int(2 * math.sqrt(max(n, 1)))))
     if bucket_size is None:
-        bucket_size = _round_up(max(8, int(1.5 * n / n_clusters)), 8)
+        # 128-aligned so the Pallas probe kernel's bucket stride is lane-aligned
+        bucket_size = _round_up(max(128, int(1.5 * n / n_clusters)), 128)
     while n_clusters * bucket_size < n:
-        bucket_size = _round_up(bucket_size + max(8, bucket_size // 4), 8)
+        bucket_size = _round_up(bucket_size + max(128, bucket_size // 4), 128)
 
     centroids, assign_dev = kmeans(vecs_dev, n_clusters, iters, seed)
     assign = np.asarray(assign_dev)  # [N] int32 — the only per-row host transfer
