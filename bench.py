@@ -125,6 +125,48 @@ def _bench_flat_scan(n: int, d: int, b: int, k: int, lo: int, hi: int) -> float:
     return (t(hi) - t(lo)) / (hi - lo) * 1e3
 
 
+def _bench_blockmax(n: int, d: int, b: int, k: int, lo: int, hi: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from wax_tpu.ops.flat_scan import _blockmax_topk
+
+    @jax.jit
+    def make_data():
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        emb = jax.random.normal(k1, (n, d), jnp.float32)
+        emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+        q0 = jax.random.normal(k2, (b, d), jnp.float32)
+        return emb, q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)
+
+    emb, q0 = jax.block_until_ready(make_data())
+    bias = jnp.zeros((1, n), jnp.float32)
+
+    @jax.jit
+    def chained(q, iters, emb, bias):
+        def body(i, carry):
+            q, acc = carry
+            v, _ = _blockmax_topk(q, emb, bias, k)
+            return q + v[:, :1] * 1e-9, acc + v[0, 0]
+
+        return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
+
+    float(chained(q0, 1, emb, bias))
+    rep = [0]
+
+    def t(iters):
+        best = float("inf")
+        for _ in range(2):
+            rep[0] += 1
+            qq = q0 * (1.0 + 1e-6 * rep[0])
+            t0 = time.perf_counter()
+            float(chained(qq, iters, emb, bias))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (t(hi) - t(lo)) / (hi - lo) * 1e3
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true", help="run the full config table")
@@ -137,7 +179,8 @@ def main() -> None:
     if args.all:
         for n, d in [(102_400, 384), (1_048_576, 768)]:
             try:
-                ms = _bench_flat_scan(n=n, d=d, b=256, k=10, lo=50, hi=400)
+                # auto backend picks blockmax at these sizes
+                ms = _bench_blockmax(n=n, d=d, b=256, k=10, lo=50, hi=400)
                 print(f"# flat_scan n={n} d={d} b=256: {ms:.4f} ms/batch ({256/ms*1e3:,.0f} q/s/chip)")
             except Exception as e:  # noqa: BLE001
                 print(f"# flat_scan n={n} d={d}: FAILED {type(e).__name__}: {e}")

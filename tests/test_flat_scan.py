@@ -126,6 +126,29 @@ class TestPallasScan:
         assert removed.isdisjoint(set(np.asarray(f2).ravel().tolist()))
 
 
+class TestBlockmaxScan:
+    @pytest.mark.parametrize("n,bq,k", [(3000, 7, 10), (1024, 1, 1), (5000, 300, 32)])
+    def test_matches_xla(self, rng, n, bq, k):
+        b, _, _ = _build(rng, n=n)
+        idx = b.snapshot()
+        q = normalize_rows(jnp.asarray(rng.standard_normal((bq, 64)).astype(np.float32)))
+        v1, r1, f1 = flat_scan_topk(q, idx, k, backend="xla")
+        v2, r2, f2 = flat_scan_topk(q, idx, k, backend="blockmax")
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+    def test_with_tombstones(self, rng):
+        b, vecs, ids = _build(rng, n=2000)
+        for fid in ids[::7][:120]:
+            b.remove(int(fid))
+        idx = b.snapshot()
+        q = normalize_rows(jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32)))
+        _, _, f1 = flat_scan_topk(q, idx, 10, backend="xla")
+        _, _, f2 = flat_scan_topk(q, idx, 10, backend="blockmax")
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
 class TestTopkUtils:
     def test_masked_top_k(self):
         s = jnp.asarray([[1.0, 5.0, 3.0, 5.0]])

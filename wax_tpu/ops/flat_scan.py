@@ -229,7 +229,8 @@ def flat_scan_topk(
       queries: [B, dim] query matrix (normalized by the caller for cosine).
       index: DenseIndex snapshot.
       k: static top-k.
-      backend: "auto" | "xla" | "pallas".
+      backend: "auto" | "xla" | "pallas" (fused kernel) | "blockmax"
+        (exact chunk-max pruned top-k; fastest at large N).
 
     Returns:
       (scores [B, k] f32, rows [B, k] int32 row indices into index.emb,
@@ -243,14 +244,18 @@ def flat_scan_topk(
     k = int(min(k, index.capacity))
 
     if backend == "auto":
-        # Euclidean needs the score decomposition; keep it on the XLA path. Otherwise
-        # the fused kernel wins as soon as XLA's top_k over [B, N] becomes the
-        # bottleneck — measured 10x at N=10K and 27x at N=100K on v5e
-        # (scripts/perf_compare.py), so the crossover is set low.
+        # Measured regimes on v5e (batch 256, scripts/perf_compare.py + perf_extract):
+        #   naive xla (matmul + full top_k): only sane for tiny corpora / odd ks
+        #   fused pallas kernel:   110us @10K — wins while extraction (K passes over
+        #                          the tile) is cheaper than materializing scores
+        #   blockmax (exact, pure XLA: chunk-max -> top_k chunks -> gather -> top_k):
+        #                          686us @100K (1.5x pallas), 9.1ms @1M x 768 (1.35x)
         if index.similarity == Similarity.EUCLIDEAN or index.capacity <= 2048 or k > 128:
             backend = "xla"
-        else:
+        elif index.capacity <= 32768:
             backend = "pallas"
+        else:
+            backend = "blockmax"
 
     if backend == "xla":
         return _xla_scan_topk(queries, index, k)
