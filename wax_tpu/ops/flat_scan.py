@@ -184,22 +184,15 @@ def _use_interpret() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _blockmax_topk(queries, emb, bias, k: int):
-    b, d = queries.shape
-    n = emb.shape[0]
+    from wax_tpu.ops.topk import blockmax_topk
+
     scores = jax.lax.dot_general(
         queries.astype(emb.dtype), emb, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bias
-    c = n // 128
-    s3 = scores.reshape(b, c, 128)
-    cmax = jnp.max(s3, axis=2)  # [B, C]
-    kc = min(k, c)
-    _, chunks = jax.lax.top_k(cmax, kc)  # [B, kc]
-    cand = jnp.take_along_axis(s3, chunks[:, :, None], axis=1)  # [B, kc, 128]
-    vals, pos = jax.lax.top_k(cand.reshape(b, kc * 128), k)
-    rows = jnp.take_along_axis(chunks, pos // 128, axis=1) * 128 + pos % 128
+    vals, rows = blockmax_topk(scores, k)
     rows = jnp.where(vals <= NEG_INF * 0.5, -1, rows)
-    return vals, rows.astype(jnp.int32)
+    return vals, rows
 
 
 # ---------------------------------------------------------------------------------

@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["NEG_INF", "masked_top_k", "merge_topk", "topk_with_ids"]
+__all__ = ["NEG_INF", "masked_top_k", "merge_topk", "topk_with_ids", "blockmax_topk"]
 
 # Large finite negative sentinel: avoids -inf arithmetic edge cases on TPU and keeps
 # bf16-safe behavior when scores are downcast. A plain Python float so Pallas kernels
@@ -55,6 +55,31 @@ def merge_topk(vals_a, idx_a, vals_b, idx_b, k: int):
     midx = jnp.take_along_axis(idx, pos, axis=-1)
     midx = jnp.where(mvals <= NEG_INF, -1, midx)
     return mvals, midx
+
+
+def blockmax_topk(scores: jax.Array, k: int):
+    """Exact top-k over the last axis via chunk-max pruning.
+
+    Every top-k element's 128-chunk has a top-k chunk max (if x is top-k, at most k-1
+    elements exceed it, so at most k-1 chunks have max > x). top_k therefore only ever
+    sorts N/128 maxima plus 128k gathered candidates — much faster than a direct
+    top_k over N on TPU (which is sort-bound). Requires n % 128 == 0.
+
+    Returns (values [B, k], indices [B, k] int32).
+    """
+    b, n = scores.shape
+    if n % 128 or n <= 128 * k:
+        vals, idx = jax.lax.top_k(scores, k)
+        return vals, idx.astype(jnp.int32)
+    c = n // 128
+    s3 = scores.reshape(b, c, 128)
+    cmax = jnp.max(s3, axis=2)
+    kc = min(k, c)
+    _, chunks = jax.lax.top_k(cmax, kc)
+    cand = jnp.take_along_axis(s3, chunks[:, :, None], axis=1)
+    vals, pos = jax.lax.top_k(cand.reshape(b, kc * 128), k)
+    idx = jnp.take_along_axis(chunks, pos // 128, axis=1) * 128 + pos % 128
+    return vals, idx.astype(jnp.int32)
 
 
 def topk_with_ids(scores: jax.Array, ids: jax.Array, k: int, mask: jax.Array | None = None):

@@ -22,7 +22,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from wax_tpu.index.lex import BM25_B, BM25_K1, LexIndex, LexIndexBuilder
-from wax_tpu.ops.topk import NEG_INF
+from wax_tpu.ops.topk import NEG_INF, blockmax_topk
 from wax_tpu.parallel.mesh import DATA_AXIS, shard_rows
 from wax_tpu.parallel.sharded_scan import ShardedDenseIndex
 
@@ -222,7 +222,7 @@ def sharded_hybrid_topk(
             q.astype(emb.dtype), emb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) + d_bias[None, :]
         kk_d = min(fetch, emb.shape[0])
-        dv, drows = jax.lax.top_k(scores_d, kk_d)
+        dv, drows = blockmax_topk(scores_d, kk_d)
         dfid = jnp.where(dv > NEG_INF * 0.5, jnp.take(d_fids, jnp.maximum(drows, 0)), -1)
         dv_g, dfid_g = _gather_merge(dv, dfid, fetch, n_shards, DATA_AXIS)
         # bm25 lane

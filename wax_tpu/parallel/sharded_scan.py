@@ -23,7 +23,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from wax_tpu.index.dense import DenseIndex
-from wax_tpu.ops.topk import NEG_INF
+from wax_tpu.ops.topk import NEG_INF, blockmax_topk
 from wax_tpu.parallel.mesh import DATA_AXIS, shard_rows
 
 __all__ = ["ShardedDenseIndex", "shard_dense_index", "sharded_flat_scan_topk"]
@@ -98,7 +98,7 @@ def sharded_flat_scan_topk(
         )
         scores = scores + bias[None, :]
         kk = min(k, emb.shape[0])
-        vals, rows = jax.lax.top_k(scores, kk)
+        vals, rows = blockmax_topk(scores, kk)
         lfids = jnp.where(vals > NEG_INF * 0.5, jnp.take(fids, jnp.maximum(rows, 0)), -1)
         # gather candidates from every shard: [S, B, kk] -> [B, S*kk]
         av = jax.lax.all_gather(vals, DATA_AXIS)
