@@ -75,6 +75,33 @@ class TestSerializationDispatch:
         np.testing.assert_array_equal(f1, f2)
 
 
+class TestShardedEngine:
+    def test_matches_flat(self, vecs):
+        from wax_tpu.search.vector_engines import ShardedFlatVectorEngine
+
+        flat = FlatVectorEngine(dim=32)
+        sh = ShardedFlatVectorEngine(dim=32)
+        ids = np.arange(len(vecs))
+        flat.add_batch(ids, vecs)
+        sh.add_batch(ids, vecs)
+        v1, f1 = flat.search(vecs[:8], 10)
+        v2, f2 = sh.search(vecs[:8], 10)
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_allclose(v1, v2, atol=1e-5)
+
+    def test_orchestrator_end_to_end(self, tmp_path):
+        cfg = OrchestratorConfig(store=StoreOptions(wal_size=512 * 1024), vector_engine="sharded")
+        p = tmp_path / "sh.wxs"
+        with MemoryOrchestrator(p, HashEmbedder(64), cfg) as o:
+            o.remember("the mesh-sharded engine indexes this memory")
+            resp = o.search("mesh sharded memory")
+            assert resp.hits
+            o.flush()
+        with MemoryOrchestrator(p, HashEmbedder(64), cfg) as o2:
+            assert o2.engine.vector.kind == "sharded"
+            assert o2.search("sharded engine").hits
+
+
 class TestOrchestratorOnHnsw:
     def test_end_to_end(self, tmp_path):
         cfg = OrchestratorConfig(

@@ -63,9 +63,9 @@ def deserialize_dense(blob: bytes, attrs: dict[str, str]) -> DenseIndexBuilder:
 
 def serialize_vector_engine(engine) -> tuple[bytes, dict[str, str]]:
     """Serialize a FlatVectorEngine or HNSWVectorEngine into a segment blob."""
-    if engine.kind == "flat":
+    if engine.kind in ("flat", "sharded"):
         blob, attrs = serialize_dense(engine.builder)
-        attrs["engine"] = "flat"
+        attrs["engine"] = engine.kind
         return blob, attrs
     if engine.kind == "hnsw":
         arrays = engine.builder.state_arrays()
@@ -96,9 +96,12 @@ def deserialize_vector_engine(blob: bytes, attrs: dict[str, str]):
     from wax_tpu.search.vector_engines import FlatVectorEngine, HNSWVectorEngine
 
     kind = attrs.get("engine", "flat")
-    if kind == "flat":
+    if kind in ("flat", "sharded"):
+        from wax_tpu.search.vector_engines import ShardedFlatVectorEngine
+
         builder = deserialize_dense(blob, attrs)
-        eng = FlatVectorEngine(dim=builder.dim, similarity=builder.similarity)
+        cls = ShardedFlatVectorEngine if kind == "sharded" else FlatVectorEngine
+        eng = cls(dim=builder.dim, similarity=builder.similarity)
         eng.builder = builder
         return eng
     if kind == "hnsw":

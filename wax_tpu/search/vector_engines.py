@@ -233,12 +233,53 @@ class IVFVectorEngine:
         return fid in self.builder
 
 
+class ShardedFlatVectorEngine(FlatVectorEngine):
+    """Exact scan with the corpus sharded over all local devices (data mesh).
+
+    Queries replicate; each shard scans its rows and candidates merge over ICI
+    (parallel/sharded_scan.py). Single-device meshes degrade gracefully to the
+    single-chip layout."""
+
+    kind = "sharded"
+
+    def __init__(self, dim: int, similarity: str = Similarity.COSINE, device_dtype=None, mesh=None):
+        super().__init__(dim=dim, similarity=similarity, device_dtype=device_dtype)
+        from wax_tpu.parallel.mesh import data_mesh
+
+        self.mesh = mesh if mesh is not None else data_mesh()
+        self._sharded = None
+
+    def snapshot(self):
+        from wax_tpu.parallel.sharded_scan import shard_dense_index
+
+        if self._snap is None or self._snap_gen != self.builder.generation:
+            self._snap = self.builder.snapshot(device_dtype=self.device_dtype)
+            self._sharded = shard_dense_index(self._snap, self.mesh)
+            self._snap_gen = self.builder.generation
+            self.snapshot_count += 1
+        return self._sharded
+
+    def search(self, queries: np.ndarray, k: int):
+        from wax_tpu.parallel.sharded_scan import sharded_flat_scan_topk
+
+        k = min(k, MAX_TOP_K)
+        if len(self.builder) == 0:
+            b = np.atleast_2d(queries).shape[0]
+            return np.full((b, k), -np.inf, np.float32), np.full((b, k), -1, np.int32)
+        sharded = self.snapshot()
+        q = jnp.asarray(np.atleast_2d(np.asarray(queries, np.float32)))
+        vals, fids = sharded_flat_scan_topk(q, sharded, k, self.mesh)
+        return np.asarray(vals), np.asarray(fids)
+
+
 def make_vector_engine(preference: str, dim: int, **kw) -> VectorEngine:
     """preference: "auto" | "flat" | "hnsw" | "ivf". Auto picks the exact fused scan —
     on TPU it is faster than graph traversal until the corpus outgrows single-batch
     scan latency budgets; "ivf"/"hnsw" opt into the approximate engines explicitly."""
     if preference in ("auto", "flat"):
         return FlatVectorEngine(dim=dim, **kw)
+    if preference == "sharded":
+        return ShardedFlatVectorEngine(dim=dim, **kw)
     if preference == "hnsw":
         return HNSWVectorEngine(dim=dim, **kw)
     if preference == "ivf":
