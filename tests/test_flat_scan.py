@@ -149,6 +149,24 @@ class TestBlockmaxScan:
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
 
 
+class TestChunkmaxScan:
+    def test_matches_xla_with_tail_padding(self, rng):
+        b, vecs, ids = _build(rng, n=3000)
+        idx = b.snapshot()
+        assert idx.contiguous
+        q = normalize_rows(jnp.asarray(rng.standard_normal((13, 64)).astype(np.float32)))
+        v1, r1, f1 = flat_scan_topk(q, idx, 10, backend="xla")
+        v2, r2, f2 = flat_scan_topk(q, idx, 10, backend="chunkmax")
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-5)
+
+    def test_contiguous_flag_cleared_by_tombstone(self, rng):
+        b, _, ids = _build(rng, n=100)
+        assert b.snapshot().contiguous
+        b.remove(int(ids[3]))
+        assert not b.snapshot().contiguous
+
+
 class TestTopkUtils:
     def test_masked_top_k(self):
         s = jnp.asarray([[1.0, 5.0, 3.0, 5.0]])

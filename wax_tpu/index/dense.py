@@ -50,6 +50,9 @@ class DenseIndex:
     active: jax.Array
     count: jax.Array
     similarity: str = dataclasses.field(metadata=dict(static=True), default=Similarity.COSINE)
+    # True when live rows form a dense prefix (no in-place tombstones) — enables the
+    # chunk-max scan path whose rescore masks by per-chunk prefix counts
+    contiguous: bool = dataclasses.field(metadata=dict(static=True), default=False)
 
     @property
     def capacity(self) -> int:
@@ -184,6 +187,7 @@ class DenseIndexBuilder:
             active=jnp.asarray(self._active),
             count=jnp.asarray(self._count, dtype=jnp.int32),
             similarity=self.similarity,
+            contiguous=bool(self._active[: self._count].all()) if self._count else True,
         )
 
     # -- (de)serialization hooks used by the snapshot store ------------------------

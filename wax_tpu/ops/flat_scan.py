@@ -243,10 +243,15 @@ def flat_scan_topk(
         #                          the tile) is cheaper than materializing scores
         #   blockmax (exact, pure XLA: chunk-max -> top_k chunks -> gather -> top_k):
         #                          686us @100K (1.5x pallas), 9.1ms @1M x 768 (1.35x)
+        #   chunkmax (one-pass chunk maxima + DMA rescore of winning chunks):
+        #                          6.9ms f32 / 4.6ms bf16 @1M x 768 — best at large N
+        #                          (rescore traffic B*k*128*d makes it lose below ~512K)
         if index.similarity == Similarity.EUCLIDEAN or index.capacity <= 2048 or k > 128:
             backend = "xla"
         elif index.capacity <= 32768:
             backend = "pallas"
+        elif index.capacity >= 524288 and index.contiguous and k <= 100:
+            backend = "chunkmax"
         else:
             backend = "blockmax"
 
@@ -266,6 +271,10 @@ def flat_scan_topk(
     bias = _index_bias(index)
     if backend == "blockmax":
         vals, rows = _blockmax_topk(q, index.emb, bias, k)
+    elif backend == "chunkmax":
+        from wax_tpu.ops.chunkmax_scan import chunkmax_scan_topk
+
+        vals, rows = chunkmax_scan_topk(q, index.emb, bias, k)
     else:
         vals, rows = _pallas_scan_topk(q, index.emb, bias, k, tb, tn, _use_interpret())
     vals, rows = vals[:b], rows[:b]
