@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis): codec round-trips, WAL integrity, BPE
+determinism/subadditivity, RRF invariants, chunker coverage.
+
+Extends the reference's determinism-property axis (DeterminismPropertyTests.swift:5-56)
+with generative coverage.
+"""
+import string
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from wax_tpu.ops.fusion import rrf_fuse
+from wax_tpu.storage.codec import BinaryDecoder, BinaryEncoder
+from wax_tpu.text.bpe import load_cl100k
+from wax_tpu.text.token_counter import TokenCounter
+
+_SETTINGS = settings(max_examples=50, deadline=None)
+
+text_strategy = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)), max_size=300
+)
+
+
+class TestCodecProperties:
+    @_SETTINGS
+    @given(
+        u32=st.integers(0, 2**32 - 1),
+        i64=st.integers(-(2**63), 2**63 - 1),
+        s=text_strategy,
+        blob=st.binary(max_size=500),
+        flag=st.booleans(),
+    )
+    def test_roundtrip(self, u32, i64, s, blob, flag):
+        e = BinaryEncoder().u32(u32).i64(i64).string(s).blob(blob).boolean(flag)
+        d = BinaryDecoder(e.data())
+        assert d.u32() == u32
+        assert d.i64() == i64
+        assert d.string() == s
+        assert d.blob() == blob
+        assert d.boolean() is flag
+        assert d.remaining == 0
+
+    @_SETTINGS
+    @given(m=st.dictionaries(st.text(max_size=20), st.text(max_size=20), max_size=10))
+    def test_map_roundtrip_and_determinism(self, m):
+        e1 = BinaryEncoder().str_map(m).data()
+        e2 = BinaryEncoder().str_map(dict(reversed(list(m.items())))).data()
+        assert e1 == e2  # insertion-order independent
+        assert BinaryDecoder(e1).str_map() == m
+
+
+class TestBpeProperties:
+    enc = load_cl100k()
+    tc = TokenCounter()
+
+    @_SETTINGS
+    @given(s=text_strategy)
+    def test_deterministic(self, s):
+        assert self.enc.encode(s) == self.enc.encode(s)
+
+    @_SETTINGS
+    @given(a=text_strategy, b=text_strategy)
+    def test_subadditive(self, a, b):
+        assert self.enc.count(a + b) <= self.enc.count(a) + self.enc.count(b) + 1
+
+    @_SETTINGS
+    @given(s=text_strategy)
+    def test_roundtrip_when_exact(self, s):
+        if self.enc.exact:
+            assert self.enc.decode(self.enc.encode(s)) == s
+
+    @_SETTINGS
+    @given(s=st.text(alphabet=string.printable, min_size=1, max_size=400), k=st.integers(0, 50))
+    def test_truncate_budget(self, s, k):
+        out = self.tc.truncate(s, k)
+        assert self.tc.count(out) <= k or k == 0
+
+
+class TestRrfProperties:
+    lanes_strategy = st.dictionaries(
+        st.sampled_from(["a", "b", "c"]),
+        st.lists(st.tuples(st.integers(0, 30), st.floats(0, 10, allow_nan=False)), max_size=10),
+        min_size=1,
+        max_size=3,
+    )
+
+    @_SETTINGS
+    @given(lanes=lanes_strategy)
+    def test_idempotent(self, lanes):
+        w = {"a": 0.5, "b": 0.3, "c": 0.2}
+        assert rrf_fuse(lanes, w) == rrf_fuse(lanes, w)
+
+    @_SETTINGS
+    @given(lanes=lanes_strategy)
+    def test_scores_sorted_and_ids_unique(self, lanes):
+        out = rrf_fuse(lanes, {"a": 0.5, "b": 0.3, "c": 0.2})
+        scores = [h.score for h in out]
+        assert scores == sorted(scores, reverse=True)
+        ids = [h.frame_id for h in out]
+        assert len(set(ids)) == len(ids)
+
+    @_SETTINGS
+    @given(lanes=lanes_strategy, k=st.integers(1, 5))
+    def test_topk_is_prefix(self, lanes, k):
+        full = rrf_fuse(lanes, {"a": 0.5, "b": 0.3, "c": 0.2})
+        topk = rrf_fuse(lanes, {"a": 0.5, "b": 0.3, "c": 0.2}, top_k=k)
+        assert topk == full[:k]
+
+
+class TestWalProperties:
+    @_SETTINGS
+    @given(fids=st.lists(st.integers(0, 10**6), min_size=1, max_size=30))
+    def test_append_scan_roundtrip(self, fids, tmp_path_factory):
+        from wax_tpu.storage.fdfile import FDFile
+        from wax_tpu.storage.wal import WalEntry, WalOp, WalRingReader, WalRingWriter
+
+        p = tmp_path_factory.mktemp("wal") / "ring.bin"
+        with FDFile(p, create=True) as fd:
+            fd.pwrite_exact(0, b"\x00" * 65536)
+            w = WalRingWriter(fd, 0, 65536)
+            w.write_sentinel(0)
+            for fid in fids:
+                w.append(WalEntry(op=WalOp.DELETE_FRAME, frame_id=fid))
+            r = WalRingReader(fd, 0, 65536)
+            res = r.scan_pending(0, 0)
+            assert [e.frame_id for _, e in res.entries] == fids
+            assert res.stopped_on == "sentinel"

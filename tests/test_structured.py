@@ -87,6 +87,14 @@ class TestEvidence:
         assert sm.evidence_frame_ids("who owns Whiskers") == [7, 9]
         assert sm.evidence_frame_ids("unrelated query") == []
 
+    def test_evidence_spans(self, sm):
+        eid = sm.entity_upsert("Rex")
+        fid = sm.fact_assert(eid, "owner", FactValue.text("Ana"),
+                             evidence_frames=[(4, 10, 28), 9])
+        spans = sm.evidence_spans(fid)
+        assert (4, 10, 28) in spans
+        assert (9, None, None) in spans
+
     def test_multiword_entity_match(self, sm):
         sm.entity_upsert("Maria Garcia")
         sm.fact_assert("Maria Garcia", "lives_in", FactValue.text("Barcelona"), evidence_frames=[3])

@@ -63,6 +63,8 @@ CREATE TABLE IF NOT EXISTS sm_fact_span (
 CREATE TABLE IF NOT EXISTS sm_evidence (
   fact_id INTEGER NOT NULL REFERENCES sm_fact(fact_id),
   frame_id INTEGER NOT NULL,
+  span_start INTEGER,            -- optional char range within the frame content
+  span_end INTEGER,
   PRIMARY KEY (fact_id, frame_id)
 );
 CREATE INDEX IF NOT EXISTS sm_fact_subject ON sm_fact(subject_id, predicate_id);
@@ -206,11 +208,14 @@ class StructuredMemory:
         predicate: str,
         value: FactValue,
         valid_from_ms: int | None = None,
-        evidence_frames: Sequence[int] = (),
+        evidence_frames: Sequence = (),
         supersede_open_spans: bool = True,
     ) -> int:
         """Assert a fact. By default closes any open span for the same
-        (subject, predicate) — the bitemporal update pattern."""
+        (subject, predicate) — the bitemporal update pattern.
+
+        evidence_frames entries are frame ids, or (frame_id, span_start, span_end)
+        tuples pinning the supporting char range (reference: evidence spans)."""
         eid = subject if isinstance(subject, int) else self.entity_upsert(subject)
         pid = self._predicate_id(predicate)
         ts = now_ms()
@@ -248,10 +253,15 @@ class StructuredMemory:
             "INSERT INTO sm_fact_span (fact_id, valid_from_ms, valid_to_ms, span_hash) VALUES (?,?,?,?)",
             (fact_id, vf, None, _span_hash(chash, vf, None)),
         )
-        for fid in evidence_frames:
+        for ev in evidence_frames:
+            if isinstance(ev, tuple):
+                fid, span_start, span_end = ev
+            else:
+                fid, span_start, span_end = ev, None, None
             self.conn.execute(
-                "INSERT OR IGNORE INTO sm_evidence (fact_id, frame_id) VALUES (?,?)",
-                (fact_id, int(fid)),
+                "INSERT OR IGNORE INTO sm_evidence (fact_id, frame_id, span_start, span_end)"
+                " VALUES (?,?,?,?)",
+                (fact_id, int(fid), span_start, span_end),
             )
         self.conn.commit()
         return fact_id
@@ -320,6 +330,17 @@ class StructuredMemory:
         return [self._row_to_fact(r) for r in self.conn.execute(q, args)]
 
     # -------------------------------------------------------------------- evidence ----
+    def evidence_spans(self, fact_id: int) -> list[tuple[int, int | None, int | None]]:
+        """(frame_id, span_start, span_end) rows for a fact."""
+        return [
+            (r[0], r[1], r[2])
+            for r in self.conn.execute(
+                "SELECT frame_id, span_start, span_end FROM sm_evidence WHERE fact_id=?"
+                " ORDER BY frame_id",
+                (fact_id,),
+            )
+        ]
+
     def evidence_frame_ids(self, query_text: str, as_of_ms: int | None = None) -> list[int]:
         """Structured search lane: resolve entities/predicates mentioned in the query,
         return evidence frame ids of their valid facts
