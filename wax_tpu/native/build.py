@@ -39,20 +39,30 @@ def _source_digest() -> str:
 
 
 def _build(lib_path: Path) -> None:
+    """Two-step build: objects get fast-math (vectorized reductions), the LINK does
+    not — linking with -ffast-math pulls in crtfastmath.o, which flips the process
+    into flush-to-zero/denormals-are-zero mode at dlopen and silently breaks IEEE
+    subnormals for the whole host (numpy, hypothesis, jax callbacks)."""
     lib_path.parent.mkdir(parents=True, exist_ok=True)
-    cmd = [
-        "g++",
-        "-O3",
-        "-march=native",
-        "-ffast-math",
-        "-funroll-loops",
-        "-std=c++17",
-        "-shared",
-        "-fPIC",
-        "-o",
-        str(lib_path),
-    ] + [str(_SRC_DIR / s) for s in _SOURCES]
-    subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    compile_flags = ["-O3", "-march=native", "-ffast-math", "-funroll-loops", "-std=c++17", "-fPIC"]
+    objs = []
+    for s in _SOURCES:
+        obj = lib_path.parent / (Path(s).stem + ".o")
+        subprocess.run(
+            ["g++", *compile_flags, "-c", "-o", str(obj), str(_SRC_DIR / s)],
+            check=True,
+            capture_output=True,
+            timeout=300,
+        )
+        objs.append(str(obj))
+    subprocess.run(
+        ["g++", "-shared", "-o", str(lib_path), *objs],
+        check=True,
+        capture_output=True,
+        timeout=300,
+    )
+    for o in objs:
+        os.unlink(o)
 
 
 def load_library() -> ctypes.CDLL | None:

@@ -305,50 +305,64 @@ class MemoryOrchestrator:
             self._check_writable()
             ts = timestamp_ms if timestamp_ms is not None else self._now()
             metadatas = metadatas or [{}] * len(contents)
-            results: list[RememberResult] = []
+            tags = (f"session:{self.session_id}",) if self.session_id else ()
+
+            # plan all frames first (frame ids are assigned densely, so document and
+            # chunk ids are known up front), then issue ONE store batch — a single
+            # WAL append covers the whole ingest
+            next_id = self.store.next_frame_id
+            items: list[tuple[str, dict]] = []
+            plan: list[tuple[int, tuple[int, ...]]] = []  # (doc_id, chunk_ids)
             texts: list[str] = []
             targets: list[int] = []
             for content, metadata in zip(contents, metadatas):
                 chunks = chunk_text(content, self.config.chunking, self.counter)
-                tags = (f"session:{self.session_id}",) if self.session_id else ()
-                doc_id = self.store.put(
-                    content,
-                    kind=FrameKind.DOCUMENT.value,
-                    timestamp_ms=ts,
-                    metadata=dict(metadata),
-                    tags=tags,
-                    search_text=content if len(chunks) <= 1 else None,
-                    chunk_count=len(chunks) if len(chunks) > 1 else None,
+                doc_id = next_id
+                items.append(
+                    (
+                        content,
+                        dict(
+                            kind=FrameKind.DOCUMENT.value,
+                            timestamp_ms=ts,
+                            metadata=dict(metadata),
+                            tags=tags,
+                            search_text=content if len(chunks) <= 1 else None,
+                            chunk_count=len(chunks) if len(chunks) > 1 else None,
+                        ),
+                    )
                 )
+                next_id += 1
                 chunk_ids: list[int] = []
                 if len(chunks) <= 1:
-                    if self.config.enable_text_search:
-                        self.engine.index_text(doc_id, content)
                     texts.append(content)
                     targets.append(doc_id)
                 else:
-                    items = [
-                        (
-                            c.text,
-                            dict(
-                                kind=FrameKind.CHUNK.value,
-                                timestamp_ms=ts,
-                                parent_id=doc_id,
-                                chunk_index=c.index,
-                                chunk_count=len(chunks),
-                                tags=tags,
-                                search_text=c.text,
-                            ),
+                    for c in chunks:
+                        items.append(
+                            (
+                                c.text,
+                                dict(
+                                    kind=FrameKind.CHUNK.value,
+                                    timestamp_ms=ts,
+                                    parent_id=doc_id,
+                                    chunk_index=c.index,
+                                    chunk_count=len(chunks),
+                                    tags=tags,
+                                    search_text=c.text,
+                                ),
+                            )
                         )
-                        for c in chunks
-                    ]
-                    chunk_ids = self.store.put_batch(items)
-                    for fid, c in zip(chunk_ids, chunks):
-                        if self.config.enable_text_search:
-                            self.engine.index_text(fid, c.text)
+                        chunk_ids.append(next_id)
+                        next_id += 1
                         texts.append(c.text)
-                        targets.append(fid)
-                results.append(RememberResult(doc_id, tuple(chunk_ids)))
+                    targets.extend(chunk_ids)
+                plan.append((doc_id, tuple(chunk_ids)))
+
+            assigned = self.store.put_batch(items)
+            assert assigned[0] == plan[0][0] if plan else True
+            if self.config.enable_text_search:
+                for fid, text in zip(targets, texts):
+                    self.engine.index_text(fid, text)
             if self.config.enable_vector_search and texts:
                 bs = self.config.embed_batch_size
                 for i in range(0, len(texts), bs):
@@ -356,7 +370,7 @@ class MemoryOrchestrator:
                     batch_targets = targets[i : i + bs]
                     self.store.put_embedding_batch(list(batch_targets), vecs)
                     self.engine.index_embedding_batch(batch_targets, vecs)
-            return results
+            return [RememberResult(d, c) for d, c in plan]
 
     @_synchronized
     def remember_file(self, path: str | Path, **kwargs) -> RememberResult:

@@ -389,13 +389,18 @@ class WaxStore:
 
     def _wal_append(self, entries: list[WalEntry]) -> int:
         try:
-            seq = self.wal.append_batch(entries, fsync=self.options.fsync_on_append)
+            return self.wal.append_batch(entries, fsync=self.options.fsync_on_append)
         except WalFullError:
+            # safe: callers journal BEFORE registering state, so this commit only
+            # covers previously-registered mutations
             self.auto_commit()
-            seq = self.wal.append_batch(entries, fsync=self.options.fsync_on_append)
+            return self.wal.append_batch(entries, fsync=self.options.fsync_on_append)
+
+    def _maybe_proactive_commit(self) -> None:
+        """WAL-pressure commit; call only AFTER the journaled state is registered
+        in the pending view (reference: proactive thresholds, Wax.swift:249-309)."""
         if self.wal.fill_fraction() > self.options.auto_commit_fill:
             self.auto_commit()
-        return seq
 
     def put(self, content: bytes | str, **meta_kwargs) -> int:
         return self.put_batch([(content, meta_kwargs)])[0]
@@ -404,23 +409,29 @@ class WaxStore:
         """Hot ingest loop (reference: Wax.swift:837-1003): payload pwrite at data end
         + one batched WAL append."""
         self._check_writable()
-        ids, entries = [], []
+        ids, entries, staged_frames = [], [], []
+        fid = self.next_frame_id
         for content, meta_kwargs in items:
             raw = content.encode("utf-8") if isinstance(content, str) else bytes(content)
             payload, enc = self._encode_payload(raw)
             off = self._append_payload(payload)
-            fid = self.next_frame_id
             meta_kwargs = dict(meta_kwargs)
             meta_kwargs.setdefault("timestamp_ms", now_ms())
             meta = FrameMeta(frame_id=fid, **meta_kwargs)
             sha = sha256(payload)
-            self._pending[fid] = _PendingFrame(meta, off, len(payload), sha, enc)
+            staged_frames.append((fid, _PendingFrame(meta, off, len(payload), sha, enc)))
             entries.append(
                 WalEntry(op=WalOp.PUT_FRAME, frame_blob=encode_frame_meta(meta, off, len(payload), sha, enc))
             )
             ids.append(fid)
-            self.stats_counters["puts"] += 1
+            fid += 1
+        # journal FIRST: a WAL-pressure auto-commit inside _wal_append must not see
+        # (and commit) these frames, or the retried append would double-record them
         self._wal_append(entries)
+        for f, pf in staged_frames:
+            self._pending[f] = pf
+            self.stats_counters["puts"] += 1
+        self._maybe_proactive_commit()
         return ids
 
     def put_embedding(self, frame_id: int, vec: np.ndarray) -> None:
@@ -437,6 +448,7 @@ class WaxStore:
         self._wal_append(entries)
         for i, fid in enumerate(frame_ids):
             self._pending_embeddings.append((seq0 + 1 + i, int(fid), vecs[i]))
+        self._maybe_proactive_commit()
 
     def delete(self, frame_id: int) -> bool:
         self._check_writable()
@@ -445,6 +457,7 @@ class WaxStore:
         self._wal_append([WalEntry(op=WalOp.DELETE_FRAME, frame_id=frame_id)])
         self._pending_deletes.add(frame_id)
         self.stats_counters["deletes"] += 1
+        self._maybe_proactive_commit()
         return True
 
     def supersede(self, old_id: int, content: bytes | str, **meta_kwargs) -> int:
@@ -458,8 +471,6 @@ class WaxStore:
         meta_kwargs.setdefault("timestamp_ms", now_ms())
         meta = FrameMeta(frame_id=fid, supersedes=old_id, **meta_kwargs)
         sha = sha256(payload)
-        self._pending[fid] = _PendingFrame(meta, off, len(payload), sha, enc)
-        self._pending_supersedes[old_id] = fid
         self._wal_append(
             [
                 WalEntry(
@@ -469,7 +480,10 @@ class WaxStore:
                 )
             ]
         )
+        self._pending[fid] = _PendingFrame(meta, off, len(payload), sha, enc)
+        self._pending_supersedes[old_id] = fid
         self.stats_counters["supersedes"] += 1
+        self._maybe_proactive_commit()
         return fid
 
     # -------------------------------------------------------------------- staging ----
