@@ -367,6 +367,26 @@ class TestCrashRecovery:
             assert s2.data_end == end
             assert s2.fd.size() == end
 
+    def test_damaged_mid_batch_entry_keeps_dense_prefix(self, tmp_path):
+        """A corrupted payload for one pending frame must not wedge the store: later
+        frames drop with it, earlier ones survive, and committing still works."""
+        p = tmp_path / "s.wxs"
+        s = WaxStore.create(p, SMALL)
+        s.put("committed base")
+        s.commit()
+        fids = [s.put(f"pending {i} " + "x" * 200) for i in range(3)]
+        rec = s._frame_record(fids[1])
+        s.close()
+        # corrupt the MIDDLE pending frame's payload on disk
+        with FDFile(p) as fd:
+            fd.pwrite_exact(rec[1] + 5, b"\xff\xff\xff")
+        with WaxStore.open(p, SMALL) as s2:
+            assert s2.frame_content(fids[0]) is not None
+            assert s2.frame_count() == 2  # base + first pending; damaged + later dropped
+            s2.put("new frame after recovery")
+            s2.commit()  # density preserved -> commit succeeds
+            assert s2.verify(deep=True)["ok"]
+
     def test_replay_snapshot_fast_path(self, tmp_path):
         p = tmp_path / "s.wxs"
         s = WaxStore.create(p, SMALL)

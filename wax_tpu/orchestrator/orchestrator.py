@@ -358,7 +358,11 @@ class MemoryOrchestrator:
                     targets.extend(chunk_ids)
                 plan.append((doc_id, tuple(chunk_ids)))
 
-            assigned = self.store.put_batch(items)
+            # store sub-batches of bounded size: one WAL append must always fit the
+            # ring (an append larger than the whole ring cannot be journaled)
+            assigned: list[int] = []
+            for i in range(0, len(items), 1024):
+                assigned.extend(self.store.put_batch(items[i : i + 1024]))
             assert assigned[0] == plan[0][0] if plan else True
             if self.config.enable_text_search:
                 for fid, text in zip(targets, texts):

@@ -253,6 +253,21 @@ class WaxStore:
             pending_records=len(scan.entries),
         )
         self.data_end = max(self.data_end, max_valid_end)
+        # keep only the dense prefix of recovered frames: a damaged entry mid-batch
+        # would otherwise leave an id gap that blocks every future commit
+        expected = len(self.toc.frames)
+        keep: dict[int, _PendingFrame] = {}
+        for fid in sorted(self._pending):
+            if fid != expected:
+                break
+            keep[fid] = self._pending[fid]
+            expected += 1
+        dropped = set(self._pending) - set(keep)
+        if dropped:
+            self._pending = keep
+            self._pending_supersedes = {
+                old: new for old, new in self._pending_supersedes.items() if new not in dropped
+            }
         self._load_overflow_embeddings()
         self._repair_tail(file_size)
 
