@@ -40,6 +40,7 @@ from wax_tpu.structured.memory import FactValue, StructuredMemory
 from wax_tpu.storage.store import StoreError, WaxStore
 from wax_tpu.text.chunker import chunk_text
 from wax_tpu.text.token_counter import TokenCounter
+from wax_tpu.utils.profiling import span, span_stats
 from wax_tpu.types import (
     FrameKind,
     FrameMeta,
@@ -413,7 +414,8 @@ class MemoryOrchestrator:
     # ----------------------------------------------------------------------- recall ----
     @_synchronized
     def recall(self, query: str, top_k: int | None = None) -> RAGContext:
-        ctx = self.rag_builder.build(query, top_k)
+        with span("orchestrator.recall"):
+            ctx = self.rag_builder.build(query, top_k)
         if self.config.enable_access_stats and ctx.items:
             self.access_stats.record_batch([i.frame_id for i in ctx.items], self._now())
         return ctx
@@ -546,4 +548,5 @@ class MemoryOrchestrator:
             "vector_count": len(self.engine.vector),
             "vector_engine": self.engine.vector.kind,
             "flush_count": self._flush_count,
+            "spans": span_stats(),
         }
