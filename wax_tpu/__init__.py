@@ -42,6 +42,8 @@ __all__ = [
     "TimeRange",
     "MemoryOrchestrator",
     "WaxStore",
+    "WaxSession",
+    "open_session",
 ]
 
 
@@ -55,4 +57,8 @@ def __getattr__(name):
         from wax_tpu.storage.store import WaxStore
 
         return WaxStore
+    if name in ("WaxSession", "open_session"):
+        import wax_tpu.session as _session
+
+        return getattr(_session, name)
     raise AttributeError(f"module 'wax_tpu' has no attribute {name!r}")

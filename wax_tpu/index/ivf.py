@@ -118,6 +118,7 @@ def build_ivf(
     iters: int = 8,
     seed: int = 0,
     normalize: bool = True,
+    bucket_dtype=None,
 ) -> IVFIndex:
     """Cluster + pack into fixed-size buckets (overflow spills to next-best center).
 
@@ -181,6 +182,8 @@ def build_ivf(
                 bucket_fill[c] += 1
 
     slot_index = slot_cluster * bucket_size + slot_pos  # [N] flat bucket slot per row
+    if bucket_dtype is not None:
+        vecs_dev = vecs_dev.astype(bucket_dtype)
     emb = _scatter_buckets(vecs_dev, jnp.asarray(slot_index), n_clusters * bucket_size)
     emb = emb.reshape(n_clusters, bucket_size, d)
     ids = np.full((n_clusters * bucket_size,), -1, np.int32)

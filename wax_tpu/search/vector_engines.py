@@ -169,11 +169,19 @@ class IVFVectorEngine:
 
     kind = "ivf"
 
-    def __init__(self, dim: int, n_clusters: int | None = None, nprobe: int = 8, seed: int = 0):
+    def __init__(
+        self,
+        dim: int,
+        n_clusters: int | None = None,
+        nprobe: int = 8,
+        seed: int = 0,
+        bucket_dtype=None,
+    ):
         self.builder = DenseIndexBuilder(dim=dim, similarity=Similarity.COSINE)
         self.n_clusters = n_clusters
         self.nprobe = nprobe
         self.seed = seed
+        self.bucket_dtype = bucket_dtype
         self._snap = None
         self._snap_gen = -1
         self._trained_count = 0
@@ -202,7 +210,8 @@ class IVFVectorEngine:
             vecs = state["emb"][live]
             fids = state["frame_ids"][live]
             self._snap = build_ivf(
-                vecs, fids, n_clusters=self.n_clusters, seed=self.seed
+                vecs, fids, n_clusters=self.n_clusters, seed=self.seed,
+                bucket_dtype=self.bucket_dtype,
             )
             self._trained_count = len(vecs)
             self._snap_gen = self.builder.generation
