@@ -28,6 +28,7 @@ __all__ = ["ivf_search_topk_pallas"]
 
 _KPAD = 128
 _QB = 8  # queries per grid cell
+_NSLOTS = 4  # DMA pipeline depth (3 bucket copies in flight)
 
 
 def _kernel(
@@ -54,16 +55,20 @@ def _kernel(
         bucket = probes_ref[cell * _QB + qi, p]
         return pltpu.make_async_copy(emb_hbm.at[bucket], emb_scratch.at[slot], sems.at[slot])
 
-    get_dma(0, 0).start()
+    # warm-up: keep _NSLOTS - 1 copies in flight
+    for w in range(_NSLOTS - 1):
+        @pl.when(w < total)
+        def _(w=w):
+            get_dma(w, w).start()
+
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_bucket), 1)
 
     def body(t, _):
-        slot = t % 2
-        nxt = (t + 1) % 2
+        slot = t % _NSLOTS
 
-        @pl.when(t + 1 < total)
+        @pl.when(t + _NSLOTS - 1 < total)
         def _():
-            get_dma(nxt, t + 1).start()
+            get_dma((t + _NSLOTS - 1) % _NSLOTS, t + _NSLOTS - 1).start()
 
         get_dma(slot, t).wait()
         qi = t // nprobe
@@ -134,9 +139,9 @@ def _run(queries, probes, counts, emb3, ids2, k: int, nprobe: int, interpret: bo
             pl.BlockSpec((_QB, _KPAD), lambda i, probes, counts: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, s_bucket, d), emb3.dtype),
+            pltpu.VMEM((_NSLOTS, s_bucket, d), emb3.dtype),
             pltpu.VMEM((_QB, nprobe * s_bucket), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((_NSLOTS,)),
         ],
     )
     vals, poss = pl.pallas_call(
