@@ -1,0 +1,93 @@
+"""Direct format-codec round-trips: TOC, frame meta, segment manifests
+(reference: MV2STOCTests + FrameMetaTests)."""
+import pytest
+
+from wax_tpu.storage.codec import BinaryDecoder, CodecError
+from wax_tpu.storage.format import (
+    SegmentManifest,
+    StoreTOC,
+    decode_frame_meta,
+    encode_frame_meta,
+    sha256,
+)
+from wax_tpu.types import FrameMeta
+
+
+def _meta(fid: int, **kw) -> FrameMeta:
+    defaults = dict(
+        frame_id=fid,
+        timestamp_ms=1_700_000_000_000 + fid,
+        kind="document",
+        search_text=f"text {fid}",
+        metadata={"k": "v", "n": str(fid)},
+        tags=("a", "b"),
+        parent_id=None if fid == 0 else 0,
+        chunk_index=fid if fid else None,
+        chunk_count=3,
+        status="active",
+        supersedes=None,
+        superseded_by=None,
+    )
+    defaults.update(kw)
+    return FrameMeta(**defaults)
+
+
+class TestFrameMetaCodec:
+    def test_roundtrip_full(self):
+        m = _meta(7)
+        blob = encode_frame_meta(m, payload_offset=1234, payload_len=56, payload_sha=b"s" * 32, encoding=1)
+        got, off, ln, sha, enc = decode_frame_meta(BinaryDecoder(blob))
+        assert got == m and off == 1234 and ln == 56 and sha == b"s" * 32 and enc == 1
+
+    def test_roundtrip_minimal(self):
+        m = FrameMeta(frame_id=0, timestamp_ms=1)
+        blob = encode_frame_meta(m, 0, 0, b"\x00" * 32, 0)
+        got, *_ = decode_frame_meta(BinaryDecoder(blob))
+        assert got == m
+
+
+class TestTocCodec:
+    def _toc(self):
+        frames = tuple(
+            (_meta(i), 100 * i, 10, bytes([i]) * 32, 0) for i in range(4)
+        )
+        man = SegmentManifest(kind="lex", offset=999, length=42, sha=b"m" * 32, attrs={"docs": "4"})
+        return StoreTOC(
+            frames=frames,
+            manifests={"lex": man},
+            segment_catalog=(man,),
+            committed_seq=17,
+            generation=3,
+        )
+
+    def test_roundtrip(self):
+        toc = self._toc()
+        blob = toc.encode()
+        got = StoreTOC.decode(blob)
+        assert got.generation == 3 and got.committed_seq == 17
+        assert len(got.frames) == 4
+        assert got.frames[2][0] == toc.frames[2][0]
+        assert got.manifests["lex"].attrs == {"docs": "4"}
+        assert len(got.segment_catalog) == 1
+
+    def test_checksum_detects_corruption(self):
+        blob = bytearray(self._toc().encode())
+        blob[30] ^= 0xFF
+        with pytest.raises(CodecError):
+            StoreTOC.decode(bytes(blob))
+
+    def test_dense_id_enforcement(self):
+        frames = ((_meta(0), 0, 1, b"x" * 32, 0), (_meta(2), 1, 1, b"y" * 32, 0))
+        toc = StoreTOC(frames=frames, manifests={}, segment_catalog=(), committed_seq=0, generation=1)
+        with pytest.raises(CodecError):
+            toc.encode()
+
+
+class TestEmbedderResourceFailure:
+    def test_missing_checkpoint_raises(self, tmp_path):
+        """reference: MiniLMResourceFailureTests — a missing model resource is a loud
+        error, not a silent random init."""
+        from wax_tpu.embed.minilm import MiniLMConfig, load_hf_checkpoint
+
+        with pytest.raises(FileNotFoundError):
+            load_hf_checkpoint(tmp_path / "absent", MiniLMConfig())

@@ -211,18 +211,23 @@ def unified_search(engine: HybridSearchEngine, request: SearchRequest) -> Search
         )
 
     hits = []
-    for h in fused[: request.top_k]:
+    for i, h in enumerate(fused[: request.top_k]):
         content = engine.frames.content(h.frame_id) or ""
         snippet = make_snippet(content, signals.content_terms or tuple(analyze(request.query)))
-        diag = (
-            RankingDiagnostics(
+        diag = None
+        if request.include_diagnostics:
+            # which criterion separated this hit from its neighbor (reference:
+            # tie-break reason in RankingDiagnostics, UnifiedSearch.swift:203-263)
+            tie = "score"
+            prev = fused[i - 1] if i > 0 else None
+            if prev is not None and prev.score == h.score:
+                tie = "best_rank" if prev.best_rank != h.best_rank else "frame_id"
+            diag = RankingDiagnostics(
                 lane_ranks=dict(h.lane_ranks),
                 lane_scores=dict(h.lane_scores),
                 rrf_score=h.score,
+                tie_break=tie,
             )
-            if request.include_diagnostics
-            else None
-        )
         hits.append(
             SearchHit(
                 frame_id=h.frame_id,
