@@ -50,6 +50,35 @@ class TestConcurrencyStress:
         assert orch.store.verify(deep=True)["ok"]
         orch.close()
 
+    def test_concurrent_engine_searches(self, tmp_path):
+        """Parallel searches against one vector engine snapshot (the analogue of
+        MetalVectorEnginePoolTests' transient-buffer-pool stress)."""
+        import numpy as np
+
+        from wax_tpu.search.vector_engines import FlatVectorEngine
+
+        rng = np.random.default_rng(0)
+        eng = FlatVectorEngine(dim=64)
+        vecs = rng.standard_normal((2000, 64)).astype(np.float32)
+        eng.add_batch(np.arange(2000), vecs)
+        errors, results = [], {}
+
+        def searcher(tid):
+            try:
+                q = vecs[tid * 10 : tid * 10 + 4]
+                results[tid] = eng.search(q, 5)[1]
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=searcher, args=(t,)) for t in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors
+        for tid, fids in results.items():
+            assert (fids[:, 0] == np.arange(tid * 10, tid * 10 + 4)).all()
+
     def test_rapid_flush_cycles_under_writes(self, tmp_path):
         orch = MemoryOrchestrator(tmp_path / "f.wxs", HashEmbedder(64), CFG)
         errors: list[Exception] = []
