@@ -1,0 +1,162 @@
+"""Mesh-sharded IVF search: bucket slots distributed over the data axis.
+
+The multi-chip generalization of wax_tpu/index/ivf.py (the reference's vector engine is
+single-GPU Metal, MetalVectorEngine.swift:446-631, so this whole axis is new). Layout
+choice: each cluster's fixed-size bucket is split along its SLOT axis across the mesh —
+shard s holds slots [s*S/n, (s+1)*S/n) of EVERY bucket — rather than distributing whole
+clusters. Why: every query probes the same nprobe clusters on every shard, so the probe
+work divides exactly by the shard count with no load imbalance and no masked idle steps
+(cluster-distribution would force each shard through all nprobe static scan steps while
+owning ~nprobe/n of them on average). Centroids are tiny and stay replicated; the
+cross-shard candidate merge is the same ICI all-gather + top-k as the sharded flat scan
+(sharded_scan.py), riding ICI, not DCN.
+
+Determinism: the gathered candidate order is (shard, probe rank, slot) and the final
+top-k is stable, so results are identical run to run on a fixed mesh shape. Tie-breaks
+can differ from the single-chip `ivf_search_topk` order (which merges probe-by-probe)
+— scores themselves are exact either way.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from wax_tpu.index.ivf import IVFIndex
+from wax_tpu.ops.topk import NEG_INF
+from wax_tpu.parallel.mesh import DATA_AXIS
+
+__all__ = ["ShardedIVFIndex", "shard_ivf_index", "sharded_ivf_search_topk"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ShardedIVFIndex:
+    """Device-mesh IVF snapshot (pytree).
+
+    centroids: [C, d] replicated.
+    emb:       [C, S_pad, d] — slot axis sharded over the mesh data axis.
+    ids:       [C, S_pad] int32, -1 padding; slot-sharded.
+    bias:      [C, S_pad] f32 additive mask (0 live / NEG_INF padding); slot-sharded.
+    """
+
+    centroids: jax.Array
+    emb: jax.Array
+    ids: jax.Array
+    bias: jax.Array
+
+    @property
+    def n_clusters(self) -> int:
+        return self.centroids.shape[0]
+
+    @property
+    def bucket_size(self) -> int:
+        return self.emb.shape[1]
+
+
+def shard_ivf_index(index: IVFIndex, mesh: Mesh) -> ShardedIVFIndex:
+    """Lay a built IVFIndex out across the mesh, slot axis over the data axis.
+
+    Pads the bucket size to a multiple of the shard count; padding slots carry
+    NEG_INF bias and id -1, exactly like build-time bucket padding.
+    """
+    n_shards = mesh.shape[DATA_AXIS]
+    s = index.bucket_size
+    pad = (-s) % n_shards
+    emb, ids, bias = index.emb, index.ids, index.bias
+    if pad:
+        emb = jnp.pad(emb, ((0, 0), (0, pad), (0, 0)))
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+        bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
+    slot_sharded = NamedSharding(mesh, P(None, DATA_AXIS))
+    return ShardedIVFIndex(
+        centroids=jax.device_put(index.centroids, NamedSharding(mesh, P())),
+        emb=jax.device_put(emb, NamedSharding(mesh, P(None, DATA_AXIS, None))),
+        ids=jax.device_put(ids, slot_sharded),
+        bias=jax.device_put(bias, slot_sharded),
+    )
+
+
+def sharded_ivf_search_topk(
+    queries: jax.Array,
+    index: ShardedIVFIndex,
+    k: int,
+    mesh: Mesh,
+    nprobe: int = 8,
+):
+    """Distributed IVF top-k: replicated probe selection, sharded bucket scoring,
+    ICI all-gather candidate merge.
+
+    Args:
+      queries: [B, d] replicated query batch.
+      index: ShardedIVFIndex on `mesh`.
+      k: static top-k.
+      nprobe: buckets probed per query (same semantics as ivf_search_topk).
+
+    Returns:
+      (scores [B, k] f32, frame_ids [B, k] int32) replicated; -1 padded.
+    """
+    n_shards = mesh.shape[DATA_AXIS]
+    nprobe = min(nprobe, index.n_clusters)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            P(),
+            P(None, DATA_AXIS, None),
+            P(None, DATA_AXIS),
+            P(None, DATA_AXIS),
+        ),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def search(q, centroids, emb, ids, bias):
+        b = q.shape[0]
+        s_loc = emb.shape[1]  # local slot count = S_pad / n_shards
+        qf = q.astype(jnp.float32)
+        # probe selection is replicated work on a tiny [B, C] matrix
+        cscores = jax.lax.dot_general(
+            qf, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        _, probes = jax.lax.top_k(cscores, nprobe)  # [B, P] identical on every shard
+        kk = min(k, s_loc * nprobe)
+
+        def step(carry, probe_col):  # probe_col: [B] bucket ids at this probe rank
+            best_v, best_f = carry
+            cand = jnp.take(emb, probe_col, axis=0)  # [B, S_loc, d] local contiguous
+            cand_ids = jnp.take(ids, probe_col, axis=0)
+            cand_bias = jnp.take(bias, probe_col, axis=0)
+            scores = jnp.einsum("bd,bsd->bs", qf, cand.astype(jnp.float32)) + cand_bias
+            step_k = min(kk, s_loc)
+            v, pos = jax.lax.top_k(scores, step_k)
+            f = jnp.take_along_axis(cand_ids, pos, axis=-1)
+            mv, mpos = jax.lax.top_k(jnp.concatenate([best_v, v], axis=1), kk)
+            mf = jnp.take_along_axis(jnp.concatenate([best_f, f], axis=1), mpos, axis=1)
+            return (mv, mf), None
+
+        init = (
+            jnp.full((b, kk), NEG_INF, jnp.float32),
+            jnp.full((b, kk), -1, jnp.int32),
+        )
+        (vals, fids), _ = jax.lax.scan(step, init, jnp.transpose(probes))
+        # merge local candidates across shards: [S, B, kk] -> [B, S*kk]
+        av = jax.lax.all_gather(vals, DATA_AXIS)
+        af = jax.lax.all_gather(fids, DATA_AXIS)
+        av = jnp.transpose(av, (1, 0, 2)).reshape(b, n_shards * kk)
+        af = jnp.transpose(af, (1, 0, 2)).reshape(b, n_shards * kk)
+        kk_g = min(k, n_shards * kk)
+        mvals, pos = jax.lax.top_k(av, kk_g)
+        mfids = jnp.take_along_axis(af, pos, axis=-1)
+        mfids = jnp.where(mvals > NEG_INF * 0.5, mfids, -1)
+        if kk_g < k:
+            mvals = jnp.pad(mvals, ((0, 0), (0, k - kk_g)), constant_values=NEG_INF)
+            mfids = jnp.pad(mfids, ((0, 0), (0, k - kk_g)), constant_values=-1)
+        return mvals, mfids.astype(jnp.int32)
+
+    return search(queries, index.centroids, index.emb, index.ids, index.bias)
