@@ -103,6 +103,24 @@ class TestMcpTools:
         assert any(f["frame_id"] == r["document_id"] for f in tl["frames"])
         assert _call(server, "wax_forget", {"frame_id": r["document_id"]})["deleted"]
 
+    def test_search_filters_and_diagnostics(self, server):
+        a = _call(server, "wax_remember", {"content": "deploy notes for api", "metadata": {"team": "api"}})
+        _call(server, "wax_remember", {"content": "deploy notes for web", "metadata": {"team": "web"}})
+        hits = _call(
+            server, "wax_search",
+            {"query": "deploy notes", "metadata_filter": {"team": "api"}, "include_diagnostics": True},
+        )
+        assert hits["hits"], hits
+        assert all(h["frame_id"] != a["document_id"] or "diagnostics" in h for h in hits["hits"])
+        ids = {h["frame_id"] for h in hits["hits"]}
+        assert a["document_id"] in ids and len(ids) == 1  # web frame filtered out
+        d = hits["hits"][0]["diagnostics"]
+        assert "lane_ranks" in d and "rrf_score" in d and "tie_break" in d
+        assert "lane_counts" in hits
+        # frame_ids restriction
+        only = _call(server, "wax_search", {"query": "deploy notes", "frame_ids": [a["document_id"]]})
+        assert {h["frame_id"] for h in only["hits"]} <= {a["document_id"]}
+
     def test_tool_error_is_jsonrpc_error(self, server):
         resp = _rpc(server, "tools/call", {"name": "wax_nonexistent", "arguments": {}})
         assert "error" in resp

@@ -61,6 +61,24 @@ _TOOLS: list[dict] = [
                 "mode": {"type": "string", "enum": ["hybrid", "text", "vector"]},
                 "after_ms": {"type": "integer"},
                 "before_ms": {"type": "integer"},
+                "metadata_filter": {
+                    "type": "object",
+                    "additionalProperties": {"type": "string"},
+                    "description": "Exact-match metadata key/value filters applied after fusion.",
+                },
+                "frame_ids": {
+                    "type": "array",
+                    "items": {"type": "integer"},
+                    "description": "Restrict results to these frame ids.",
+                },
+                "as_of_ms": {
+                    "type": "integer",
+                    "description": "Bitemporal as-of for the structured-evidence lane.",
+                },
+                "include_diagnostics": {
+                    "type": "boolean",
+                    "description": "Attach per-hit lane ranks/scores, RRF score, and tie-break reason.",
+                },
             },
             "required": ["query"],
         },
@@ -328,20 +346,37 @@ class McpServer:
         tr = None
         if a.get("after_ms") is not None or a.get("before_ms") is not None:
             tr = TimeRange(a.get("after_ms"), a.get("before_ms"))
-        req = SearchRequest(query=a["query"], top_k=a.get("top_k", 10), mode=mode, time_range=tr)
+        req = SearchRequest(
+            query=a["query"],
+            top_k=a.get("top_k", 10),
+            mode=mode,
+            time_range=tr,
+            metadata_filter=a.get("metadata_filter"),
+            frame_filter=frozenset(a["frame_ids"]) if a.get("frame_ids") else None,
+            as_of_ms=a.get("as_of_ms"),
+            include_diagnostics=bool(a.get("include_diagnostics", False)),
+        )
         resp = self.orch.search(req)
-        return {
-            "query_type": resp.query_type.value,
-            "hits": [
-                {
-                    "frame_id": h.frame_id,
-                    "score": h.score,
-                    "preview": h.preview,
-                    "sources": [s.value for s in h.sources],
+        hits = []
+        for h in resp.hits:
+            row = {
+                "frame_id": h.frame_id,
+                "score": h.score,
+                "preview": h.preview,
+                "sources": [s.value for s in h.sources],
+            }
+            if h.diagnostics is not None:
+                row["diagnostics"] = {
+                    "lane_ranks": dict(h.diagnostics.lane_ranks),
+                    "lane_scores": dict(h.diagnostics.lane_scores),
+                    "rrf_score": h.diagnostics.rrf_score,
+                    "tie_break": h.diagnostics.tie_break,
                 }
-                for h in resp.hits
-            ],
-        }
+            hits.append(row)
+        out = {"query_type": resp.query_type.value, "hits": hits}
+        if a.get("include_diagnostics"):
+            out["lane_counts"] = dict(resp.lane_counts)
+        return out
 
     def _tool_wax_forget(self, a):
         return {"deleted": self.orch.forget(int(a["frame_id"]))}
