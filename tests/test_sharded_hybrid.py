@@ -106,3 +106,42 @@ class TestShardedHybrid:
         ff = np.asarray(ff)
         assert ff.shape == (3, 5)
         assert (ff[:, 0] >= 0).all()
+
+
+class TestShardedBm25Modes:
+    def test_all_mode_matches_single_chip(self, built):
+        dense, lex, emb = built
+        mesh = data_mesh(8)
+        snap = lex.snapshot()
+        sharded = shard_lex_index(lex, mesh, n_rows_global=int(snap.doc_len.shape[0]))
+        tids = jnp.asarray(pad_term_ids(lex.query_term_ids("quantum domain detail"))[None, :])
+        v_ref, _, f_ref = bm25_topk(tids, snap, 10, mode="all")
+        v_sh, f_sh = sharded_bm25_topk(tids, sharded, 10, mesh, mode="all")
+        ref = {(int(f), round(float(v), 4)) for f, v in zip(np.asarray(f_ref)[0], np.asarray(v_ref)[0]) if f >= 0}
+        got = {(int(f), round(float(v), 4)) for f, v in zip(np.asarray(f_sh)[0], np.asarray(v_sh)[0]) if f >= 0}
+        assert ref and ref == got
+
+
+class TestOrchestratorShardedLanes:
+    def test_results_match_default_config(self, tmp_path):
+        from wax_tpu.embed.hash_embedder import HashEmbedder
+        from wax_tpu.orchestrator.config import OrchestratorConfig
+        from wax_tpu.orchestrator.orchestrator import MemoryOrchestrator
+        from wax_tpu.storage.store import StoreOptions
+
+        docs = [f"note {i} about {TOPICS[i % len(TOPICS)]} with detail {i % 5}" for i in range(40)]
+        results = {}
+        for name, cfg in {
+            "default": OrchestratorConfig(store=StoreOptions(wal_size=512 * 1024)),
+            "sharded": OrchestratorConfig(store=StoreOptions(wal_size=512 * 1024), sharded_lanes=True),
+        }.items():
+            with MemoryOrchestrator(tmp_path / f"{name}.wxs", HashEmbedder(64), cfg) as orch:
+                for d in docs:
+                    orch.remember(d)
+                if name == "sharded":
+                    assert orch.engine.lex_sharded and orch.engine.vector.kind == "sharded"
+                results[name] = [
+                    [(h.frame_id, round(h.score, 6)) for h in orch.search(q).hits]
+                    for q in ("quantum detail", "river note", "market domain detail")
+                ]
+        assert results["sharded"] == results["default"]

@@ -35,6 +35,11 @@ class OrchestratorConfig:
     # "auto" | "flat" (exact fused scan) | "hnsw" (approximate graph) — mirrors the
     # reference's VectorEnginePreference {auto, metalPreferred, cpuOnly}
     vector_engine: str = "auto"
+    # distribute the heavy lanes (dense scan + BM25) over all local devices via the
+    # data mesh; host lanes (structured, temporal) and fusion/rerank are unchanged, so
+    # results match the single-chip path. With vector_engine="auto" this also selects
+    # the sharded flat scan.
+    sharded_lanes: bool = False
     enable_structured_memory: bool = True
     enable_access_stats: bool = True
     chunking: ChunkingStrategy = field(default_factory=ChunkingStrategy)

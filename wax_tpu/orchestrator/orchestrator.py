@@ -152,7 +152,12 @@ class MemoryOrchestrator:
                 if self.structured is not None
                 else None
             ),
-            vector_preference=config.vector_engine,
+            vector_preference=(
+                "sharded"
+                if config.sharded_lanes and config.vector_engine == "auto"
+                else config.vector_engine
+            ),
+            lex_sharded=config.sharded_lanes,
         )
         self.access_stats = AccessStats()
         self._access_stats_frame: int | None = None

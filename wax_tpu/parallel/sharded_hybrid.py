@@ -126,8 +126,12 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
     )
 
 
-def _local_bm25(term_ids, lex_shard, avgdl, w):
-    """[B, Q] term ids -> [B, N_local] scores on one shard (arrays have no shard dim)."""
+def _local_bm25(term_ids, lex_shard, avgdl, w, mode="any"):
+    """[B, Q] term ids -> [B, N_local] scores on one shard (arrays have no shard dim).
+
+    "all" mode (FTS5 implicit-AND parity, ops/bm25.py) masks locally: a document lives
+    wholly on one shard, so the per-shard matched-term count is the global one.
+    """
     doc_rows, tfs, offsets, idf, doc_len, live = lex_shard
     b, q = term_ids.shape
     n_local = doc_len.shape[0]
@@ -144,10 +148,18 @@ def _local_bm25(term_ids, lex_shard, avgdl, w):
     idf_q = jnp.take(idf, safe)[..., None]
     denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
     contrib = jnp.where(valid, idf_q * (tf * (BM25_K1 + 1.0)) / jnp.maximum(denom, 1e-9), 0.0)
+    flat_rows = rows.reshape(b, q * w)
     scores = jnp.zeros((b, n_local), jnp.float32)
-    scores = scores.at[jnp.arange(b)[:, None], rows.reshape(b, q * w)].add(
+    scores = scores.at[jnp.arange(b)[:, None], flat_rows].add(
         contrib.reshape(b, q * w), mode="drop"
     )
+    if mode == "all":
+        hits = jnp.zeros((b, n_local), jnp.float32)
+        hits = hits.at[jnp.arange(b)[:, None], flat_rows].add(
+            jnp.where(valid, 1.0, 0.0).reshape(b, q * w), mode="drop"
+        )
+        n_terms = jnp.sum(valid_term, axis=1, keepdims=True).astype(jnp.float32)
+        scores = jnp.where(hits >= n_terms, scores, 0.0)
     return jnp.where(live[None, :], scores, 0.0)
 
 
@@ -162,8 +174,12 @@ def _gather_merge(vals, fids, k, n_shards, axis):
     return mv, jnp.where(mv > NEG_INF * 0.5, mf, -1)
 
 
-def sharded_bm25_topk(term_ids, lex: ShardedLexIndex, k: int, mesh: Mesh):
-    """Distributed BM25 top-k: per-shard scatter-add scoring + ICI merge."""
+def sharded_bm25_topk(term_ids, lex: ShardedLexIndex, k: int, mesh: Mesh, mode: str = "any"):
+    """Distributed BM25 top-k: per-shard scatter-add scoring + ICI merge.
+
+    mode: "any" (OR) or "all" (implicit-AND, FTS5 parity) — same semantics as the
+    single-chip ops/bm25.py:bm25_topk.
+    """
     n_shards = mesh.shape[DATA_AXIS]
     w = lex.max_df
 
@@ -176,7 +192,7 @@ def sharded_bm25_topk(term_ids, lex: ShardedLexIndex, k: int, mesh: Mesh):
     )
     def run2(tids, doc_rows, tfs, offsets, idf, doc_len, live, frame_ids):
         shard = (doc_rows[0], tfs[0], offsets[0], idf[0], doc_len[0], live[0])
-        scores = _local_bm25(tids, shard, lex.avgdl, w)
+        scores = _local_bm25(tids, shard, lex.avgdl, w, mode=mode)
         kk = min(k, scores.shape[1])
         vals, rows = jax.lax.top_k(jnp.where(scores > 0, scores, NEG_INF), kk)
         gfids = jnp.where(vals > NEG_INF * 0.5, jnp.take(frame_ids[0], jnp.maximum(rows, 0)), -1)

@@ -41,6 +41,8 @@ class HybridSearchEngine:
         structured_evidence: Callable[[str, int | None], list[int]] | None = None,
         vector_preference: str = "auto",
         vector_kwargs: dict | None = None,
+        lex_sharded: bool = False,
+        mesh=None,
     ):
         if dim is None:
             if embedder is None:
@@ -56,6 +58,17 @@ class HybridSearchEngine:
         self.structured_evidence = structured_evidence
         self._lex_snap: LexIndex | None = None
         self._lex_gen = -1
+        # distributed BM25 lane: shard the CSR postings over the data mesh and merge
+        # candidates over ICI (parallel/sharded_hybrid.py); single-device meshes
+        # degrade gracefully to one shard
+        self.lex_sharded = lex_sharded
+        self.mesh = mesh
+        if lex_sharded and mesh is None:
+            from wax_tpu.parallel.mesh import data_mesh
+
+            self.mesh = data_mesh()
+        self._lex_sharded_snap = None
+        self._lex_sharded_gen = -1
         self.stats = {"lex_snapshots": 0}
 
     # -- ingest ------------------------------------------------------------------------
@@ -79,6 +92,17 @@ class HybridSearchEngine:
             self._lex_gen = self.lex.generation
             self.stats["lex_snapshots"] += 1
         return self._lex_snap
+
+    def lex_sharded_snapshot(self):
+        """Mesh-sharded CSR snapshot, cached per builder generation (like lex_snapshot)."""
+        if self._lex_sharded_snap is None or self._lex_sharded_gen != self.lex.generation:
+            from wax_tpu.parallel.sharded_hybrid import shard_lex_index
+
+            n_rows = int(self.lex_snapshot().doc_len.shape[0])
+            self._lex_sharded_snap = shard_lex_index(self.lex, self.mesh, n_rows)
+            self._lex_sharded_gen = self.lex.generation
+            self.stats["lex_snapshots"] += 1
+        return self._lex_sharded_snap
 
     def embed_query(self, text: str) -> np.ndarray | None:
         if self.embedder is None:

@@ -66,15 +66,25 @@ def make_snippet(content: str, terms: tuple[str, ...], radius: int = 80, max_len
     return ("…" if start > 0 else "") + snippet
 
 
+def _bm25_run(engine: HybridSearchEngine, padded, fetch_k: int, mode: str):
+    """One BM25 top-k pass, dispatched to the sharded lane when configured."""
+    if engine.lex_sharded:
+        from wax_tpu.parallel.sharded_hybrid import sharded_bm25_topk
+
+        vals, fids = sharded_bm25_topk(padded, engine.lex_sharded_snapshot(), fetch_k, engine.mesh, mode=mode)
+        return vals, fids
+    vals, _, fids = bm25_topk(padded, engine.lex_snapshot(), fetch_k, mode=mode)
+    return vals, fids
+
+
 def _bm25_lane(engine: HybridSearchEngine, query: str, fetch_k: int) -> list[tuple[int, float]]:
     """Implicit-AND primary query + OR-expanded fallback, primary hits first
     (reference: UnifiedSearch.swift:98-138)."""
     tids = engine.lex.query_term_ids(query)
     if not tids:
         return []
-    snap = engine.lex_snapshot()
     padded = jnp.asarray(pad_term_ids(tids)[None, :])
-    vals_a, _, fids_a = bm25_topk(padded, snap, fetch_k, mode="all")
+    vals_a, fids_a = _bm25_run(engine, padded, fetch_k, "all")
     primary = [
         (int(f), float(v))
         for f, v in zip(np.asarray(fids_a)[0], np.asarray(vals_a)[0])
@@ -82,7 +92,7 @@ def _bm25_lane(engine: HybridSearchEngine, query: str, fetch_k: int) -> list[tup
     ]
     if len(primary) >= fetch_k or len(tids) <= 1:
         return primary
-    vals_o, _, fids_o = bm25_topk(padded, snap, fetch_k, mode="any")
+    vals_o, fids_o = _bm25_run(engine, padded, fetch_k, "any")
     seen = {f for f, _ in primary}
     fallback = [
         (int(f), float(v))
