@@ -160,3 +160,45 @@ class TestPhotoRAG:
     def test_gps_bin(self):
         assert gps_bin(41.39222, 2.17111) == gps_bin(41.39, 2.17)
         assert gps_bin(41.39, 2.17) != gps_bin(40.71, -74.0)
+
+
+class TestMultimodalMaintenance:
+    """Forget + live-set rewrite through the multimodal wrappers (the scheduled
+    maintenance policy of the inner store applies to video/photo frames)."""
+
+    def test_video_forget_and_rewrite_remaps_roots(self, tmp_path):
+        spans_a = [TranscriptSpan(0, 9_000, "alpha topic segment")]
+        spans_b = [TranscriptSpan(0, 9_000, "bravo topic segment")]
+        with VideoRAGOrchestrator(tmp_path / "v.wxs", HashEmbedder(64), VideoRAGConfig(orchestrator=_OC)) as v:
+            v.ingest("vid-a", 10_000, StubTranscript(spans_a))
+            v.ingest("vid-b", 10_000, StubTranscript(spans_b))
+            assert v.forget("vid-a")
+            assert not v.forget("vid-a")  # already gone
+            v.flush()
+            report = v.inner.maintainer.rewrite_live_set()
+            assert report.executed and report.frames_after < report.frames_before
+            # surviving root id was remapped and recall still works
+            assert "vid-b" in v._ingested and "vid-a" not in v._ingested
+            root_meta = v.inner.store.frame_meta(v._ingested["vid-b"])
+            assert root_meta.metadata["video_id"] == "vid-b"
+            hits = v.recall("bravo topic")
+            assert hits and hits[0].video_id == "vid-b"
+            assert not [h for h in v.recall("alpha topic") if h.video_id == "vid-a"]
+            # re-ingest of the forgotten video is NOT a duplicate skip
+            res = v.ingest("vid-a", 10_000, StubTranscript(spans_a))
+            assert not res.skipped_duplicate
+
+    def test_photo_forget_and_rewrite_remaps_roots(self, tmp_path):
+        emb = DeterministicMultimodalEmbedder()
+        cfg = PhotoRAGConfig(orchestrator=_OC)
+        with PhotoRAGOrchestrator(tmp_path / "p.wxs", embedder=emb, config=cfg) as p:
+            p.ingest("img-1", image="sunset", caption_text="a sunset over the bay")
+            p.ingest("img-2", image="mountain", caption_text="a mountain trail hike")
+            assert p.forget("img-1")
+            p.flush()
+            report = p.inner.maintainer.rewrite_live_set()
+            assert report.executed
+            assert "img-2" in p._ingested and "img-1" not in p._ingested
+            hits = p.recall("mountain trail")
+            assert hits and hits[0].asset_id == "img-2"
+            assert not [h for h in p.recall("sunset bay") if h.asset_id == "img-1"]

@@ -151,6 +151,23 @@ class TestMcpTools:
         hits2 = _call(server, "wax_photo_recall", {"query": "pier sign", "near": [37.8001, -122.4102]})["hits"]
         assert hits2 and hits2[0]["asset_id"] == "p1"
 
+    def test_multimodal_forget(self, server):
+        _call(server, "wax_video_ingest", {
+            "video_id": "vdel",
+            "duration_ms": 10_000,
+            "transcript": [{"start_ms": 0, "end_ms": 9_000, "text": "deletable clip"}],
+        })
+        assert _call(server, "wax_video_forget", {"video_id": "vdel"})["deleted"]
+        assert not _call(server, "wax_video_forget", {"video_id": "vdel"})["deleted"]
+        assert not any(
+            h["video_id"] == "vdel" for h in _call(server, "wax_video_recall", {"query": "deletable clip"})["hits"]
+        )
+        _call(server, "wax_photo_ingest", {"asset_id": "pdel", "caption": "deletable photo"})
+        assert _call(server, "wax_photo_forget", {"asset_id": "pdel"})["deleted"]
+        assert not any(
+            h["asset_id"] == "pdel" for h in _call(server, "wax_photo_recall", {"query": "deletable photo"})["hits"]
+        )
+
 
 class TestCli:
     def test_remember_search_verify(self, tmp_path, capsys):

@@ -89,6 +89,22 @@ class PhotoRAGOrchestrator:
         for m in self.inner.store.timeline(include_superseded=True):
             if m.kind == PHOTO_ROOT_KIND and m.metadata.get("pipeline") == PIPELINE_VERSION:
                 self._ingested[m.metadata.get("asset_id", "")] = m.frame_id
+        # keep root-frame ids valid across scheduled live-set rewrites (which renumber
+        # the dense id space — orchestrator/maintenance.py)
+        self.inner.maintainer.remap_listeners.append(self._on_remap)
+
+    def _on_remap(self, remap: dict[int, int]) -> None:
+        self._ingested = {
+            aid: remap[fid] for aid, fid in self._ingested.items() if fid in remap
+        }
+
+    def forget(self, asset_id: str) -> bool:
+        """Delete an asset's root/caption/OCR frames; space is reclaimed by the
+        scheduled live-set rewrite of the inner store."""
+        root = self._ingested.pop(asset_id, None)
+        if root is None:
+            return False
+        return self.inner.forget(root)
 
     # ---------------------------------------------------------------------- ingest ----
     def ingest(

@@ -59,6 +59,14 @@ class VideoRAGOrchestrator:
         self.inner = MemoryOrchestrator(store_path, embedder, config.orchestrator)
         self._ingested: dict[str, int] = {}
         self._load_ingested()
+        # keep root-frame ids valid across scheduled live-set rewrites (which renumber
+        # the dense id space — orchestrator/maintenance.py)
+        self.inner.maintainer.remap_listeners.append(self._on_remap)
+
+    def _on_remap(self, remap: dict[int, int]) -> None:
+        self._ingested = {
+            vid: remap[fid] for vid, fid in self._ingested.items() if fid in remap
+        }
 
     def _load_ingested(self) -> None:
         for m in self.inner.store.timeline(include_superseded=True):
@@ -162,6 +170,15 @@ class VideoRAGOrchestrator:
             if len(hits) >= top_k:
                 break
         return hits
+
+    def forget(self, video_id: str) -> bool:
+        """Delete a video's root and segment frames; space is reclaimed by the
+        scheduled live-set rewrite (reference: the maintenance policy of the inner
+        store applies to multimodal frames identically)."""
+        root = self._ingested.pop(video_id, None)
+        if root is None:
+            return False
+        return self.inner.forget(root)
 
     def flush(self) -> int:
         return self.inner.flush()

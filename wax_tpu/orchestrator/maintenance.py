@@ -53,6 +53,9 @@ class Maintainer:
         self.orch = orch
         self._last_rewrite_ms = 0
         self._flushes_since_rewrite = 0
+        # callbacks invoked with the old->new frame-id map after a live-set rewrite;
+        # wrappers holding frame ids (video/photo orchestrators) register here
+        self.remap_listeners: list = []
 
     # ------------------------------------------------------------- surrogates ----
     def optimize_surrogates(self, tier: SurrogateTier = SurrogateTier.GIST) -> MaintenanceReport:
@@ -287,6 +290,9 @@ class Maintainer:
                         (fact_id, remap[fid]),
                     )
             orch.structured.conn.commit()
+
+        for listener in self.remap_listeners:
+            listener(remap)
 
     # ------------------------------------------------------------- scheduling ----
     def note_flush(self) -> None:

@@ -156,6 +156,15 @@ _MULTIMODAL_TOOLS: list[dict] = [
         },
     },
     {
+        "name": "wax_video_forget",
+        "description": "Delete an ingested video (root + segment frames).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"video_id": {"type": "string"}},
+            "required": ["video_id"],
+        },
+    },
+    {
         "name": "wax_photo_ingest",
         "description": "Ingest a photo asset via host-supplied caption/OCR text.",
         "inputSchema": {
@@ -168,6 +177,15 @@ _MULTIMODAL_TOOLS: list[dict] = [
                 "gps": {"type": "array", "items": {"type": "number"}, "minItems": 2, "maxItems": 2},
                 "thumbnail_ref": {"type": "string"},
             },
+            "required": ["asset_id"],
+        },
+    },
+    {
+        "name": "wax_photo_forget",
+        "description": "Delete an ingested photo asset (root/caption/OCR frames).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {"asset_id": {"type": "string"}},
             "required": ["asset_id"],
         },
     },
@@ -447,6 +465,12 @@ class McpServer:
                 for h in hits
             ]
         }
+
+    def _tool_wax_video_forget(self, a):
+        return {"deleted": self._video_rag().forget(a["video_id"])}
+
+    def _tool_wax_photo_forget(self, a):
+        return {"deleted": self._photo_rag().forget(a["asset_id"])}
 
     def _tool_wax_photo_ingest(self, a):
         gps = tuple(a["gps"]) if a.get("gps") else None
