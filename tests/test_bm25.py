@@ -5,6 +5,8 @@ analyzed corpus — the analogue of the reference's FTS5 ranking tests.
 """
 import math
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -127,3 +129,63 @@ class TestScoring:
     def test_score_from_rank_mapping(self):
         assert score_from_rank(-2.0) == pytest.approx(1.0 / 3.0)
         assert score_from_rank(0.0) == 1.0
+
+
+class TestPostingsBudget:
+    """Impact-ordered per-term postings cap (index/lex.py postings_budget)."""
+
+    def _docs(self):
+        # "common" appears in every doc; shorter docs score higher (BM25 length norm)
+        docs = []
+        for i in range(300):
+            filler = " filler" * (i % 30)
+            docs.append((i, f"common token document {i}{filler}"))
+        return docs
+
+    def test_no_budget_is_exact_baseline(self):
+        from wax_tpu.index.lex import LexIndexBuilder
+
+        b1 = LexIndexBuilder()
+        b2 = LexIndexBuilder(postings_budget=10_000)  # larger than any df
+        for fid, text in self._docs():
+            b1.add(fid, text)
+            b2.add(fid, text)
+        s1, s2 = b1.snapshot(), b2.snapshot()
+        assert s1.max_df == s2.max_df
+        tids = jnp.asarray(pad_term_ids(b1.query_term_ids("common token"))[None, :])
+        v1, _, f1 = bm25_topk(tids, s1, 10)
+        v2, _, f2 = bm25_topk(tids, s2, 10)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2))
+
+    def test_budget_caps_w_and_keeps_top_ranked(self):
+        from wax_tpu.index.lex import LexIndexBuilder
+
+        full = LexIndexBuilder()
+        capped = LexIndexBuilder(postings_budget=64)
+        for fid, text in self._docs():
+            full.add(fid, text)
+            capped.add(fid, text)
+        sf, sc = full.snapshot(), capped.snapshot()
+        assert sf.max_df >= 300 and sc.max_df == 128  # 64 rounded up to lane width
+        tids = jnp.asarray(pad_term_ids(full.query_term_ids("common"))[None, :])
+        vf, _, ff = bm25_topk(tids, sf, 10)
+        vc, _, fc = bm25_topk(tids, sc, 10)
+        # single-term query: impact ordering keeps the highest-contribution postings,
+        # so the top-10 is EXACTLY the exhaustive top-10
+        np.testing.assert_array_equal(np.asarray(ff), np.asarray(fc))
+        np.testing.assert_allclose(np.asarray(vf), np.asarray(vc), rtol=1e-6)
+
+    def test_budget_drops_tombstones_first(self):
+        from wax_tpu.index.lex import LexIndexBuilder
+
+        b = LexIndexBuilder(postings_budget=4)
+        for fid in range(8):
+            b.add(fid, f"shared term plus unique{fid}")
+        for fid in range(6):
+            b.remove(fid)  # only rows 6, 7 stay live
+        snap = b.snapshot()
+        tids = jnp.asarray(pad_term_ids(b.query_term_ids("shared term"))[None, :])
+        _, _, fids = bm25_topk(tids, snap, 4)
+        got = {int(f) for f in np.asarray(fids)[0] if f >= 0}
+        assert got == {6, 7}

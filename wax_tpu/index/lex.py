@@ -98,7 +98,16 @@ class LexIndexBuilder:
     (FTS5SearchEngine.swift:503-543)).
     """
 
-    def __init__(self):
+    def __init__(self, postings_budget: int | None = None):
+        # Optional per-term postings cap for the device scoring budget W (= max_df).
+        # When a term's list exceeds it, the snapshot keeps the postings with the
+        # HIGHEST exact BM25 contribution (impact ordering — the idf factor is a
+        # per-term constant, so ordering by the tf/length normalization alone is
+        # equivalent), i.e. the standard impact-ordered early-termination trade:
+        # single-term rankings stay exact down to `budget` hits; multi-term scores
+        # can only be underestimated for documents outside a term's impact head.
+        # None (default) keeps every posting — scoring is exhaustive and exact.
+        self.postings_budget = postings_budget
         self._vocab: dict[str, int] = {}
         self._postings: list[dict[int, int]] = []  # tid -> {row: tf}
         self._doc_terms: list[list[str]] = []  # kept for vocab gc on rebuild
@@ -181,8 +190,28 @@ class LexIndexBuilder:
         avgdl = float(doc_len[:n][np.asarray(self._active, bool)].sum() / live) if n else 1.0
         avgdl = max(avgdl, 1e-6)
 
+        budget = self.postings_budget
+        kept: list[list[int]] = []
+        for plist in self._postings:
+            rows = sorted(plist.keys())
+            if budget is not None and len(rows) > budget:
+                # impact-ordered truncation: keep the postings whose exact BM25
+                # contribution is largest (tombstoned rows are dropped first);
+                # ties break by row index for determinism
+                def _impact(r: int, pl=plist) -> float:
+                    if not self._active[r]:
+                        return -1.0
+                    tf = pl[r]
+                    return tf * (BM25_K1 + 1.0) / (
+                        tf + BM25_K1 * (1.0 - BM25_B + BM25_B * self._doc_len[r] / avgdl)
+                    )
+
+                rows = sorted(rows, key=lambda r: (-_impact(r), r))[:budget]
+                rows.sort()
+            kept.append(rows)
+
         offsets = np.zeros(t + 1, np.int32)
-        sizes = [len(p) for p in self._postings]
+        sizes = [len(rows) for rows in kept]
         offsets[1:] = np.cumsum(sizes, dtype=np.int64).astype(np.int32)
         p_total = int(offsets[-1])
         p_cap = max(128, _round_up(max(p_total, 1), 128))
@@ -190,13 +219,15 @@ class LexIndexBuilder:
         tfs = np.zeros(p_cap, np.float32)
         idf = np.zeros(max(t, 1), np.float32)
         n_live = live
-        for tid, plist in enumerate(self._postings):
+        for tid, rows in enumerate(kept):
             off = offsets[tid]
-            rows = sorted(plist.keys())
+            plist = self._postings[tid]
             for i, r in enumerate(rows):
                 doc_rows[off + i] = r
                 tfs[off + i] = plist[r]
-            df = sum(1 for r in rows if self._active[r])
+            # idf from the FULL document frequency (truncation changes which postings
+            # are scored, never the statistics they are scored with)
+            df = sum(1 for r in plist if self._active[r])
             # BM25+ idf (Lucene/FTS5-style, always positive)
             idf[tid] = np.log((n_live - df + 0.5) / (df + 0.5) + 1.0)
         max_df = int(max(sizes)) if sizes else 0
@@ -223,7 +254,7 @@ class LexIndexBuilder:
             for fid, terms, alive in zip(self._frame_ids, self._doc_terms, self._active)
             if alive and fid >= 0
         ]
-        fresh = LexIndexBuilder()
+        fresh = LexIndexBuilder(postings_budget=self.postings_budget)
         for fid, terms in items:
             # re-add from stored analysis (no re-analyze cost)
             row = len(fresh._doc_len)

@@ -15,7 +15,9 @@ Semantics:
 
 Work per query batch: B x Q x W gathers + one scatter-add. For the 10K-doc headline
 config this is microseconds; for sharded corpora each shard scores its own rows
-(wax_tpu/parallel/sharded_scan.py).
+(wax_tpu/parallel/sharded_scan.py). At 1M+ docs a common term can make W huge —
+`LexIndexBuilder(postings_budget=...)` caps each term's list via impact-ordered
+truncation (index/lex.py) so W stays bounded at a controlled, documented recall trade.
 """
 from __future__ import annotations
 

@@ -40,6 +40,10 @@ class OrchestratorConfig:
     # results match the single-chip path. With vector_engine="auto" this also selects
     # the sharded flat scan.
     sharded_lanes: bool = False
+    # per-term postings cap for device BM25 (impact-ordered truncation, index/lex.py).
+    # None = exhaustive exact scoring; set (e.g. 4096) for 1M+ corpora where common
+    # terms would otherwise blow up the static scoring budget W = max_df.
+    lex_postings_budget: int | None = None
     enable_structured_memory: bool = True
     enable_access_stats: bool = True
     chunking: ChunkingStrategy = field(default_factory=ChunkingStrategy)

@@ -225,7 +225,7 @@ class Maintainer:
 
         old_lex = orch.engine.lex
         state = old_lex.state()
-        fresh = LexIndexBuilder()
+        fresh = LexIndexBuilder(postings_budget=old_lex.postings_budget)
         for terms, fid, active in zip(state["doc_terms"], state["frame_ids"], state["active"]):
             if not active or fid not in remap:
                 continue

@@ -158,6 +158,7 @@ class MemoryOrchestrator:
                 else config.vector_engine
             ),
             lex_sharded=config.sharded_lanes,
+            lex_postings_budget=config.lex_postings_budget,
         )
         self.access_stats = AccessStats()
         self._access_stats_frame: int | None = None
@@ -186,6 +187,8 @@ class MemoryOrchestrator:
         if lex_blob is not None and self.config.enable_text_search:
             attrs = self.store.toc.manifests["lex"].attrs
             self.engine.lex = deserialize_lex(lex_blob, attrs)
+            # the budget is runtime config, not persisted state — re-apply after load
+            self.engine.lex.postings_budget = self.config.lex_postings_budget
         vec_blob = self.store.read_segment("vec")
         if vec_blob is not None and self.config.enable_vector_search:
             attrs = self.store.toc.manifests["vec"].attrs

@@ -43,6 +43,7 @@ class HybridSearchEngine:
         vector_kwargs: dict | None = None,
         lex_sharded: bool = False,
         mesh=None,
+        lex_postings_budget: int | None = None,
     ):
         if dim is None:
             if embedder is None:
@@ -54,7 +55,7 @@ class HybridSearchEngine:
         if vector_preference in ("auto", "flat"):
             kw.setdefault("similarity", similarity)
         self.vector: VectorEngine = make_vector_engine(vector_preference, dim=dim, **kw)
-        self.lex = LexIndexBuilder()
+        self.lex = LexIndexBuilder(postings_budget=lex_postings_budget)
         self.structured_evidence = structured_evidence
         self._lex_snap: LexIndex | None = None
         self._lex_gen = -1
