@@ -227,6 +227,27 @@ class StoreTOC:
     committed_seq: int
     generation: int
 
+    def merkle_root(self) -> bytes:
+        """Merkle root over all committed content hashes (reference: MV2STOC.swift:42
+        carries a merkle root next to the TOC checksum).
+
+        Leaves are the per-frame payload sha256s followed by the segment-catalog
+        sha256s, each re-hashed for domain separation, then reduced pairwise (odd
+        node pairs with itself). Lets an auditor prove any single payload against
+        one 32-byte commitment without re-reading the whole file.
+        """
+        leaves = [sha for (_m, _o, _l, sha, _e) in self.frames]
+        leaves += [seg.sha for seg in self.segment_catalog]
+        if not leaves:
+            return b"\x00" * 32
+        level = [sha256(leaf) for leaf in leaves]
+        while len(level) > 1:
+            level = [
+                sha256(level[i] + (level[i + 1] if i + 1 < len(level) else level[i]))
+                for i in range(0, len(level), 2)
+            ]
+        return level[0]
+
     def encode(self) -> bytes:
         e = BinaryEncoder()
         e.raw(b"WXSTOC01").u32(FORMAT_VERSION)
@@ -242,6 +263,7 @@ class StoreTOC:
         e.u32(len(self.segment_catalog))
         for seg in self.segment_catalog:
             seg.encode(e)
+        e.raw(self.merkle_root())
         body = e.data()
         return body + sha256(body)
 
@@ -266,7 +288,11 @@ class StoreTOC:
             m = SegmentManifest.decode(d)
             manifests[m.kind] = m
         catalog = tuple(SegmentManifest.decode(d) for _ in range(d.u32()))
-        return cls(tuple(frames), manifests, catalog, committed_seq, generation)
+        toc = cls(tuple(frames), manifests, catalog, committed_seq, generation)
+        stored_root = d.raw(32)
+        if stored_root != toc.merkle_root():
+            raise CodecError("TOC merkle root mismatch")
+        return toc
 
     @classmethod
     def empty(cls) -> "StoreTOC":

@@ -651,15 +651,23 @@ class WaxStore:
     # ------------------------------------------------------------------ inspection ----
     def verify(self, deep: bool = False) -> dict:
         """Integrity check (reference: Wax.swift:2123)."""
-        report = {"frames": self.frame_count(), "generation": self.toc.generation, "errors": []}
+        report = {
+            "frames": self.frame_count(),
+            "generation": self.toc.generation,
+            "merkle_root": self.toc.merkle_root().hex(),
+            "errors": [],
+        }
         if deep:
+            actual_shas = []
             for fid in range(self.frame_count()):
                 rec = self._frame_record(fid)
                 if rec is None:
                     continue
                 _, off, ln, sha, _ = rec
                 try:
-                    if sha256(self.fd.pread_exact(off, ln)) != sha:
+                    actual = sha256(self.fd.pread_exact(off, ln))
+                    actual_shas.append(actual)
+                    if actual != sha:
                         report["errors"].append(f"frame {fid} payload hash mismatch")
                 except OSError as e:
                     report["errors"].append(f"frame {fid} unreadable: {e}")
@@ -668,6 +676,15 @@ class WaxStore:
                     self.read_segment(kind)
                 except StoreError as e:
                     report["errors"].append(str(e))
+            # the merkle commitment must match what the file actually contains
+            rebuilt = self.toc.with_updates(
+                frames=tuple(
+                    (m, o, l, a, e)
+                    for (m, o, l, _s, e), a in zip(self.toc.frames, actual_shas)
+                )
+            ).merkle_root()
+            if len(actual_shas) == len(self.toc.frames) and rebuilt != self.toc.merkle_root():
+                report["errors"].append("merkle root does not match file contents")
         report["ok"] = not report["errors"]
         return report
 
