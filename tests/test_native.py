@@ -78,3 +78,38 @@ class TestCppBuilder:
 
         eng = HNSWVectorEngine(dim=16)
         assert isinstance(eng.builder, CppHNSWBuilder)
+
+
+class TestNativeBpe:
+    """C++ BPE merge core parity with the Python loop (text/bpe.py)."""
+
+    def test_batch_parity_with_python(self):
+        import random
+        import string
+
+        from wax_tpu.text.bpe import BpeEncoder, load_cl100k
+
+        enc = load_cl100k()
+        if not enc.exact:
+            pytest.skip("cl100k vocab data not present on this machine")
+        if enc._native_handle() is None:
+            pytest.skip("native toolchain unavailable")
+        py = BpeEncoder(enc.ranks)
+        py._native_tried = True  # pin the pure-Python path
+        rng = random.Random(7)
+        samples = [
+            "".join(rng.choice(string.ascii_letters + string.digits + " .,!?'é中")
+                    for _ in range(rng.randint(1, 40)))
+            for _ in range(400)
+        ] + ["truetrue", "don't stop", "   ", "\n\n\t", "ё" * 15, "12345678901234"]
+        for s in samples:
+            assert enc.encode(s) == py.encode(s), repr(s)
+
+    def test_native_roundtrip(self):
+        from wax_tpu.text.bpe import load_cl100k
+
+        enc = load_cl100k()
+        if not enc.exact or enc._native_handle() is None:
+            pytest.skip("exact vocab or toolchain unavailable")
+        s = "The quick brown fox — 2026 edition! Привет 你好."
+        assert enc.decode(enc.encode(s)) == s

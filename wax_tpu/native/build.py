@@ -17,7 +17,7 @@ from pathlib import Path
 __all__ = ["load_library", "native_available"]
 
 _SRC_DIR = Path(__file__).parent
-_SOURCES = ["hnsw.cpp", "lz4.cpp"]
+_SOURCES = ["hnsw.cpp", "lz4.cpp", "bpe.cpp"]
 _LIB_BASENAME = "libwaxnative"
 
 _loaded: ctypes.CDLL | None = None

@@ -79,6 +79,10 @@ class BpeEncoder:
             self._pat = regex.compile(pattern)
         else:
             self._pat = None
+        # native merge core (reference keeps BPE native — NativeBpeTokenizer.swift);
+        # built lazily on first encode so import stays cheap, Python loop otherwise
+        self._native = None
+        self._native_tried = False
 
     # -- construction -----------------------------------------------------------------
     @classmethod
@@ -102,6 +106,86 @@ class BpeEncoder:
         return cls(ranks, pattern=None, name="byte-fallback")
 
     # -- encoding ---------------------------------------------------------------------
+    def _native_handle(self):
+        """Build (once) the C++ merge table; None when the toolchain is unavailable."""
+        if self._native_tried:
+            return self._native
+        self._native_tried = True
+        if not self.exact:
+            return None
+        try:
+            import ctypes
+
+            import numpy as np
+
+            from wax_tpu.native.build import load_library
+
+            lib = load_library()
+            if lib is None or not hasattr(lib, "wax_bpe_create"):
+                return None
+            lib.wax_bpe_create.restype = ctypes.c_void_p
+            lib.wax_bpe_create.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+            ]
+            lib.wax_bpe_encode_piece.restype = ctypes.c_int32
+            lib.wax_bpe_encode_piece.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+            ]
+            lib.wax_bpe_encode_batch.restype = ctypes.c_int32
+            lib.wax_bpe_encode_batch.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32,
+            ]
+            keys = list(self.ranks.items())
+            blob = b"".join(k for k, _ in keys)
+            lens = np.asarray([len(k) for k, _ in keys], np.int32)
+            rks = np.asarray([r for _, r in keys], np.int32)
+            handle = lib.wax_bpe_create(
+                blob,
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                rks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                len(keys),
+            )
+            if handle:
+                self._native = (lib, ctypes.c_void_p(handle), ctypes)
+        except Exception:  # noqa: BLE001 — any toolchain issue falls back to Python
+            self._native = None
+        return self._native
+
+    def _encode_batch_native(self, text: str, native) -> list[int] | None:
+        """Run the regex here, merge ALL pieces in one C++ call (FFI amortized)."""
+        import numpy as np
+
+        lib, handle, ctypes_mod = native
+        pieces = [m.group().encode("utf-8") for m in self._pat.finditer(text)]
+        if not pieces:
+            return []
+        blob = b"".join(pieces)
+        lens = np.asarray([len(p) for p in pieces], np.int32)
+        buf = np.empty(max(16, len(blob) + 8), np.int32)
+        n = lib.wax_bpe_encode_batch(
+            handle,
+            blob,
+            lens.ctypes.data_as(ctypes_mod.POINTER(ctypes_mod.c_int32)),
+            len(pieces),
+            buf.ctypes.data_as(ctypes_mod.POINTER(ctypes_mod.c_int32)),
+            len(buf),
+        )
+        if n < 0:
+            return None
+        return buf[:n].tolist()
+
     def _merge_piece(self, piece: bytes) -> list[int]:
         if len(piece) == 1:
             return [self.ranks[piece]]
@@ -128,6 +212,11 @@ class BpeEncoder:
     def encode(self, text: str) -> list[int]:
         data: list[int] = []
         if self._pat is not None:
+            native = self._native_handle()
+            if native is not None:
+                ids = self._encode_batch_native(text, native)
+                if ids is not None:
+                    return ids
             for m in self._pat.finditer(text):
                 piece = m.group().encode("utf-8")
                 r = self.ranks.get(piece)
