@@ -34,6 +34,23 @@ FACTS = [
      "when was Luna adopted", "2022", "date"),
     ("The red kayak belongs to Priya; she stores it in the garage.",
      "who owns the red kayak", "Priya", "owner"),
+    ("Tommy is severely allergic to peanuts and shellfish.",
+     "what is Tommy allergic to", "peanuts", "allergy"),
+    ("Mei's favorite dessert is tiramisu from the corner bakery.",
+     "what is Mei's favorite dessert", "tiramisu", "preference"),
+    ("Biscuit the parrot learned to whistle the whole anthem.",
+     "what is the name of the parrot", "Biscuit", "pet"),
+    ("Dr. Okafor prefers morning appointments before nine.",
+     "does Okafor prefer morning or afternoon appointments", "morning", "preference"),
+]
+
+# multi-hop pairs: the answer requires joining two separate memories; graded on the
+# assembled context containing both hops (reference: QueryAnalyzer multiHop intent)
+MULTI_HOP = [
+    (("The blue tandem bike belongs to Sofia.", "Sofia lives in Porto near the bridge."),
+     "where does the owner of the blue tandem bike live", ("sofia", "porto")),
+    (("Max the beagle was adopted by the Chen family.", "The Chen family moved to Seattle in 2021."),
+     "which city does Max the beagle live in now", ("chen", "seattle")),
 ]
 
 DISTRACTORS = [
@@ -42,6 +59,12 @@ DISTRACTORS = [
         ["gardening", "meetings", "traffic", "cooking", "emails", "laundry",
          "shopping", "reading", "weather", "budgets"] * 5
     )
+] + [
+    # near-miss distractors sharing entities/shapes with the facts
+    "Tommy borrowed a peanut-butter cookbook from the library last spring.",
+    "A different kayak, the green one, belongs to the rowing club.",
+    "Mei mentioned the bakery was closed for renovations in March.",
+    "Sofia's coworker commutes across a different bridge every day.",
 ]
 
 
@@ -50,6 +73,7 @@ def orch(tmp_path_factory):
     p = tmp_path_factory.mktemp("quality") / "q.wxs"
     o = MemoryOrchestrator(p, HashEmbedder(256), CFG)
     o.remember_batch([m for m, _, _, _ in FACTS])
+    o.remember_batch([m for pair, _, _ in MULTI_HOP for m in pair])
     o.remember_batch(DISTRACTORS)
     yield o
     o.close()
@@ -74,6 +98,16 @@ class TestRecallQuality:
             if expected.lower() in joined:
                 hits += 1
         assert hits / len(FACTS) >= 0.8
+
+    def test_multi_hop_context_joins_both_memories(self, orch):
+        """Both hops of a two-memory chain must land in one assembled context."""
+        joined_ok = 0
+        for _pair, question, needles in MULTI_HOP:
+            ctx = orch.recall(question)
+            low = ctx.render().lower()
+            if all(n in low for n in needles):
+                joined_ok += 1
+        assert joined_ok >= len(MULTI_HOP) - 1, f"only {joined_ok}/{len(MULTI_HOP)} joined"
 
     def test_batched_ingest_equivalent_to_single(self, tmp_path):
         a = MemoryOrchestrator(tmp_path / "a.wxs", HashEmbedder(128), CFG)

@@ -25,6 +25,11 @@ _LOCATION_RE = re.compile(
     r"\b(?:in|at|near|located in|lives in|moved to)\s+([A-Z][a-zA-Z]+(?:\s+[A-Z][a-zA-Z]+)?)"
 )
 _NAME_AFTER_IS_RE = re.compile(r"\b(?:is|was|named|called)\s+([A-Z][a-z]+(?:\s+[A-Z][a-z]+)?)")
+_ALLERGY_RE = re.compile(r"\b(?:allergic to|allergy to|allergies to)\s+([a-zA-Z]+(?:\s+and\s+[a-zA-Z]+)?)")
+_PREFERENCE_RE = re.compile(
+    r"\b(?:favou?rite\s+\w+\s+is|prefers?|loves)\s+(?:the\s+|a\s+)?([a-zA-Z]+(?:\s+[a-z]+)?)"
+)
+_PET_NAME_RE = re.compile(r"\b([A-Z][a-z]+)\s+the\s+([a-z]+)")
 
 
 @dataclass(frozen=True)
@@ -38,6 +43,7 @@ class AnswerCandidate:
 def extract_answer(context: RAGContext, query: str) -> AnswerCandidate | None:
     """Pick the best heuristic answer span from RAG items, lane chosen by intent."""
     signals = analyze_query(query)
+    low_q = query.lower()
     candidates: list[AnswerCandidate] = []
     for rank, item in enumerate(context.items):
         weight = 1.0 / (1.0 + rank)
@@ -53,6 +59,17 @@ def extract_answer(context: RAGContext, query: str) -> AnswerCandidate | None:
                 name = m.group(1) or m.group(2)
                 if name:
                     candidates.append(AnswerCandidate(name, "owner", item.frame_id, 2.0 * weight))
+        if "allerg" in low_q:
+            for m in _ALLERGY_RE.finditer(text):
+                candidates.append(AnswerCandidate(m.group(1), "allergy", item.frame_id, 2.0 * weight))
+        if any(w in low_q for w in ("favorite", "favourite", "prefer", "love")):
+            for m in _PREFERENCE_RE.finditer(text):
+                candidates.append(
+                    AnswerCandidate(m.group(1), "preference", item.frame_id, 1.5 * weight)
+                )
+        if any(w in low_q for w in ("dog", "cat", "pet", "labrador", "parrot", "name of")):
+            for m in _PET_NAME_RE.finditer(text):
+                candidates.append(AnswerCandidate(m.group(1), "pet-name", item.frame_id, 1.2 * weight))
         for m in _NAME_AFTER_IS_RE.finditer(text):
             candidates.append(AnswerCandidate(m.group(1), "copula", item.frame_id, 0.8 * weight))
         # entity-term sentences as weak generic candidates
