@@ -118,3 +118,40 @@ class TestOrchestratorOnHnsw:
             assert o2.engine.vector.kind == "hnsw"
             resp = o2.search("treasure lighthouse")
             assert resp.hits
+
+
+class TestBf16AutoMode:
+    def test_auto_flips_to_bf16_at_threshold(self, monkeypatch):
+        import jax.numpy as jnp
+        import wax_tpu.search.vector_engines as ve
+
+        monkeypatch.setattr(ve, "BF16_AUTO_ROWS", 1000)
+        rng = np.random.default_rng(0)
+        eng = ve.FlatVectorEngine(dim=32)  # device_dtype defaults to "auto"
+        vecs = rng.standard_normal((900, 32)).astype(np.float32)
+        eng.add_batch(np.arange(900), vecs)
+        assert eng.snapshot().emb.dtype == jnp.float32
+        more = rng.standard_normal((200, 32)).astype(np.float32)
+        eng.add_batch(np.arange(900, 1100), more)
+        snap = eng.snapshot()
+        assert snap.emb.dtype == jnp.bfloat16
+
+        # recall vs an exact f32 engine: bf16 top-10 overlap stays high
+        exact = ve.FlatVectorEngine(dim=32, device_dtype=None)
+        exact.add_batch(np.arange(1100), np.concatenate([vecs, more]))
+        q = rng.standard_normal((16, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        _, f_bf = eng.search(q, 10)
+        _, f_ex = exact.search(q, 10)
+        overlap = np.mean([
+            len(set(f_bf[i]) & set(f_ex[i])) / 10 for i in range(len(q))
+        ])
+        assert overlap >= 0.9, overlap
+
+    def test_explicit_none_stays_f32(self):
+        import jax.numpy as jnp
+        from wax_tpu.search.vector_engines import FlatVectorEngine
+
+        eng = FlatVectorEngine(dim=16, device_dtype=None)
+        eng.add_batch(np.arange(10), np.random.default_rng(1).standard_normal((10, 16)).astype(np.float32))
+        assert eng.snapshot().emb.dtype == jnp.float32

@@ -30,6 +30,13 @@ __all__ = [
 
 MAX_TOP_K = 10_000
 
+# device_dtype="auto" switches the HBM-resident embedding matrix to bfloat16 once the
+# corpus crosses this row count: at 1M x 768 the matrix drops from 3.1 GB to 1.5 GB
+# (10M x 768 fits one v5e chip at ~15 GB) and the scan is HBM-bandwidth-bound, so
+# bf16 measured ~1.5x faster at 1M (docs/benchmarks.md). Scores still accumulate in
+# f32 on the MXU; below the threshold storage stays f32 and results are bit-exact.
+BF16_AUTO_ROWS = 1_000_000
+
 
 @runtime_checkable
 class VectorEngine(Protocol):
@@ -49,14 +56,21 @@ class FlatVectorEngine:
 
     kind = "flat"
 
-    def __init__(self, dim: int, similarity: str = Similarity.COSINE, device_dtype=None):
-        """`device_dtype=jnp.bfloat16` halves HBM residency for large corpora (the
-        10M x 768 configs); scores still accumulate in f32 on the MXU."""
+    def __init__(self, dim: int, similarity: str = Similarity.COSINE, device_dtype="auto"):
+        """`device_dtype`: None keeps f32; `jnp.bfloat16` halves HBM residency (the
+        10M x 768 configs); "auto" (default) is f32 until BF16_AUTO_ROWS rows, then
+        bf16. Scores always accumulate in f32 on the MXU."""
         self.builder = DenseIndexBuilder(dim=dim, similarity=similarity)
         self.device_dtype = device_dtype
         self._snap = None
         self._snap_gen = -1
+        self._snap_dtype = None
         self.snapshot_count = 0
+
+    def _resolve_dtype(self):
+        if isinstance(self.device_dtype, str) and self.device_dtype == "auto":
+            return jnp.bfloat16 if len(self.builder) >= BF16_AUTO_ROWS else None
+        return self.device_dtype
 
     @property
     def dim(self) -> int:
@@ -72,9 +86,11 @@ class FlatVectorEngine:
         return self.builder.remove(frame_id)
 
     def snapshot(self):
-        if self._snap is None or self._snap_gen != self.builder.generation:
-            self._snap = self.builder.snapshot(device_dtype=self.device_dtype)
+        dtype = self._resolve_dtype()
+        if self._snap is None or self._snap_gen != self.builder.generation or self._snap_dtype != dtype:
+            self._snap = self.builder.snapshot(device_dtype=dtype)
             self._snap_gen = self.builder.generation
+            self._snap_dtype = dtype
             self.snapshot_count += 1
         return self._snap
 
@@ -251,7 +267,7 @@ class ShardedFlatVectorEngine(FlatVectorEngine):
 
     kind = "sharded"
 
-    def __init__(self, dim: int, similarity: str = Similarity.COSINE, device_dtype=None, mesh=None):
+    def __init__(self, dim: int, similarity: str = Similarity.COSINE, device_dtype="auto", mesh=None):
         super().__init__(dim=dim, similarity=similarity, device_dtype=device_dtype)
         from wax_tpu.parallel.mesh import data_mesh
 
@@ -261,10 +277,12 @@ class ShardedFlatVectorEngine(FlatVectorEngine):
     def snapshot(self):
         from wax_tpu.parallel.sharded_scan import shard_dense_index
 
-        if self._snap is None or self._snap_gen != self.builder.generation:
-            self._snap = self.builder.snapshot(device_dtype=self.device_dtype)
+        dtype = self._resolve_dtype()
+        if self._snap is None or self._snap_gen != self.builder.generation or self._snap_dtype != dtype:
+            self._snap = self.builder.snapshot(device_dtype=dtype)
             self._sharded = shard_dense_index(self._snap, self.mesh)
             self._snap_gen = self.builder.generation
+            self._snap_dtype = dtype
             self.snapshot_count += 1
         return self._sharded
 
