@@ -177,6 +177,10 @@ def main() -> None:
     headline_ms = _bench_flat_scan(n=10_240, d=384, b=256, k=10, lo=500, hi=4000)
 
     if args.all:
+        # single-query latency (B=1 padded to the 8-row sublane minimum): the
+        # reference's own headline unit (0.84 ms/query warm at 10K x 384)
+        ms1 = _bench_flat_scan(n=10_240, d=384, b=8, k=10, lo=500, hi=4000)
+        print(f"# flat_scan n=10240 d=384 b=1(pad 8): {ms1:.4f} ms/query ({ms1*1000:.0f} us)")
         for n, d in [(102_400, 384), (1_048_576, 768)]:
             try:
                 # auto backend picks blockmax at these sizes
