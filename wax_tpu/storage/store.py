@@ -95,6 +95,13 @@ class StoreOptions:
     compression: str = "zlib"  # "zlib" | "lz4" (native) | "none"
     auto_commit_fill: float = 0.8
     enable_replay_snapshot: bool = True
+    # Salvage escape hatch: by default, open() REFUSES a file whose recoverable
+    # state is older than what the header proves was durably committed (external
+    # damage — e.g. truncation destroyed the newest TOC/footer). Crashes can never
+    # produce that shape (the header is updated only after the footer is fsynced),
+    # so silent rollback would always be real data loss. Set True to salvage the
+    # newest decodable generation anyway.
+    allow_rollback_recovery: bool = False
 
 
 @dataclass
@@ -181,7 +188,12 @@ class WaxStore:
             raise StoreError(f"{path} is locked by another writer")
         store.header_gen = header.header_gen
         store.header_slot = slot
-        store._recover(header)
+        try:
+            store._recover(header)
+        except StoreError:
+            store.lock.release()
+            fd.close()
+            raise
         return store
 
     # ------------------------------------------------------------------- recovery ----
@@ -215,10 +227,22 @@ class WaxStore:
 
         if best is not None:
             footer, footer_off, toc = best
+            if footer.committed_seq < header.committed_seq and not self.options.allow_rollback_recovery:
+                raise StoreError(
+                    f"committed state lost: header proves seq {header.committed_seq} was "
+                    f"durable but the newest recoverable footer has seq {footer.committed_seq} "
+                    "(external damage — pass allow_rollback_recovery=True to salvage)"
+                )
             self.toc = toc
             self.committed_seq = footer.committed_seq
             self.data_end = footer_off + FOOTER_SIZE
         else:
+            if (header.footer_offset or header.committed_seq) and not self.options.allow_rollback_recovery:
+                raise StoreError(
+                    f"committed state lost: header points at footer offset {header.footer_offset} "
+                    f"(seq {header.committed_seq}) but no valid footer/TOC survives "
+                    "(external damage — pass allow_rollback_recovery=True to salvage)"
+                )
             self.toc = StoreTOC.empty()
             self.committed_seq = header.committed_seq if header.footer_offset == 0 else 0
             self.data_end = self.data_start
