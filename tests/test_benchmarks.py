@@ -157,3 +157,60 @@ class TestSoak:
         _emit("soak_latency_drift_ratio", last_lat / max(first_lat, 1e-9), "x")
         _emit("soak_rss_growth", (rss1 - rss0) / 1024, "MiB")
         assert last_lat / max(first_lat, 1e-9) < 8.0, "recall latency drifted"
+
+
+class TestWalBench:
+    """WAL workload matrix (reference: WALCompactionBenchmarks — append/commit
+    latency over payload-size x batch-shape combinations, JSON output, guardrails)."""
+
+    def test_wal_workload_matrix(self, tmp_path):
+        from wax_tpu.storage.store import WaxStore
+
+        matrix = [
+            ("small_single", 64, 1, 400),
+            ("small_batch", 64, 32, 12),
+            ("large_single", 8192, 1, 100),
+            ("large_batch", 8192, 32, 4),
+        ]
+        for name, payload, batch, rounds in matrix:
+            s = WaxStore.create(tmp_path / f"wal_{name}.wxs", StoreOptions(wal_size=8 * 1024 * 1024))
+            blob = b"w" * payload
+            t0 = time.perf_counter()
+            n = 0
+            for _ in range(rounds):
+                if batch == 1:
+                    s.put(blob)
+                    n += 1
+                else:
+                    s.put_batch([(blob, {}) for _ in range(batch)])
+                    n += batch
+            el = time.perf_counter() - t0
+            _emit(f"wal_append_{name}", n / el, "frames/s")
+            t0 = time.perf_counter()
+            s.commit()
+            _emit(f"wal_commit_after_{name}", (time.perf_counter() - t0) * 1e3, "ms")
+            assert s.verify(deep=True)["ok"]
+            s.close()
+
+    def test_wal_cycling_under_sustained_writes(self, tmp_path):
+        """Sustained writes through a small ring force proactive commits (the
+        compaction pressure path); throughput must not collapse and the store must
+        stay consistent."""
+        from wax_tpu.storage.store import WaxStore
+
+        s = WaxStore.create(tmp_path / "cyc.wxs", StoreOptions(wal_size=256 * 1024))
+        blob = b"c" * 2048
+        lat = []
+        for i in range(300):
+            t0 = time.perf_counter()
+            s.put(blob)
+            lat.append(time.perf_counter() - t0)
+        lat_ms = np.asarray(lat) * 1e3
+        _emit("wal_cycling_put_p50", float(np.percentile(lat_ms, 50)), "ms")
+        _emit("wal_cycling_put_p99", float(np.percentile(lat_ms, 99)), "ms")
+        _emit("wal_cycling_commits", float(s.stats_counters.get("commits", 0)), "count")
+        s.commit()
+        assert s.verify(deep=True)["ok"]
+        # guardrail: p50 append must stay sub-10ms even on the throttled host
+        assert np.percentile(lat_ms, 50) < 10.0
+        s.close()

@@ -75,3 +75,42 @@ class TestTrainStep:
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0]  # optimizing the same batch must reduce loss
         assert int(state.step) == 3
+
+    def test_checkpoint_resume_bitwise(self, tmp_path):
+        """Save at step k, keep training; a resumed run from the checkpoint must
+        reproduce the same losses (checkpoint/resume determinism), including across
+        a different mesh shape."""
+        from wax_tpu.embed.minilm import MiniLMConfig, MiniLMEncoder
+        from wax_tpu.parallel.train import Trainer
+        from wax_tpu.text.wordpiece import WordPieceTokenizer
+
+        cfg = MiniLMConfig(hidden=64, layers=2, heads=4, intermediate=128, vocab_size=500, max_positions=64)
+        model = MiniLMEncoder(cfg, dtype=jnp.float32)
+        tok = WordPieceTokenizer(vocab_size=500, max_len=16)
+        ids = jnp.zeros((1, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(1), ids, jnp.ones_like(ids))["params"]
+        q_ids, q_mask = tok.encode_batch([f"q {i}" for i in range(8)], 16)
+        d_ids, d_mask = tok.encode_batch([f"doc body {i}" for i in range(8)], 16)
+        L = max(q_ids.shape[1], d_ids.shape[1])
+        pad = lambda a: np.pad(a, ((0, 0), (0, L - a.shape[1])))
+        batch = {"q_ids": pad(q_ids), "q_mask": pad(q_mask), "d_ids": pad(d_ids), "d_mask": pad(d_mask)}
+
+        t1 = Trainer(model, make_mesh(8, tp=2), learning_rate=1e-3)
+        state = t1.init_state(params)
+        state, _ = t1.step(state, batch)
+        t1.save_checkpoint(state, tmp_path / "ck.npz")
+        cont_losses = []
+        for _ in range(2):
+            state, loss = t1.step(state, batch)
+            cont_losses.append(float(loss))
+
+        # resume on a DIFFERENT mesh shape (4 devices, tp=1)
+        t2 = Trainer(model, make_mesh(4, tp=1), learning_rate=1e-3)
+        template = t2.init_state(params)
+        restored = t2.load_checkpoint(template, tmp_path / "ck.npz")
+        assert int(restored.step) == 1
+        resumed_losses = []
+        for _ in range(2):
+            restored, loss = t2.step(restored, batch)
+            resumed_losses.append(float(loss))
+        np.testing.assert_allclose(resumed_losses, cont_losses, rtol=1e-5)

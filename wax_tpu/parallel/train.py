@@ -62,11 +62,29 @@ class Trainer:
     def init_state(self, params) -> TrainState:
         """Place params per the tp partition spec and build optimizer state."""
         specs = param_partition_spec(params)
+        # copy before placing: device_put can alias the caller's buffers (e.g. the
+        # device-0 shard of a replicated leaf), and the donating train step would
+        # then delete the caller's params out from under them
         placed = jax.tree_util.tree_map(
-            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)), params, specs
+            lambda x, s: jax.device_put(jnp.array(x, copy=True), NamedSharding(self.mesh, s)),
+            params,
+            specs,
         )
         opt_state = jax.jit(self.tx.init)(placed)
-        step = jax.device_put(jnp.zeros((), jnp.int32), NamedSharding(self.mesh, P()))
+        # normalize stragglers: param-shaped moments inherit param shardings through
+        # GSPMD, but constant leaves (e.g. the adam step count) come out committed to
+        # one device — replicate them over the mesh so every state leaf shares one
+        # device set (mixed sets fail jit dispatch on sub-meshes)
+        devset = set(self.mesh.devices.flat)
+        replicated = NamedSharding(self.mesh, P())
+
+        def _normalize(x):
+            if isinstance(x, jax.Array) and set(x.sharding.device_set) != devset:
+                return jax.device_put(x, replicated)
+            return x
+
+        opt_state = jax.tree_util.tree_map(_normalize, opt_state)
+        step = jax.device_put(jnp.zeros((), jnp.int32), replicated)
         return TrainState(placed, opt_state, step)
 
     def shard_batch(self, batch: dict) -> dict:
@@ -84,3 +102,37 @@ class Trainer:
     def step(self, state: TrainState, batch: dict):
         """One sharded training step; batch leaves are [B_global, L] host arrays."""
         return self._step(state, self.shard_batch(batch))
+
+    # -------------------------------------------------------------- checkpointing ----
+    def save_checkpoint(self, state: TrainState, path) -> None:
+        """Durable checkpoint: params + optimizer state + step as one npz.
+
+        Leaves are fetched to host and stored flat under tree-path keys; restore
+        re-places them with the current mesh/partition specs, so a checkpoint written
+        on one mesh shape resumes on another (the GSPMD way — layout is a property of
+        the run, not of the checkpoint). Write is atomic (tmp + rename)."""
+        import os
+
+        import numpy as np
+
+        flat, treedef = jax.tree_util.tree_flatten(state)
+        arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
+        tmp = str(path) + ".tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def load_checkpoint(self, template: TrainState, path) -> TrainState:
+        """Restore into the placement of `template` (from init_state on this mesh)."""
+        import numpy as np
+
+        flat_t, treedef = jax.tree_util.tree_flatten(template)
+        with np.load(path) as data:
+            flat = [data[f"leaf_{i}"] for i in range(len(flat_t))]
+        placed = [
+            jax.device_put(jnp.asarray(x), t.sharding) if hasattr(t, "sharding") else jnp.asarray(x)
+            for x, t in zip(flat, flat_t)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, placed)
