@@ -183,16 +183,35 @@ class MemoryOrchestrator:
     def _load_committed_state(self) -> None:
         """Rebuild index builders from committed segments + WAL catch-up
         (the analogue of UnifiedSearchEngineCache incremental catch-up :252)."""
-        lex_blob = self.store.read_segment("lex")
-        if lex_blob is not None and self.config.enable_text_search:
-            attrs = self.store.toc.manifests["lex"].attrs
-            self.engine.lex = deserialize_lex(lex_blob, attrs)
-            # the budget is runtime config, not persisted state — re-apply after load
-            self.engine.lex.postings_budget = self.config.lex_postings_budget
-        vec_blob = self.store.read_segment("vec")
-        if vec_blob is not None and self.config.enable_vector_search:
-            attrs = self.store.toc.manifests["vec"].attrs
-            self.engine.vector = deserialize_vector_engine(vec_blob, attrs)
+        from wax_tpu.search import engine_cache
+
+        lex_man = self.store.toc.manifests.get("lex")
+        vec_man = self.store.toc.manifests.get("vec")
+        self._cache_key = (lex_man.sha if lex_man else None, vec_man.sha if vec_man else None)
+        reclaimed = engine_cache.reclaim(self.path, *self._cache_key)
+        got_lex = got_vec = False
+        if reclaimed is not None:
+            lex_builder, vector_engine = reclaimed
+            if self.config.enable_text_search and lex_builder is not None:
+                self.engine.lex = lex_builder
+                got_lex = True
+            if (
+                self.config.enable_vector_search
+                and vector_engine is not None
+                and vector_engine.kind == self.engine.vector.kind
+            ):
+                self.engine.vector = vector_engine
+                got_vec = True
+        if not got_lex:
+            lex_blob = self.store.read_segment("lex")
+            if lex_blob is not None and self.config.enable_text_search:
+                self.engine.lex = deserialize_lex(lex_blob, lex_man.attrs)
+        # the budget is runtime config, not persisted state — re-apply after load
+        self.engine.lex.postings_budget = self.config.lex_postings_budget
+        if not got_vec:
+            vec_blob = self.store.read_segment("vec")
+            if vec_blob is not None and self.config.enable_vector_search:
+                self.engine.vector = deserialize_vector_engine(vec_blob, vec_man.attrs)
         # catch-up: replay pending embeddings recovered from the WAL / overflow segment
         if self.structured is not None:
             sm_blob = self.store.read_segment("structured")
@@ -533,6 +552,22 @@ class MemoryOrchestrator:
         return gen
 
     def close(self) -> None:
+        # park the live builders for a possible warm re-open (engine_cache docstring
+        # explains why park/reclaim — not sharing — is the safe ownership model here)
+        try:
+            from wax_tpu.search import engine_cache
+
+            lex_man = self.store.toc.manifests.get("lex")
+            vec_man = self.store.toc.manifests.get("vec")
+            engine_cache.park(
+                self.path,
+                lex_man.sha if lex_man else None,
+                vec_man.sha if vec_man else None,
+                self.engine.lex if self.config.enable_text_search else None,
+                self.engine.vector if self.config.enable_vector_search else None,
+            )
+        except Exception:  # noqa: BLE001 — caching must never block a close
+            pass
         self.store.close()
 
     def __enter__(self):
