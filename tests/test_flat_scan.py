@@ -148,6 +148,37 @@ class TestBlockmaxScan:
         _, _, f2 = flat_scan_topk(q, idx, 10, backend="blockmax")
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
 
+    def test_duplicate_vectors_lowest_index_tie_break(self, rng):
+        # Regression: blockmax gathered candidate chunks in chunk-max-rank order, so
+        # exact duplicates in different chunks broke ties by chunk rank instead of
+        # lowest global index, diverging from the xla backend's contract.
+        from wax_tpu.index.dense import DenseIndexBuilder
+
+        n, d = 4096, 64
+        vecs = rng.standard_normal((n, d)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        qv = rng.standard_normal(d).astype(np.float32)
+        qv /= np.linalg.norm(qv)
+        # identical mid-score vector planted across many 128-chunks...
+        noise = rng.standard_normal(d).astype(np.float32)
+        dup = 0.9 * qv + 0.1 * noise / np.linalg.norm(noise)
+        dup /= np.linalg.norm(dup)
+        for row in (130, 700, 2049, 3500, 3971):
+            vecs[row] = dup
+        # ...plus a strictly higher scorer in the LAST dup's chunk, so that chunk
+        # ranks first by chunk-max and (pre-fix) its dup led the candidate order.
+        high = 0.99 * qv + 0.01 * noise / np.linalg.norm(noise)
+        vecs[3970] = high / np.linalg.norm(high)
+        b = DenseIndexBuilder(dim=d)
+        b.add_batch(np.arange(n), vecs)
+        idx = b.snapshot()
+        q = jnp.asarray(qv[None, :])
+        v1, r1, f1 = flat_scan_topk(q, idx, 6, backend="xla")
+        v2, r2, f2 = flat_scan_topk(q, idx, 6, backend="blockmax")
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        assert list(np.asarray(f2[0])) == [3970, 130, 700, 2049, 3500, 3971]
+
 
 class TestChunkmaxScan:
     def test_matches_xla_with_tail_padding(self, rng):
@@ -165,6 +196,17 @@ class TestChunkmaxScan:
         assert b.snapshot().contiguous
         b.remove(int(ids[3]))
         assert not b.snapshot().contiguous
+
+    def test_rejects_noncontiguous_index(self, rng):
+        # chunkmax's prefix live-count rescore is only valid for tombstone-free
+        # indexes; explicit backend selection must refuse rather than silently score
+        # deleted rows and drop live chunk tails.
+        b, _, ids = _build(rng, n=3000)
+        b.remove(int(ids[7]))
+        idx = b.snapshot()
+        q = normalize_rows(jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32)))
+        with pytest.raises(ValueError, match="contiguous"):
+            flat_scan_topk(q, idx, 10, backend="chunkmax")
 
 
 class TestTopkUtils:

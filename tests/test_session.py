@@ -58,3 +58,20 @@ class TestSession:
         with open_session(p, dim=64, options=OPTS) as s2:
             assert len(s2.engine.vector) == 1
             assert s2.search("journaled").hits
+
+    def test_recovered_frames_reindexed_into_lex(self, tmp_path):
+        # Regression: WAL-recovered pending frames were replayed into the vector
+        # engine but never re-indexed into the lex builder, so the next commit()
+        # persisted a lex segment durably missing them (BM25 returned 0 hits).
+        p = tmp_path / "lexcatchup.wxs"
+        s = open_session(p, dim=64, options=OPTS)
+        fid = s.put("zanzibar spice warehouse ledger", embedding=EMB.embed("zanzibar"))
+        s.close()  # no commit: the frame exists only in the WAL
+        with open_session(p, dim=64, options=OPTS) as s2:
+            resp = s2.search("zanzibar warehouse")
+            assert resp.hits and resp.hits[0].frame_id == fid
+            s2.commit()
+        with open_session(p, dim=64, options=OPTS) as s3:
+            resp = s3.search("zanzibar warehouse")
+            assert resp.hits and resp.hits[0].frame_id == fid
+            assert any(src.value == "bm25" for src in resp.hits[0].sources)

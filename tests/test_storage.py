@@ -256,6 +256,31 @@ class TestStore:
             assert len(pend) == 1 and pend[0][0] == fid
             np.testing.assert_array_equal(pend[0][1], np.arange(4, dtype=np.float32))
 
+    def test_overflow_embeddings_survive_plain_commit_after_reopen(self, tmp_path):
+        # Regression: overflow-recovered embeddings carried seq 0 and were treated as
+        # covered, so a plain commit() after reopen silently dropped the pending_emb
+        # segment and the durably-journaled embeddings with it.
+        p = tmp_path / "s.wxs"
+        with WaxStore.create(p, SMALL) as s:
+            fid = s.put("doc")
+            s.put_embedding(fid, np.arange(4, dtype=np.float32))
+            s.commit(allow_pending_embeddings=True)
+        with WaxStore.open(p, SMALL) as s:
+            with pytest.raises(StaleIndexError):
+                s.commit()  # recovered embeddings are NOT covered yet
+            # re-persisting keeps them across another cycle
+            s.commit(allow_pending_embeddings=True)
+        with WaxStore.open(p, SMALL) as s:
+            pend = s.pending_embeddings()
+            assert len(pend) == 1 and pend[0][0] == fid
+            # staging a vec index after recovery covers them; commit clears overflow
+            s.stage_index("vec", b"covering blob", {"count": "1"})
+            s.commit()
+            assert s.pending_embeddings() == []
+        with WaxStore.open(p, SMALL) as s:
+            assert s.pending_embeddings() == []
+            assert s.read_segment("vec") == b"covering blob"
+
     def test_compression_store_smaller_only(self, tmp_path):
         p = tmp_path / "s.wxs"
         with WaxStore.create(p, SMALL) as s:
@@ -269,6 +294,28 @@ class TestStore:
             assert s.frame_content(compressible) == ("abc " * 1000).encode()
             assert s.frame_content(incompressible) == rnd
             assert rec_i[4] == 0  # stored raw
+
+    def test_wal_wrap_recovery_without_replay_snapshot(self, tmp_path):
+        # Regression: with enable_replay_snapshot=False the header carried no WAL
+        # checkpoint position, so recovery scanned from 0; after a ring wrap it saw
+        # only post-wrap records and the dense-prefix prune dropped every journaled
+        # pending frame. The checkpoint must be persisted unconditionally.
+        opts = StoreOptions(wal_size=16 * 1024, enable_replay_snapshot=False)
+        p = tmp_path / "wrap.wxs"
+        payload = "x" * 512
+        with WaxStore.create(p, opts) as s:
+            # advance the write position deep into the ring, then checkpoint
+            for _ in range(90):
+                s.put(payload + os.urandom(8).hex())
+            s.commit()
+            committed = s.frame_count()
+            # journal enough new frames to wrap the ring past the end
+            for i in range(30):
+                s.put(f"pending frame {i} " + "y" * 512)
+            assert s.wal.stats.wrap_count >= 1, "test setup must actually wrap the ring"
+            pending_total = s.frame_count() - committed
+        with WaxStore.open(p, opts) as s:
+            assert s.frame_count() == committed + pending_total
 
     def test_verify_deep(self, tmp_path):
         p = tmp_path / "s.wxs"

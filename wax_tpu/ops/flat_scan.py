@@ -260,6 +260,11 @@ def flat_scan_topk(
 
     if index.similarity == Similarity.EUCLIDEAN:
         raise ValueError("pallas backend supports cosine/dot only")
+    if backend == "chunkmax" and not index.contiguous:
+        # The chunkmax rescore masks each 128-row chunk with a prefix live-count,
+        # which is only valid when live rows form a dense prefix; on a tombstoned
+        # index it would silently score deleted rows and drop live chunk tails.
+        raise ValueError("chunkmax backend requires a contiguous (tombstone-free) index")
 
     tb = min(_TB, _round_up(b, 8))
     tn = _pick_tn(index.capacity)

@@ -76,6 +76,11 @@ def blockmax_topk(scores: jax.Array, k: int):
     cmax = jnp.max(s3, axis=2)
     kc = min(k, c)
     _, chunks = jax.lax.top_k(cmax, kc)
+    # Gather winning chunks in ascending chunk-index order so candidates appear in
+    # ascending global-index order: lax.top_k is stable, so exact score ties then
+    # break toward the lowest global index (the documented contract), matching the
+    # xla backend on duplicate vectors.
+    chunks = jnp.sort(chunks, axis=1)
     cand = jnp.take_along_axis(s3, chunks[:, :, None], axis=1)
     vals, pos = jax.lax.top_k(cand.reshape(b, kc * 128), k)
     idx = jnp.take_along_axis(chunks, pos // 128, axis=1) * 128 + pos % 128

@@ -57,6 +57,12 @@ class WaxSession:
             self.engine.vector.add_batch(
                 np.asarray([fid for fid, _ in pend]), np.stack([v for _, v in pend])
             )
+        # Lex catch-up: WAL-recovered pending frames are not in the committed lex
+        # segment; without re-indexing their search_text here, the next commit()
+        # would persist a lex segment durably missing them (invisible to BM25).
+        for m in self.store.timeline(include_superseded=True):
+            if m.search_text and m.frame_id not in self.engine.lex:
+                self.engine.lex.add(m.frame_id, m.search_text)
 
     @property
     def readonly(self) -> bool:

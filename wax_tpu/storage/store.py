@@ -137,7 +137,10 @@ class WaxStore:
         self._pending_supersedes: dict[int, int] = {}
         self._pending_embeddings: list[tuple[int, int, np.ndarray]] = []  # (seq, fid, vec)
         self._staged: dict[str, tuple[bytes, dict[str, str]]] = {}
-        self._staged_vec_covers_seq = 0
+        # None = no vec index staged this session: nothing is covered, including
+        # overflow-recovered embeddings (seq 0). Prevents a plain commit() after
+        # reopen from silently dropping durably-journaled embeddings.
+        self._staged_vec_covers_seq: int | None = None
         self.stats_counters = {"puts": 0, "deletes": 0, "supersedes": 0, "commits": 0, "auto_commits": 0}
         self._closed = False
 
@@ -321,7 +324,9 @@ class WaxStore:
 
     def _load_overflow_embeddings(self) -> None:
         """Prepend overflow-segment embeddings (persisted by an auto-commit) to the
-        pending list; seq 0 means any future staged vec index covers them."""
+        pending list. They carry seq 0 and stay UNCOVERED until stage_index('vec') is
+        called this session (_staged_vec_covers_seq starts as None), so a plain
+        commit() cannot silently drop them."""
         blob = self.read_segment("pending_emb")
         if blob:
             recovered = [(0, fid, vec) for fid, vec in _decode_pending_embeddings(blob)]
@@ -553,7 +558,7 @@ class WaxStore:
         uncovered = [
             (seq, fid, vec)
             for seq, fid, vec in self._pending_embeddings
-            if seq > self._staged_vec_covers_seq
+            if self._staged_vec_covers_seq is None or seq > self._staged_vec_covers_seq
         ]
         if uncovered and not allow_pending_embeddings:
             raise StaleIndexError(
@@ -627,9 +632,11 @@ class WaxStore:
             wal_offset=HEADER_REGION,
             wal_size=self.options.wal_size,
             committed_seq=committed_seq,
-            replay_snapshot=ReplaySnapshot(self.wal.stats.write_pos, committed_seq, 0)
-            if self.options.enable_replay_snapshot
-            else None,
+            # Written unconditionally: the checkpoint position is required for correct
+            # recovery after a WAL ring wrap (scanning from 0 would see only post-wrap
+            # records and the dense-prefix prune would drop every pending mutation).
+            # options.enable_replay_snapshot only gates the sentinel FAST PATH at open.
+            replay_snapshot=ReplaySnapshot(self.wal.stats.write_pos, committed_seq, 0),
         )
         self.fd.pwrite_exact(self.header_slot * HEADER_SIZE, header.encode())
         CrashCheckpoint.maybe_crash(CrashCheckpoint.HEADER_WRITTEN)
