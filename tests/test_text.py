@@ -4,6 +4,9 @@ determinism, subadditivity, truncation, chunk overlap.
 Mirrors the reference's tokenization test axis (DeterminismPropertyTests token-count
 subadditivity; TokenCounter comparison stats vs swift-tiktoken).
 """
+import os
+from pathlib import Path
+
 import pytest
 
 from wax_tpu.text.bpe import BpeEncoder, find_cl100k_vocab, load_cl100k
@@ -45,6 +48,27 @@ class TestBpe:
         enc = BpeEncoder.from_tiktoken_file(_vocab)
         for s in SAMPLES:
             assert enc.decode(enc.encode(s)) == s
+
+    def test_vendored_vocab_gives_exact_counts(self):
+        # Exact counts are a contract (reference: RAG/TokenCounter.swift:6-460); the
+        # vendored resources/cl100k_base.tiktoken.gz must make them available with no
+        # external checkout, cache dir, or env var present.
+        import wax_tpu.text.bpe as bpe_mod
+
+        old = dict(os.environ)
+        for var in ("WAX_TPU_CL100K", "TIKTOKEN_CACHE_DIR"):
+            os.environ.pop(var, None)
+        try:
+            path = find_cl100k_vocab()
+            assert path is not None and path.name == "cl100k_base.tiktoken.gz"
+            assert path.is_relative_to(Path(bpe_mod.__file__).parent)
+            enc = BpeEncoder.from_tiktoken_file(path)
+            assert enc.exact
+            assert len(enc.ranks) > 100_000
+            assert enc.decode(enc.encode("Hello, world!")) == "Hello, world!"
+        finally:
+            os.environ.clear()
+            os.environ.update(old)
 
     def test_fallback_deterministic(self):
         enc = BpeEncoder.byte_fallback()

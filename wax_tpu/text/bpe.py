@@ -36,12 +36,19 @@ _SPECIAL_TOKENS = {
 }
 
 
+# Vendored public vocab data (the reference likewise ships it:
+# Sources/Wax/RAG/Resources/cl100k_base.tiktoken). Exact token counts are a
+# correctness contract — budgets must not silently degrade to the byte fallback.
+_VENDORED_VOCAB = Path(__file__).parent / "resources" / "cl100k_base.tiktoken.gz"
+
+
 def find_cl100k_vocab() -> Path | None:
-    """Locate a cl100k_base.tiktoken vocab data file on this machine."""
+    """Locate a cl100k_base.tiktoken vocab data file (vendored copy first)."""
     candidates: list[Path] = []
     env = os.environ.get("WAX_TPU_CL100K")
     if env:
         candidates.append(Path(env))
+    candidates.append(_VENDORED_VOCAB)
     for cache_root in (
         os.environ.get("TIKTOKEN_CACHE_DIR"),
         os.path.expanduser("~/.cache/tiktoken"),
@@ -49,17 +56,25 @@ def find_cl100k_vocab() -> Path | None:
     ):
         if cache_root and Path(cache_root).is_dir():
             candidates.extend(Path(cache_root).glob("*"))
-    # public vocab data shipped alongside the reference checkout, if present
-    ref = Path("/root/reference/Sources/Wax/RAG/Resources/cl100k_base.tiktoken")
-    candidates.append(ref)
     for c in candidates:
         try:
-            if c.is_file() and c.stat().st_size > 1_000_000:
-                head = c.read_bytes()[:64].split(b"\n")[0].split()
-                if len(head) == 2:
-                    base64.b64decode(head[0], validate=True)
-                    int(head[1])
-                    return c
+            if not c.is_file():
+                continue
+            if c.suffix == ".gz":
+                import gzip
+
+                head_bytes = gzip.open(c, "rb").read(64)
+                if c.stat().st_size < 100_000:
+                    continue
+            else:
+                if c.stat().st_size < 1_000_000:
+                    continue
+                head_bytes = c.read_bytes()[:64]
+            head = head_bytes.split(b"\n")[0].split()
+            if len(head) == 2:
+                base64.b64decode(head[0], validate=True)
+                int(head[1])
+                return c
         except Exception:  # noqa: BLE001
             continue
     return None
@@ -87,8 +102,15 @@ class BpeEncoder:
     # -- construction -----------------------------------------------------------------
     @classmethod
     def from_tiktoken_file(cls, path: str | Path) -> "BpeEncoder":
+        path = Path(path)
+        if path.suffix == ".gz":
+            import gzip
+
+            raw = gzip.open(path, "rb").read()
+        else:
+            raw = path.read_bytes()
         ranks: dict[bytes, int] = {}
-        for line in Path(path).read_bytes().splitlines():
+        for line in raw.splitlines():
             if not line:
                 continue
             tok_b64, rank = line.split()
