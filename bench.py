@@ -24,55 +24,29 @@ import time
 
 import numpy as np
 
+_recall_at_k = 1.0
 BASELINE_MS = 0.84  # reference warm Metal vector search @10K x 384 (README.md:94)
 
 
 def _chained_scan_fn(n: int, d: int, k: int):
-    """Build a jitted (q0, iters, emb, bias) -> scalar chained-scan fn. The index
-    arrays are ARGUMENTS, not closure constants — closing over them bakes gigabytes
-    of constants into the executable and breaks large-N compilation."""
+    """Build a jitted (q0, iters, emb, bias) -> scalar chained-scan fn over the
+    packed-key fused kernel (the production "pallas" backend). The index arrays are
+    ARGUMENTS, not closure constants — closing over them bakes gigabytes of constants
+    into the executable and breaks large-N compilation."""
     import jax
     import jax.numpy as jnp
 
-    from wax_tpu.ops.flat_scan import _KPAD, _TB, _pick_tn, _scan_topk_kernel
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    from wax_tpu.ops.flat_scan import _TB, _packed_scan_topk, _pick_tn
 
     tn = _pick_tn(n)
-    nn = n // tn
-
-    def scan_once(q, emb, bias):
-        kernel = functools.partial(_scan_topk_kernel, tn=tn, k=k)
-        b = q.shape[0]
-        vals, idxs = pl.pallas_call(
-            kernel,
-            grid=(max(1, b // _TB), nn),
-            in_specs=[
-                pl.BlockSpec((min(b, _TB), d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((tn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((min(b, _TB), _KPAD), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((min(b, _TB), _KPAD), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((b, nn * _KPAD), jnp.float32),
-                jax.ShapeDtypeStruct((b, nn * _KPAD), jnp.int32),
-            ],
-            cost_estimate=pl.CostEstimate(
-                flops=2 * b * n * d, bytes_accessed=(b * d + n * d) * 4, transcendentals=0
-            ),
-        )(q, emb, bias)
-        v = vals.reshape(b, nn, _KPAD)[:, :, :k].reshape(b, nn * k)
-        mv, _ = jax.lax.top_k(v, k)
-        return mv
 
     @jax.jit
     def chained(q0, iters, emb, bias):
+        tb = min(q0.shape[0], _TB)
+
         def body(i, carry):
             q, acc = carry
-            v = scan_once(q, emb, bias)
+            v, _ = _packed_scan_topk(q, emb, bias, k, tb, tn, False)
             return q + (v[:, :1] * 1e-9).astype(q.dtype), acc + v[0, 0]
 
         return jax.lax.fori_loop(0, iters, body, (q0, jnp.float32(0)))[1]
@@ -101,6 +75,21 @@ def _bench_flat_scan(n: int, d: int, b: int, k: int, lo: int, hi: int) -> float:
 
     chained = _chained_scan_fn(n, d, k)
     float(chained(q0, 1, emb, bias))  # compile + verify execution completes
+
+    # recall@10 vs the exact oracle at this config (packed keys compare scores with
+    # <= 2^-12 relative truncation; report the resulting parity, don't hide it)
+    from wax_tpu.ops.flat_scan import _TB, _packed_scan_topk, _pick_tn
+
+    @jax.jit
+    def recall_check(q, emb, bias):
+        scores = q @ emb.T + bias
+        _, oracle = jax.lax.top_k(scores, k)
+        _, got = _packed_scan_topk(q, emb, bias, k, min(b, _TB), _pick_tn(n), False)
+        hits = (oracle[:, :, None] == got[:, None, :]).any(-1).sum(-1)
+        return hits.sum() / (q.shape[0] * k)
+
+    global _recall_at_k
+    _recall_at_k = float(recall_check(q0, emb, bias))
 
     rep = [0]
     debug = os.environ.get("WAX_BENCH_DEBUG") == "1"
@@ -196,6 +185,8 @@ def main() -> None:
                 "value": round(headline_ms, 4),
                 "unit": "ms",
                 "vs_baseline": round(BASELINE_MS / headline_ms, 2),
+                "recall_at_10": round(_recall_at_k, 4),
+                "qps_per_chip": round(256 / headline_ms * 1e3),
             }
         )
     )

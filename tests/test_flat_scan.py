@@ -108,7 +108,7 @@ class TestPallasScan:
         idx = b.snapshot()
         q = normalize_rows(jnp.asarray(rng.standard_normal((bq, 64)).astype(np.float32)))
         v1, r1, f1 = flat_scan_topk(q, idx, k, backend="xla")
-        v2, r2, f2 = flat_scan_topk(q, idx, k, backend="pallas")
+        v2, r2, f2 = flat_scan_topk(q, idx, k, backend="pallas_exact")
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-5)
         np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
@@ -120,9 +120,92 @@ class TestPallasScan:
         idx = b.snapshot()
         q = normalize_rows(jnp.asarray(rng.standard_normal((9, 64)).astype(np.float32)))
         v1, r1, f1 = flat_scan_topk(q, idx, 10, backend="xla")
-        v2, r2, f2 = flat_scan_topk(q, idx, 10, backend="pallas")
+        v2, r2, f2 = flat_scan_topk(q, idx, 10, backend="pallas_exact")
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
         removed = set(int(x) for x in ids[::5][:100])
+        assert removed.isdisjoint(set(np.asarray(f2).ravel().tolist()))
+
+
+class TestPackedScan:
+    """The packed-key kernel (default "pallas" backend): deterministic, duplicate-
+    safe, lowest-index ties; scores compared at <= 2^-12 relative truncation."""
+
+    @pytest.mark.parametrize("n,bq,k", [(3000, 7, 10), (1024, 1, 1), (5000, 64, 32)])
+    def test_overlap_vs_oracle(self, rng, n, bq, k):
+        b, _, _ = _build(rng, n=n)
+        idx = b.snapshot()
+        q = normalize_rows(jnp.asarray(rng.standard_normal((bq, 64)).astype(np.float32)))
+        v1, _, f1 = flat_scan_topk(q, idx, k, backend="xla")
+        v2, _, f2 = flat_scan_topk(q, idx, k, backend="pallas")
+        f1, f2 = np.asarray(f1), np.asarray(f2)
+        overlap = np.mean(
+            [len(set(f1[r]) & set(f2[r])) / max(1, (f1[r] >= 0).sum()) for r in range(bq)]
+        )
+        assert overlap >= 0.99, overlap
+        # values of agreeing slots match to the truncation bound
+        agree = f1 == f2
+        np.testing.assert_allclose(
+            np.asarray(v1)[agree], np.asarray(v2)[agree], rtol=2**-11, atol=1e-6
+        )
+
+    def test_exact_on_separated_scores(self, rng):
+        # plant scores whose pairwise relative gaps far exceed the 2^-12 truncation:
+        # the packed kernel must then match the oracle exactly
+        from wax_tpu.index.dense import DenseIndexBuilder
+
+        n, d = 2560, 64
+        base = rng.standard_normal(d).astype(np.float32)
+        base /= np.linalg.norm(base)
+        vecs = np.empty((n, d), np.float32)
+        mix = np.linspace(0.0, 0.95, n)  # distinct alignment per row
+        rng.shuffle(mix)
+        for i in range(n):
+            noise = rng.standard_normal(d).astype(np.float32)
+            noise -= noise @ base * base
+            v = mix[i] * base + np.sqrt(max(1e-6, 1 - mix[i] ** 2)) * noise / np.linalg.norm(noise)
+            vecs[i] = v / np.linalg.norm(v)
+        b = DenseIndexBuilder(dim=d)
+        b.add_batch(np.arange(n), vecs)
+        idx = b.snapshot()
+        q = jnp.asarray(base[None, :])
+        v1, r1, f1 = flat_scan_topk(q, idx, 10, backend="xla")
+        v2, r2, f2 = flat_scan_topk(q, idx, 10, backend="pallas")
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=2**-11)
+
+    def test_duplicate_multiplicity_and_lowest_index(self, rng):
+        from wax_tpu.index.dense import DenseIndexBuilder
+
+        n, d = 4096, 64
+        vecs = rng.standard_normal((n, d)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        dup = vecs[50].copy()
+        for row in (130, 700, 2049, 3500, 3971):
+            vecs[row] = dup
+        b = DenseIndexBuilder(dim=d)
+        b.add_batch(np.arange(n), vecs)
+        idx = b.snapshot()
+        q = jnp.asarray(dup[None, :])
+        _, _, fids = flat_scan_topk(q, idx, 6, backend="pallas")
+        assert list(np.asarray(fids[0])) == [50, 130, 700, 2049, 3500, 3971]
+
+    def test_deterministic(self, rng):
+        b, _, _ = _build(rng, n=3000)
+        idx = b.snapshot()
+        q = normalize_rows(jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32)))
+        v1, _, f1 = flat_scan_topk(q, idx, 10, backend="pallas")
+        v2, _, f2 = flat_scan_topk(q, idx, 10, backend="pallas")
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+    def test_with_tombstones(self, rng):
+        b, vecs, ids = _build(rng, n=2560)
+        removed = set(int(x) for x in ids[::5][:100])
+        for fid in removed:
+            b.remove(fid)
+        idx = b.snapshot()
+        q = normalize_rows(jnp.asarray(rng.standard_normal((9, 64)).astype(np.float32)))
+        _, _, f2 = flat_scan_topk(q, idx, 10, backend="pallas")
         assert removed.isdisjoint(set(np.asarray(f2).ravel().tolist()))
 
 

@@ -14,11 +14,17 @@ so the full [B, N] score matrix never round-trips to HBM. Hierarchy:
     per-chip: `lax.top_k` over the [B, n_tiles*K] candidates
     cross-chip: all-gather/merge over ICI (wax_tpu/parallel/sharded_scan.py)
 
-Two backends:
-  * "xla":    full matmul + masked `lax.top_k`. Correctness oracle; also fastest for
-              small N where the score matrix is tiny.
-  * "pallas": the fused kernel above. Avoids materializing [B, N] scores in HBM —
-              the win grows with N (at 1M x 768 the score matrix alone is ~1 GB).
+Backends:
+  * "xla":          full matmul + masked `lax.top_k`. Correctness oracle; also
+                    fastest for tiny corpora.
+  * "pallas":       fused packed-key kernel (see _packed_topk_kernel) — each
+                    extraction pass is 3 VPU ops on i32 keys holding truncated score
+                    bits + a column tie-break. Fastest at small/mid N; scores are
+                    compared at <= 2^-12 relative precision.
+  * "pallas_exact": the round-1 fused kernel — bit-exact vs "xla", 6 ops/pass.
+  * "blockmax" / "chunkmax": exact XLA/DMA variants that win at large N.
+None of these materialize [B, N] scores in HBM except "blockmax" (at 1M x 768 the
+score matrix alone is ~1 GB).
 
 Masking: callers pass a DenseIndex whose tombstones/padding are excluded via a
 precomputed additive bias row (0 for live rows, NEG_INF otherwise), which XLA fuses
@@ -93,6 +99,92 @@ def scan_scores(queries: jax.Array, index: DenseIndex) -> jax.Array:
 # Mosaic requires the last dim of VMEM blocks to be a multiple of the 128-lane width,
 # so per-tile candidates are written into a 128-lane-padded block and sliced on merge.
 _KPAD = 128
+
+_IMIN = -(2**31)  # plain int: kernels must not capture traced constants
+_COL_BITS = 11  # low bits of a packed key hold (2047 - column); supports TN <= 2048
+_COL_MASK = (1 << _COL_BITS) - 1
+
+
+def _packed_topk_kernel(q_ref, db_ref, bias_ref, out_ref, *, k: int):
+    """Fused scan + top-k via packed (truncated-score | column-complement) i32 keys.
+
+    The f32 score bits are mapped to a signed-sortable i32 (monotone in the float
+    value), the low 11 bits are replaced by (2047 - col), and each extraction pass is
+    then just max-reduce + compare + select — 3 full-width VPU ops instead of the 6
+    the exact kernel needs (separate f32 argmax + i32 tie-break + eviction). Keys are
+    unique per lane, so eviction removes exactly one element (duplicate-safe) and
+    score ties break toward the lowest column for free.
+
+    Cost of the shortcut: scores are compared with the low 11 mantissa bits dropped
+    (<= 2^-12 relative), so elements whose scores differ by less than that can swap
+    ranks vs the exact kernel. Top-k set overlap on random data: 0.9988 measured at
+    10K x 384 (see tests); use backend="pallas_exact" when bit-exactness matters.
+    """
+    scores = jax.lax.dot_general(
+        q_ref[:], db_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores = scores + bias_ref[0, :][None, :]
+    tb = scores.shape[0]
+    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    key = jnp.where(
+        bits >= 0, bits, jnp.bitwise_xor(jnp.bitwise_not(bits), jnp.asarray(_IMIN, jnp.int32))
+    )
+    cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    packed = jnp.bitwise_or(jnp.bitwise_and(key, jnp.int32(~_COL_MASK)), _COL_MASK - cols)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tb, _KPAD), 1)
+
+    def body(t, carry):
+        p, out = carry
+        m = jnp.max(p, axis=1, keepdims=True)
+        out = jnp.where(lanes == t, m, out)
+        p = jnp.where(p == m, _IMIN, p)
+        return p, out
+
+    _, out = jax.lax.fori_loop(
+        0, k, body, (packed, jnp.full((tb, _KPAD), _IMIN, jnp.int32))
+    )
+    out_ref[:] = out
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tb", "tn", "interpret"))
+def _packed_scan_topk(queries, emb, bias, k: int, tb: int, tn: int, interpret: bool):
+    b, d = queries.shape
+    n = emb.shape[0]
+    nb, nn = pl.cdiv(b, tb), pl.cdiv(n, tn)
+    kernel = functools.partial(_packed_topk_kernel, k=k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb, nn),
+        in_specs=[
+            pl.BlockSpec((tb, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, _KPAD), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * tb, nn * _KPAD), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=(b * d + n * d + b * nn * _KPAD) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, emb, bias)
+    p = out[:b].reshape(b, nn, _KPAD)[:, :, :k]
+    local = _COL_MASK - jnp.bitwise_and(p, _COL_MASK)
+    gcol = jnp.arange(nn, dtype=jnp.int32)[None, :, None] * tn + local
+    keym = jnp.bitwise_and(p, jnp.int32(~_COL_MASK))
+    sbits = jnp.where(
+        keym >= 0,
+        keym,
+        jnp.bitwise_not(jnp.bitwise_xor(keym, jnp.asarray(_IMIN, jnp.int32))),
+    )
+    svals = jax.lax.bitcast_convert_type(sbits, jnp.float32)
+    # candidates are laid out (tile asc, rank desc-score/asc-col), so the stable
+    # top_k below keeps the lowest-global-index winner on truncated-score ties
+    mv, pos = jax.lax.top_k(svals.reshape(b, nn * k), k)
+    mi = jnp.take_along_axis(gcol.reshape(b, nn * k), pos, axis=-1)
+    mi = jnp.where(mv <= NEG_INF * 0.5, -1, mi)
+    return mv, mi
 
 
 def _scan_topk_kernel(q_ref, db_ref, bias_ref, vals_ref, idx_ref, *, tn: int, k: int):
@@ -222,8 +314,11 @@ def flat_scan_topk(
       queries: [B, dim] query matrix (normalized by the caller for cosine).
       index: DenseIndex snapshot.
       k: static top-k.
-      backend: "auto" | "xla" | "pallas" (fused kernel) | "blockmax"
-        (exact chunk-max pruned top-k; fastest at large N).
+      backend: "auto" | "xla" | "pallas" (fused packed-key kernel: fastest at small
+        N; scores compared with <= 2^-12 relative truncation, so near-tied elements
+        can swap ranks vs exact — deterministic, duplicate-safe, lowest-index ties)
+        | "pallas_exact" (fused kernel, bit-exact vs the xla oracle) | "blockmax"
+        (exact chunk-max pruned top-k) | "chunkmax" (exact, fastest at very large N).
 
     Returns:
       (scores [B, k] f32, rows [B, k] int32 row indices into index.emb,
@@ -249,11 +344,14 @@ def flat_scan_topk(
         if index.similarity == Similarity.EUCLIDEAN or index.capacity <= 2048 or k > 128:
             backend = "xla"
         elif index.capacity <= 32768:
-            backend = "pallas"
+            backend = "pallas"  # packed-key kernel: 92.7us @10K vs 109.5 exact (v5e)
         elif index.capacity >= 524288 and index.contiguous and k <= 100:
             backend = "chunkmax"
         else:
             backend = "blockmax"
+
+    if backend in ("pallas", "pallas_exact") and k > _KPAD:
+        backend = "xla"  # fused kernels extract into a 128-lane block: k <= 128 only
 
     if backend == "xla":
         return _xla_scan_topk(queries, index, k)
@@ -280,7 +378,9 @@ def flat_scan_topk(
         from wax_tpu.ops.chunkmax_scan import chunkmax_scan_topk
 
         vals, rows = chunkmax_scan_topk(q, index.emb, bias, k)
-    else:
+    elif backend == "pallas" and k <= _KPAD and tn <= (_COL_MASK + 1):
+        vals, rows = _packed_scan_topk(q, index.emb, bias, k, tb, tn, _use_interpret())
+    else:  # "pallas_exact", or "pallas" shapes the packed kernel cannot serve
         vals, rows = _pallas_scan_topk(q, index.emb, bias, k, tb, tn, _use_interpret())
     vals, rows = vals[:b], rows[:b]
     safe = jnp.maximum(rows, 0)
