@@ -33,7 +33,15 @@ def _u8p(a: np.ndarray):
 
 
 class CppHNSWBuilder:
-    def __init__(self, dim: int, m: int = 16, ef_construction: int = 100, seed: int = 0, normalize: bool = True):
+    def __init__(
+        self,
+        dim: int,
+        m: int = 16,
+        ef_construction: int = 100,
+        seed: int = 0,
+        normalize: bool = True,
+        extend_candidates: bool = True,
+    ):
         lib = load_library()
         if lib is None:
             raise RuntimeError("native library unavailable")
@@ -43,6 +51,10 @@ class CppHNSWBuilder:
         self.ef_construction = ef_construction
         self.normalize = normalize
         self._h = lib.wax_hnsw_create(dim, m, ef_construction, seed, 1 if normalize else 0)
+        # default ON: beats an hnswlib-faithful comparator on every measured regime
+        # (scripts/hnsw_parity.py; numbers in graph.py HNSWBuilder.__init__)
+        if extend_candidates:
+            lib.wax_hnsw_set_extend_candidates(self._h, 1)
 
     def __del__(self):
         h = getattr(self, "_h", None)
@@ -66,6 +78,21 @@ class CppHNSWBuilder:
 
     def remove(self, frame_id: int) -> bool:
         return bool(self._lib.wax_hnsw_remove(self._h, int(frame_id)))
+
+    def set_extend_candidates(self, enable: bool) -> None:
+        """Toggle the HNSW paper alg. 4 extendCandidates construction option."""
+        self._lib.wax_hnsw_set_extend_candidates(self._h, 1 if enable else 0)
+
+    def cpu_search_batch(self, queries: np.ndarray, k: int, ef: int) -> np.ndarray:
+        """Classic CPU best-first search (paper alg. 5) over this builder's graph.
+
+        Returns [nq, k] frame ids (-1 padded). Used by the construction-parity
+        harness (scripts/hnsw_parity.py); production queries use the TPU beam."""
+        q = np.ascontiguousarray(np.asarray(queries, np.float32))
+        nq = q.shape[0]
+        out = np.full((nq, k), -1, np.int64)
+        self._lib.wax_hnsw_search_batch(self._h, nq, _f32p(q), int(k), int(ef), _i64p(out))
+        return out
 
     def __len__(self) -> int:
         return int(self._lib.wax_hnsw_live(self._h))

@@ -112,6 +112,15 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.wax_hnsw_contains.argtypes = [c.c_void_p, c.c_int64]
     lib.wax_hnsw_generation.restype = c.c_int64
     lib.wax_hnsw_generation.argtypes = [c.c_void_p]
+    lib.wax_hnsw_set_extend_candidates.argtypes = [c.c_void_p, c.c_int]
+    lib.wax_hnsw_search_batch.argtypes = [
+        c.c_void_p,
+        c.c_int64,
+        c.POINTER(c.c_float),
+        c.c_int,
+        c.c_int,
+        c.POINTER(c.c_int64),
+    ]
     lib.wax_hnsw_edge_count.restype = c.c_int64
     lib.wax_hnsw_edge_count.argtypes = [c.c_void_p]
     lib.wax_hnsw_export.argtypes = [

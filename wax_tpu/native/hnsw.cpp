@@ -53,6 +53,8 @@ struct Hnsw {
   int32_t max_level = -1;
   int64_t generation = 0;
 
+  bool extend_candidates = false;  // HNSW paper alg. 4 option (see add())
+
   Hnsw(int dim_, int m_, int efc_, uint64_t seed, bool norm)
       : dim(dim_), m(m_), m0(2 * m_), efc(efc_), ml(1.0 / std::log((double)m_)),
         normalize(norm), rng(seed) {
@@ -219,6 +221,27 @@ struct Hnsw {
     std::vector<int32_t> entries{cur};
     for (int lvl = std::min(level, (int)max_level); lvl >= 0; --lvl) {
       auto cands = search_layer(v.data(), entries, efc, lvl);
+      if (extend_candidates) {
+        // HNSW paper alg. 4 option: extend the working set with candidates'
+        // neighbors before the diversity prune — helps tight-cluster regimes where
+        // efConstruction search surfaces only one basin.
+        std::unordered_set<int32_t> seen;
+        for (const Pair& c : cands) seen.insert(c.node);
+        auto& neigh = neighbors[lvl];
+        std::vector<Pair> extended = cands;
+        for (const Pair& c : cands) {
+          auto it = neigh.find(c.node);
+          if (it == neigh.end()) continue;
+          for (int32_t nb : it->second) {
+            if (!active[nb] || seen.count(nb)) continue;
+            seen.insert(nb);
+            extended.push_back({sim(v.data(), vec(nb)), nb});
+          }
+        }
+        std::sort(extended.begin(), extended.end(),
+                  [](const Pair& a, const Pair& b) { return a.sim > b.sim; });
+        cands.swap(extended);
+      }
       int mm = lvl == 0 ? m0 : m;
       for (int32_t nb : select_neighbors(cands, mm)) link(row, nb, lvl);
       entries.clear();
@@ -231,6 +254,45 @@ struct Hnsw {
       entry = row;
     }
     ++generation;
+  }
+
+  // Classic HNSW search (paper alg. 5): greedy descent from the entry point, then
+  // an ef-bounded best-first pass over level 0. Used by the construction-parity
+  // harness so our graph and the reference-style comparator graph are evaluated
+  // with the SAME algorithm (the TPU beam lives in wax_tpu/ops/beam_search.py).
+  void search(const float* q_in, int k, int ef, int64_t* out_fids) {
+    std::vector<float> q(q_in, q_in + dim);
+    if (normalize) {
+      float n = 0.f;
+      for (float x : q) n += x * x;
+      n = std::sqrt(n);
+      if (n > 0) for (float& x : q) x /= n;
+    }
+    for (int i = 0; i < k; ++i) out_fids[i] = -1;
+    if (entry < 0) return;
+    int32_t cur = entry;
+    float cur_sim = sim(q.data(), vec(cur));
+    for (int lvl = max_level; lvl >= 1; --lvl) {
+      bool improved = true;
+      while (improved) {
+        improved = false;
+        auto it = neighbors[lvl].find(cur);
+        if (it == neighbors[lvl].end()) break;
+        for (int32_t nb : it->second) {
+          if (!active[nb]) continue;
+          float s = sim(q.data(), vec(nb));
+          if (s > cur_sim) {
+            cur = nb;
+            cur_sim = s;
+            improved = true;
+          }
+        }
+      }
+    }
+    std::vector<int32_t> entries{cur};
+    auto res = search_layer(q.data(), entries, std::max(ef, k), 0);
+    int n_out = std::min((int)res.size(), k);
+    for (int i = 0; i < n_out; ++i) out_fids[i] = frame_ids[res[i].node];
   }
 
   bool remove(int64_t fid) {
@@ -273,6 +335,17 @@ void wax_hnsw_add_batch(void* h, int64_t n, const int64_t* fids, const float* ve
 }
 
 int wax_hnsw_remove(void* h, int64_t fid) { return ((Hnsw*)h)->remove(fid) ? 1 : 0; }
+
+void wax_hnsw_set_extend_candidates(void* h, int enable) {
+  ((Hnsw*)h)->extend_candidates = enable != 0;
+}
+
+void wax_hnsw_search_batch(void* h, int64_t nq, const float* queries, int k, int ef,
+                           int64_t* out_fids) {
+  Hnsw* g = (Hnsw*)h;
+  for (int64_t i = 0; i < nq; ++i)
+    g->search(queries + (size_t)i * g->dim, k, ef, out_fids + (size_t)i * k);
+}
 
 int64_t wax_hnsw_count(void* h) { return (int64_t)((Hnsw*)h)->frame_ids.size(); }
 
