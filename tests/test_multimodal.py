@@ -161,6 +161,100 @@ class TestPhotoRAG:
         assert gps_bin(41.39222, 2.17111) == gps_bin(41.39, 2.17)
         assert gps_bin(41.39, 2.17) != gps_bin(40.71, -74.0)
 
+    def test_ocr_block_frames_carry_bbox_and_confidence(self, tmp_path):
+        # per-block frames with bbox + confidence metadata, not lex-indexed
+        # (reference: ingestOne :585-607 — blocks stored, only the summary indexed)
+        blocks = [
+            OCRBlock("EXIT", bbox=(0.1, 0.1, 0.2, 0.05), confidence=0.95),
+            OCRBlock("FIRE HOSE", bbox=(0.6, 0.7, 0.3, 0.1), confidence=0.80),
+        ]
+        with PhotoRAGOrchestrator(
+            tmp_path / "p.wxs",
+            embedder=DeterministicMultimodalEmbedder(),
+            ocr_provider=StubOCR(blocks),
+            config=PhotoRAGConfig(orchestrator=_OC),
+        ) as p:
+            res = p.ingest("a1", "img")
+            assert len(res.ocr_block_frames) == 2
+            m = p.inner.store.frame_meta(res.ocr_block_frames[0])
+            assert m.metadata["bbox"] == "0.1000,0.1000,0.2000,0.0500"
+            assert m.metadata["confidence"] == "0.950"
+            assert m.search_text is None  # blocks are evidence, not a search lane
+            sm = p.inner.store.frame_meta(res.ocr_summary_frame)
+            assert sm.search_text  # the summary IS indexed
+
+    def test_region_frames_from_ocr_bboxes(self, tmp_path):
+        # overlapping blocks merge into one region; disjoint blocks get their own
+        # (reference: proposeRegions :1246-1262)
+        blocks = [
+            OCRBlock("A", bbox=(0.1, 0.1, 0.2, 0.1), confidence=0.9),
+            OCRBlock("B", bbox=(0.15, 0.12, 0.2, 0.1), confidence=0.9),  # overlaps A
+            OCRBlock("C", bbox=(0.7, 0.8, 0.1, 0.1), confidence=0.9),
+        ]
+        with PhotoRAGOrchestrator(
+            tmp_path / "p.wxs",
+            embedder=DeterministicMultimodalEmbedder(),
+            ocr_provider=StubOCR(blocks),
+            config=PhotoRAGConfig(orchestrator=_OC),
+        ) as p:
+            res = p.ingest("a1", "img")
+            assert len(res.region_frames) == 2
+            metas = [p.inner.store.frame_meta(f) for f in res.region_frames]
+            assert all("bbox" in m.metadata for m in metas)
+
+    def test_pipeline_version_bump_reingests(self, tmp_path):
+        # same version -> duplicate skip; bumped version -> re-ingest, old root gone
+        # (reference: dedupe by asset id + pipeline version, ingestOne :462-466)
+        emb = DeterministicMultimodalEmbedder()
+        p = PhotoRAGOrchestrator(
+            tmp_path / "p.wxs", embedder=emb,
+            config=PhotoRAGConfig(orchestrator=_OC, pipeline_version="v1"),
+        )
+        r1 = p.ingest("a1", "img", caption_text="old caption about canals")
+        assert p.ingest("a1", "img").skipped_duplicate
+        p.flush()
+        p.close()
+        p2 = PhotoRAGOrchestrator(
+            tmp_path / "p.wxs", embedder=emb,
+            config=PhotoRAGConfig(orchestrator=_OC, pipeline_version="v2"),
+        )
+        r2 = p2.ingest("a1", "img", caption_text="new caption about canals")
+        assert not r2.skipped_duplicate
+        assert r2.superseded_root == r1.root_frame
+        hits = p2.recall("caption about canals")
+        assert hits and hits[0].frame_id != r1.caption_frame
+        assert all(h.text != "old caption about canals" for h in hits)
+        p2.close()
+
+    def test_recall_aggregates_by_asset_with_evidence(self, tmp_path):
+        with self._orch(tmp_path) as p:
+            p.ingest("asset1", "img1", tags=["holiday"])
+            hits = p.recall("red door exit sign")
+            # one item per asset, not one per matching child frame
+            assert len([h for h in hits if h.asset_id == "asset1"]) == 1
+            h = hits[0]
+            assert h.evidence and set(h.evidence) <= {"vector", "text", "region", "timeline", "structured"}
+            assert "a red door in a brick wall" in h.summary
+            assert "EXIT sign above the door" in h.summary
+
+    def test_recall_summary_respects_token_budget(self, tmp_path):
+        from wax_tpu.text.token_counter import TokenCounter
+
+        blocks = [OCRBlock(f"line {i} with several words of text", confidence=0.9) for i in range(30)]
+        with PhotoRAGOrchestrator(
+            tmp_path / "p.wxs",
+            embedder=DeterministicMultimodalEmbedder(),
+            ocr_provider=StubOCR(blocks),
+            caption_provider=StubCaption("busy poster full of text"),
+            config=PhotoRAGConfig(orchestrator=_OC, max_text_tokens=40),
+        ) as p:
+            p.ingest("a1", "img")
+            ctx = p.recall_context("poster text")
+            assert ctx.items
+            assert ctx.used_text_tokens <= 40
+            tc = TokenCounter.shared()
+            assert all(tc.count(i.summary) <= 40 for i in ctx.items)
+
 
 class TestMultimodalMaintenance:
     """Forget + live-set rewrite through the multimodal wrappers (the scheduled
@@ -179,7 +273,7 @@ class TestMultimodalMaintenance:
             assert report.executed and report.frames_after < report.frames_before
             # surviving root id was remapped and recall still works
             assert "vid-b" in v._ingested and "vid-a" not in v._ingested
-            root_meta = v.inner.store.frame_meta(v._ingested["vid-b"])
+            root_meta = v.inner.store.frame_meta(v._ingested["vid-b"][0])
             assert root_meta.metadata["video_id"] == "vid-b"
             hits = v.recall("bravo topic")
             assert hits and hits[0].video_id == "vid-b"

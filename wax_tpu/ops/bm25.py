@@ -109,6 +109,7 @@ def bm25_topk(term_ids: jax.Array, index: LexIndex, k: int, mode: str = "any"):
 
     Rows with score 0 (no match) are excluded (index/frame id -1).
     """
+    k = int(min(k, index.frame_ids.shape[0]))  # clamp like flat_scan_topk: k > capacity is fine
     scores = bm25_scores(term_ids, index, mode=mode)
     vals, rows = masked_top_k(scores, k, mask=scores > 0.0)
     safe = jnp.maximum(rows, 0)

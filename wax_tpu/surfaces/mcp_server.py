@@ -450,7 +450,9 @@ class McpServer:
         }
 
     def _tool_wax_video_recall(self, a):
-        hits = self._video_rag().recall(a["query"], a.get("top_k", 8))
+        ctx = self._video_rag().recall_context(a["query"], a.get("top_k", 8))
+        hits = [s for item in ctx.items for s in item.segments]
+        hits.sort(key=lambda s: (-s.score, s.frame_id))
         return {
             "hits": [
                 {
@@ -461,9 +463,21 @@ class McpServer:
                     "score": h.score,
                     "text": h.text,
                     "keyframe_ref": h.keyframe_ref,
+                    "evidence": list(h.evidence),
                 }
-                for h in hits
-            ]
+                for h in hits[: a.get("top_k", 8)]
+            ],
+            "items": [
+                {
+                    "video_id": i.video_id,
+                    "score": i.score,
+                    "evidence": list(i.evidence),
+                    "summary": i.summary,
+                    "segments": [s.segment_index for s in i.segments],
+                }
+                for i in ctx.items
+            ],
+            "used_text_tokens": ctx.used_text_tokens,
         }
 
     def _tool_wax_video_forget(self, a):
@@ -497,7 +511,9 @@ class McpServer:
         if a.get("after_ms") is not None or a.get("before_ms") is not None:
             tr = TimeRange(a.get("after_ms"), a.get("before_ms"))
         near = tuple(a["near"]) if a.get("near") else None
-        hits = self._photo_rag().recall(a["query"], a.get("top_k", 8), time_range=tr, near=near)
+        ctx = self._photo_rag().recall_context(
+            a["query"], a.get("top_k", 8), time_range=tr, near=near
+        )
         return {
             "hits": [
                 {
@@ -508,9 +524,16 @@ class McpServer:
                     "taken_at_ms": h.taken_at_ms,
                     "gps": h.gps,
                     "thumbnail_ref": h.thumbnail_ref,
+                    "summary": h.summary,
+                    "evidence": list(h.evidence),
+                    "regions": [
+                        {"bbox": list(r.bbox), "type": r.region_type, "crop_ref": r.crop_ref}
+                        for r in h.regions
+                    ],
                 }
-                for h in hits
-            ]
+                for h in ctx.items
+            ],
+            "used_text_tokens": ctx.used_text_tokens,
         }
 
     def _tool_wax_entity_upsert(self, a):

@@ -18,11 +18,20 @@ MAX_INPUT_BYTES = 8 * 1024 * 1024  # reference cap: 8 MiB per input
 
 
 class TokenCounter:
+    _shared: "TokenCounter | None" = None
+
     def __init__(self, encoder: BpeEncoder | None = None, cache_capacity: int = 4096):
         self._encoder = encoder or load_cl100k()
         self._cache: OrderedDict[str, int] = OrderedDict()
         self._capacity = cache_capacity
         self.stats = {"hits": 0, "misses": 0}
+
+    @classmethod
+    def shared(cls) -> "TokenCounter":
+        """Process-wide instance (reference: TokenCounter.shared(), :6)."""
+        if cls._shared is None:
+            cls._shared = cls()
+        return cls._shared
 
     @property
     def exact(self) -> bool:
