@@ -90,7 +90,7 @@ def main():
     ap.add_argument("--n", type=int, default=100_000)
     ap.add_argument("--dataset", default="all")
     ap.add_argument("--efc", type=int, default=200)
-    ap.add_argument("--extend", action="store_true", help="enable extendCandidates in ours")
+    ap.add_argument("--no-extend", action="store_true", help="disable extendCandidates (default on)")
     args = ap.parse_args()
 
     ref = load_ref()
@@ -105,12 +105,12 @@ def main():
         print(f"[{kind} n={args.n}] ground truth: {time.perf_counter()-t0:.0f}s", flush=True)
 
         t0 = time.perf_counter()
-        ours = CppHNSWBuilder(D, m=16, ef_construction=args.efc, seed=0)
-        if args.extend:
-            ours.set_extend_candidates(True)
+        ours = CppHNSWBuilder(
+            D, m=16, ef_construction=args.efc, seed=0, extend_candidates=not args.no_extend
+        )
         ours.add_batch(np.arange(args.n), vecs)
         t_ours = time.perf_counter() - t0
-        print(f"  ours built in {t_ours:.0f}s (efc={args.efc}, extend={args.extend})", flush=True)
+        print(f"  ours built in {t_ours:.0f}s (efc={args.efc}, extend={not args.no_extend})", flush=True)
 
         t0 = time.perf_counter()
         h = ref.ref_hnsw_create(D, 16, args.efc, 0)

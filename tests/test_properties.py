@@ -119,6 +119,108 @@ class TestRrfProperties:
         assert topk == full[:k]
 
 
+class TestRerankProperties:
+    """The intent-aware rerank is a pure function: deterministic, tail-preserving,
+    and invariant to how the head window happened to be ordered on score ties
+    (extends DeterminismPropertyTests with the rerank axis; reference weights in
+    wax_tpu/search/rerank.py)."""
+
+    @staticmethod
+    def _mk(hits_data):
+        from dataclasses import dataclass
+
+        @dataclass(frozen=True)
+        class H:
+            frame_id: int
+            score: float
+            sources: tuple = ("bm25",)
+
+        return [H(fid, sc) for fid, sc in hits_data]
+
+    previews_strategy = st.lists(
+        st.tuples(
+            st.floats(0.001, 1.0, allow_nan=False),
+            st.sampled_from(
+                [
+                    "Dana owns deployment readiness for the rollout",
+                    "the public launch is March 14, 2024",
+                    "draft memo: tentative launch target is April 2",
+                    "weekly report checklist needs signoff",
+                    "Omar moved to Valencia last spring",
+                    "a note about gardening and nothing else",
+                ]
+            ),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+
+    @_SETTINGS
+    @given(data=previews_strategy)
+    def test_deterministic_and_tail_preserving(self, data):
+        from wax_tpu.search.rerank import intent_aware_rerank
+        from wax_tpu.text.analyzer import analyze_query
+
+        hits = self._mk([(i, s) for i, (s, _) in enumerate(data)])
+        previews = {i: t for i, (_, t) in enumerate(data)}
+        signals = analyze_query('who owns deployment readiness for the "public launch"')
+        a = intent_aware_rerank(hits, previews, signals, 4, lambda h: False)
+        b = intent_aware_rerank(hits, previews, signals, 4, lambda h: False)
+        assert a == b
+        assert a[4:] == hits[4:]  # tail untouched
+        assert sorted(h.frame_id for h in a) == sorted(h.frame_id for h in hits)
+
+    @_SETTINGS
+    @given(data=previews_strategy)
+    def test_equal_score_head_is_permutation_stable(self, data):
+        # equal original scores: reordering the input head must not change which
+        # frame wins (composite + frame-id tie-break fully determine the order)
+        from wax_tpu.search.rerank import intent_aware_rerank
+        from wax_tpu.text.analyzer import analyze_query
+
+        hits = self._mk([(i, 0.5) for i in range(len(data))])
+        previews = {i: t for i, (_, t) in enumerate(data)}
+        signals = analyze_query("when is the public launch date for Atlas10")
+        w = len(hits)
+        a = intent_aware_rerank(hits, previews, signals, w, lambda h: False)
+        b = intent_aware_rerank(list(reversed(hits)), previews, signals, w, lambda h: False)
+        assert [h.frame_id for h in a] == [h.frame_id for h in b]
+
+    def test_answer_rerank_prefers_authoritative_over_tentative(self):
+        from wax_tpu.search.rerank import rerank_for_answer
+        from wax_tpu.text.analyzer import analyze_query
+
+        contents = {
+            0: "Draft memo: the public launch target is April 2, pending approval.",
+            1: "The public launch is March 14, 2024.",
+        }
+        hits = self._mk([(0, 0.55), (1, 0.50)])  # distractor ranks first by raw score
+        out = rerank_for_answer(
+            hits,
+            contents=lambda f: contents[f],
+            signals=analyze_query("when is the public launch"),
+            window=2,
+            distractor_penalty=0.30,
+            vector_influenced=True,
+        )
+        assert out[0].frame_id == 1
+
+    def test_search_rerank_demotes_distractors(self):
+        from wax_tpu.search.rerank import intent_aware_rerank
+        from wax_tpu.text.analyzer import analyze_query
+
+        previews = {
+            0: "The public launch weekly report needs a signoff from Dana's team.",
+            1: "Dana owns deployment readiness for the rollout.",
+        }
+        hits = self._mk([(0, 0.55), (1, 0.50)])
+        out = intent_aware_rerank(
+            hits, previews, analyze_query("who owns deployment readiness Dana"),
+            window=2, vector_influenced=lambda h: False,
+        )
+        assert out[0].frame_id == 1
+
+
 class TestWalProperties:
     @_SETTINGS
     @given(fids=st.lists(st.integers(0, 10**6), min_size=1, max_size=30))

@@ -42,6 +42,15 @@ FACTS = [
      "what is the name of the parrot", "Biscuit", "pet"),
     ("Dr. Okafor prefers morning appointments before nine.",
      "does Okafor prefer morning or afternoon appointments", "morning", "preference"),
+    # reference distractor-pattern facts (UnifiedSearch.swift:854-906 heuristics):
+    # authoritative launch date vs tentative drafts, ownership vs launch confusion,
+    # moved-to-city vs retrospective chatter
+    ("The public launch is March 14, 2024.",
+     "when is the public launch date", "March 14", "date"),
+    ("Dana owns deployment readiness for the rollout.",
+     "who owns deployment readiness", "Dana", "owner"),
+    ("Omar moved to Valencia last spring.",
+     "where did Omar move", "Valencia", "location"),
 ]
 
 # multi-hop pairs: the answer requires joining two separate memories; graded on the
@@ -65,6 +74,14 @@ DISTRACTORS = [
     "A different kayak, the green one, belongs to the rowing club.",
     "Mei mentioned the bakery was closed for renovations in March.",
     "Sofia's coworker commutes across a different bridge every day.",
+    # the reference's calibrated distractor patterns (tentative launch language,
+    # draft memos, ownership/launch confusion, retrospective city chatter — the
+    # phrases intentAwareRerank penalizes, UnifiedSearch.swift:854-958)
+    "Draft memo: the public launch target is April 2, pending approval.",
+    "Tentative estimate: the launch could be pushed to May if the checklist slips.",
+    "The public launch weekly report needs a signoff from Dana's team.",
+    "Omar wrote a retrospective about a hypothetical city move without a destination.",
+    "In 2015 a different dog named Rocky lived in Austin with the neighbors.",
 ]
 
 

@@ -40,10 +40,34 @@ class AnswerCandidate:
     score: float
 
 
+_SENTENCE_SPLIT_RE = re.compile(r"[.;!?\n]")
+_OWNERSHIP_VERBS = frozenset({"owns", "own", "owner", "owned", "belongs", "has", "bought", "whose"})
+
+
+def _sentence_around(text: str, pos: int) -> str:
+    start = 0
+    for m in _SENTENCE_SPLIT_RE.finditer(text[:pos]):
+        start = m.end()
+    m = _SENTENCE_SPLIT_RE.search(text, pos)
+    return text[start : m.start() if m else len(text)]
+
+
+def _subject_overlap(sentence: str, subject_terms: frozenset[str]) -> float:
+    """Fraction of the query's non-intent content terms present in the sentence —
+    ownership/date answers must be about the asked-about OBJECT, not merely phrased
+    with an ownership verb (the reference extractor weighs candidate spans by
+    query-term proximity the same way)."""
+    if not subject_terms:
+        return 1.0
+    low = sentence.lower()
+    return sum(1 for t in subject_terms if t in low) / len(subject_terms)
+
+
 def extract_answer(context: RAGContext, query: str) -> AnswerCandidate | None:
     """Pick the best heuristic answer span from RAG items, lane chosen by intent."""
     signals = analyze_query(query)
     low_q = query.lower()
+    subject_terms = frozenset(t for t in signals.content_terms if t not in _OWNERSHIP_VERBS)
     candidates: list[AnswerCandidate] = []
     for rank, item in enumerate(context.items):
         weight = 1.0 / (1.0 + rank)
@@ -58,7 +82,10 @@ def extract_answer(context: RAGContext, query: str) -> AnswerCandidate | None:
             for m in _OWNER_RE.finditer(text):
                 name = m.group(1) or m.group(2)
                 if name:
-                    candidates.append(AnswerCandidate(name, "owner", item.frame_id, 2.0 * weight))
+                    ov = _subject_overlap(_sentence_around(text, m.start()), subject_terms)
+                    candidates.append(
+                        AnswerCandidate(name, "owner", item.frame_id, 2.0 * weight * (0.25 + 2.0 * ov))
+                    )
         if "allerg" in low_q:
             for m in _ALLERGY_RE.finditer(text):
                 candidates.append(AnswerCandidate(m.group(1), "allergy", item.frame_id, 2.0 * weight))

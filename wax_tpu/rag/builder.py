@@ -40,19 +40,19 @@ class FastRAGContextBuilder:
 
     # -- answer-focused rerank (reference :384-506) -------------------------------------
     def _rerank_for_answer(self, hits, signals):
-        def answer_score(hit):
-            content = self.engine.frames.content(hit.frame_id) or ""
-            low = content.lower()
-            s = hit.score
-            term_hits = sum(1 for t in signals.content_terms if t in low)
-            s *= 1.0 + 0.1 * term_hits
-            if signals.entity_terms and not any(e.lower() in low for e in signals.entity_terms):
-                s *= 1.0 - self.config.distractor_penalty
-            return s
+        from wax_tpu.search.rerank import rerank_for_answer
 
-        window = min(self.config.rerank_window, len(hits))
-        head = sorted(hits[:window], key=lambda h: (-answer_score(h), h.frame_id))
-        return list(head) + list(hits[window:])
+        # hybrid search: the vector lane contributes unless alpha pins text-only
+        # (reference: vectorInfluenced switch, FastRAGContextBuilder.swift:398-406)
+        vector_influenced = self.engine.vector is not None and len(self.engine.vector) > 0
+        return rerank_for_answer(
+            hits,
+            contents=lambda fid: self.engine.frames.content(fid) or "",
+            signals=signals,
+            window=self.config.rerank_window,
+            distractor_penalty=self.config.distractor_penalty,
+            vector_influenced=vector_influenced,
+        )
 
     def build(self, query: str, top_k: int | None = None) -> RAGContext:
         cfg = self.config

@@ -48,7 +48,6 @@ _LANE_SOURCE = {
 
 # rerank window size, mirroring the reference's default (FastRAGConfig rerank window 12)
 _RERANK_WINDOW = 12
-_DISTRACTOR_PENALTY = 0.30
 
 
 def make_snippet(content: str, terms: tuple[str, ...], radius: int = 80, max_len: int = 200) -> str:
@@ -138,29 +137,6 @@ def _passes_filters(engine: HybridSearchEngine, request: SearchRequest, fid: int
     return True
 
 
-def _rerank_bonus(preview: str, signals: QuerySignals) -> float:
-    """Deterministic intent-aware rerank multiplier in [1-penalty, ~1.75]
-    (reference: UnifiedSearch.swift:701-1010 — entity/date/ownership boosts,
-    distractor penalties; re-derived as a documented multiplicative heuristic)."""
-    low = preview.lower()
-    bonus = 0.0
-    if signals.entity_terms:
-        frac = sum(1 for e in signals.entity_terms if e.lower() in low) / len(signals.entity_terms)
-        bonus += 0.30 * frac
-    if signals.quoted_phrases:
-        frac = sum(1 for p in signals.quoted_phrases if p.lower() in low) / len(signals.quoted_phrases)
-        bonus += 0.25 * frac
-    if signals.years and any(y in low for y in signals.years):
-        bonus += 0.10
-    if signals.date_literals and any(d.lower() in low for d in signals.date_literals):
-        bonus += 0.10
-    if signals.content_terms:
-        hit_any = any(t in low for t in signals.content_terms)
-        if not hit_any:
-            bonus -= _DISTRACTOR_PENALTY  # pure-vector neighbor with no lexical anchor
-    return 1.0 + bonus
-
-
 def unified_search(engine: HybridSearchEngine, request: SearchRequest) -> SearchResponse:
     t0 = time.perf_counter()
     qtype = classify_query(request.query)
@@ -197,16 +173,15 @@ def unified_search(engine: HybridSearchEngine, request: SearchRequest) -> Search
     }
 
     # intent-aware rerank over the head window
-    window = min(_RERANK_WINDOW, len(fused))
-    head = sorted(
-        fused[:window],
-        key=lambda h: (
-            -h.score * _rerank_bonus(previews[h.frame_id], signals),
-            h.best_rank,
-            h.frame_id,
-        ),
+    from wax_tpu.search.rerank import intent_aware_rerank
+
+    fused = intent_aware_rerank(
+        fused,
+        previews,
+        signals,
+        window=_RERANK_WINDOW,
+        vector_influenced=lambda h: "vector" in h.sources,
     )
-    fused = head + fused[window:]
 
     # timeline fallback when every lane came up empty (reference :483-485)
     if not fused and request.mode == SearchMode.HYBRID:

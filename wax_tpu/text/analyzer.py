@@ -32,6 +32,46 @@ _STOPWORDS = frozenset(
 _WORD_RE = re.compile(r"[A-Za-z0-9][\w'-]*")
 
 
+_MONTHS = {
+    m: i + 1
+    for i, m in enumerate(
+        "january february march april may june july august september october november december".split()
+    )
+}
+_NUM_DATE_RE = re.compile(r"\b(\d{1,2})[/-](\d{1,2})(?:[/-](\d{2,4}))?\b")
+_MONTH_DAY_RE = re.compile(
+    r"\b(january|february|march|april|may|june|july|august|september|october|november|december)"
+    r"(?:\s+(\d{1,2}))?(?:,?\s+((?:19|20)\d{2}))?\b",
+    re.IGNORECASE,
+)
+
+
+def date_keys(text: str) -> tuple[str, ...]:
+    """Canonical date keys ("MM-DD" / "YYYY-MM-DD") from date literals, so "March 14"
+    and "3/14" compare equal during reranking (reference: QueryAnalyzer
+    normalizedDateKeys, QueryAnalyzer.swift)."""
+    keys: list[str] = []
+    for m, d, y in _NUM_DATE_RE.findall(text):
+        mo, day = int(m), int(d)
+        if not (1 <= mo <= 12 and 1 <= day <= 31):
+            continue
+        key = f"{mo:02d}-{day:02d}"
+        if y:
+            yy = int(y)
+            if yy < 100:
+                yy += 2000 if yy < 70 else 1900
+            key = f"{yy:04d}-{key}"
+        keys.append(key)
+    for name, d, y in _MONTH_DAY_RE.findall(text):
+        if not d:
+            continue
+        key = f"{_MONTHS[name.lower()]:02d}-{int(d):02d}"
+        if y:
+            key = f"{int(y):04d}-{key}"
+        keys.append(key)
+    return tuple(dict.fromkeys(keys))
+
+
 @dataclass(frozen=True)
 class QuerySignals:
     entity_terms: tuple[str, ...] = ()
@@ -39,6 +79,7 @@ class QuerySignals:
     quoted_phrases: tuple[str, ...] = ()
     years: tuple[str, ...] = ()
     date_literals: tuple[str, ...] = ()
+    date_keys: tuple[str, ...] = ()
     specificity: float = 0.0
     asks_location: bool = False
     asks_date: bool = False
@@ -89,6 +130,7 @@ def analyze_query(query: str) -> QuerySignals:
         quoted_phrases=quoted,
         years=years,
         date_literals=dates,
+        date_keys=date_keys(query),
         specificity=spec,
         asks_location=asks_location,
         asks_date=asks_date,
