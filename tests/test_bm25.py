@@ -131,6 +131,70 @@ class TestScoring:
         assert score_from_rank(0.0) == 1.0
 
 
+class TestLongQueries:
+    """>16 distinct terms: exact bucketed scoring up to 128 terms, idf-head selection
+    beyond (regression: queries were silently clipped at 16 and AND-mode semantics
+    diverged from FTS5)."""
+
+    def _long_corpus(self):
+        b = LexIndexBuilder()
+        words = [f"tok{i}" for i in range(40)]
+        docs = [
+            (0, " ".join(words[:24])),        # matches all 24 query terms
+            (1, " ".join(words[:16])),        # matches only the first 16
+            (2, " ".join(words[8:32])),
+            (3, "unrelated content entirely about other things"),
+        ]
+        b.add_batch(docs)
+        return b, words
+
+    def test_and_mode_requires_all_terms_beyond_16(self):
+        b, words = self._long_corpus()
+        idx = b.snapshot()
+        q = " ".join(words[:24])  # 24 distinct terms
+        tids = pad_term_ids(b.query_term_ids(q))
+        assert tids.shape[0] == 32  # bucketed to the next multiple of 16, not clipped
+        vals, _, fids = bm25_topk(jnp.asarray(tids[None, :]), idx, 4, mode="all")
+        matched = [int(f) for f, v in zip(np.asarray(fids)[0], np.asarray(vals)[0]) if f >= 0]
+        # doc 1 (16/24 terms) passed AND-mode under the old silent 16-term clip
+        assert matched == [0]
+
+    def test_scores_exact_beyond_16_terms(self):
+        b, words = self._long_corpus()
+        idx = b.snapshot()
+        terms = [w for w in words[:24]]
+        tids = pad_term_ids(b.term_ids(terms))
+        scores = np.asarray(bm25_scores(jnp.asarray(tids[None, :]), idx))[0]
+        docs = [(0, " ".join(words[:24])), (1, " ".join(words[:16])),
+                (2, " ".join(words[8:32])), (3, "unrelated content entirely about other things")]
+        oracle = _oracle_scores(docs, terms)
+        for fid, _ in docs:
+            row = b._row_of[fid]
+            assert scores[row] == pytest.approx(oracle[fid], rel=1e-5)
+
+    def test_idf_head_selection_past_hard_cap(self):
+        from wax_tpu.ops.bm25 import MAX_QUERY_TERMS_HARD
+
+        b = LexIndexBuilder()
+        # "common" appears in many docs (high df); rare terms in one each
+        docs = [(i, f"common rare{i}") for i in range(150)]
+        b.add_batch(docs)
+        raw = b.query_term_ids("common " + " ".join(f"rare{i}" for i in range(140)))
+        assert len(raw) == 141
+        padded = pad_term_ids(raw, dfs=b.df)
+        kept = [t for t in padded.tolist() if t >= 0]
+        assert len(kept) == MAX_QUERY_TERMS_HARD
+        # the high-df 'common' is dropped first; kept terms are the rarest head
+        assert b.query_term_ids("common")[0] not in kept
+
+    def test_pad_deterministic(self):
+        b, words = self._long_corpus()
+        q = " ".join(words[:24])
+        a = pad_term_ids(b.query_term_ids(q), dfs=b.df)
+        c = pad_term_ids(b.query_term_ids(q), dfs=b.df)
+        np.testing.assert_array_equal(a, c)
+
+
 class TestPostingsBudget:
     """Impact-ordered per-term postings cap (index/lex.py postings_budget)."""
 

@@ -175,6 +175,11 @@ class LexIndexBuilder:
     def query_term_ids(self, query: str) -> list[int]:
         return self.term_ids(analyze(query))
 
+    def df(self, tid: int) -> int:
+        """Document frequency of a term id (for idf-head selection of very long
+        queries — ops/bm25.py pad_term_ids)."""
+        return len(self._postings[tid]) if 0 <= tid < len(self._postings) else 0
+
     # -- snapshot -------------------------------------------------------------------
     def snapshot(self) -> LexIndex:
         n = len(self._doc_len)

@@ -31,21 +31,46 @@ from wax_tpu.ops.topk import masked_top_k
 
 __all__ = ["bm25_scores", "bm25_topk", "MAX_QUERY_TERMS"]
 
-# Static per-query term budget; queries are padded/truncated to this many distinct
-# terms (FTS5 parses arbitrarily long queries, but RAG queries are short — the
-# reference's own query preprocessing keeps a handful of terms).
+# Static per-query term-budget QUANTUM: padded query widths are multiples of this so
+# the jitted scorer compiles one variant per bucket, not one per query length. Scoring
+# is EXACT up to MAX_QUERY_TERMS_HARD distinct terms (FTS5 parses arbitrarily long
+# queries; the reference's preprocessing keeps a handful, but silently truncating at
+# 16 broke AND-mode semantics for longer ones).
 MAX_QUERY_TERMS = 16
+# Beyond this, the rarest (highest-idf) head is kept — documented selection, not a
+# silent clip; see pad_term_ids(dfs=...).
+MAX_QUERY_TERMS_HARD = 128
 
 
-def pad_term_ids(term_ids: list[int], max_terms: int = MAX_QUERY_TERMS):
-    """Host helper: distinct term ids padded with -1 to the static budget."""
+def pad_term_ids(term_ids: list[int], max_terms: int | None = None, dfs=None):
+    """Host helper: distinct term ids padded with -1 to a static bucket width.
+
+    Args:
+      term_ids: raw (possibly repeated) term ids in query order.
+      max_terms: explicit static width; default = len bucketed up to the next
+        multiple of MAX_QUERY_TERMS, capped at MAX_QUERY_TERMS_HARD.
+      dfs: optional callable tid -> document frequency. When the distinct-term count
+        exceeds the cap, the kept head is the LOWEST-df (highest-idf, most selective)
+        terms, ties broken by query order — deterministic and documented, unlike a
+        positional clip.
+    """
     import numpy as np
 
     seen: list[int] = []
     for t in term_ids:
         if t not in seen:
             seen.append(t)
-    seen = seen[:max_terms]
+    cap = max_terms if max_terms is not None else MAX_QUERY_TERMS_HARD
+    if len(seen) > cap:
+        if dfs is not None:
+            order = sorted(range(len(seen)), key=lambda i: (dfs(seen[i]), i))
+            seen = [seen[i] for i in sorted(order[:cap])]
+        else:
+            seen = seen[:cap]
+    if max_terms is None:
+        max_terms = max(
+            MAX_QUERY_TERMS, -(-len(seen) // MAX_QUERY_TERMS) * MAX_QUERY_TERMS
+        )
     out = np.full(max_terms, -1, np.int32)
     out[: len(seen)] = seen
     return out

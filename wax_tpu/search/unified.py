@@ -82,7 +82,7 @@ def _bm25_lane(engine: HybridSearchEngine, query: str, fetch_k: int) -> list[tup
     tids = engine.lex.query_term_ids(query)
     if not tids:
         return []
-    padded = jnp.asarray(pad_term_ids(tids)[None, :])
+    padded = jnp.asarray(pad_term_ids(tids, dfs=engine.lex.df)[None, :])
     vals_a, fids_a = _bm25_run(engine, padded, fetch_k, "all")
     primary = [
         (int(f), float(v))
