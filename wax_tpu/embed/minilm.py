@@ -16,6 +16,7 @@ the multi-chip training/dryrun path (wax_tpu/parallel/).
 from __future__ import annotations
 
 import functools
+import os
 from pathlib import Path
 from typing import Any, Sequence
 
@@ -157,6 +158,16 @@ class MiniLMEmbedder:
     ):
         self.cfg = MiniLMConfig()
         self.model = MiniLMEncoder(self.cfg, dtype=dtype)
+        if checkpoint_dir is None:
+            # env override, then the scripts/fetch_minilm.py default location
+            env = os.environ.get("WAX_TPU_MINILM_DIR")
+            default = Path.home() / ".wax-tpu" / "models" / "all-MiniLM-L6-v2"
+            if env and Path(env).exists():
+                checkpoint_dir = env
+            elif default.exists():
+                checkpoint_dir = default
+        if vocab_path is None and checkpoint_dir and (Path(checkpoint_dir) / "vocab.txt").exists():
+            vocab_path = Path(checkpoint_dir) / "vocab.txt"
         self.tokenizer = WordPieceTokenizer(vocab_path, vocab_size=self.cfg.vocab_size)
         self._batch_size = batch_size
         self._loaded_from = None
