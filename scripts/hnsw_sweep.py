@@ -3,8 +3,11 @@
 Reports recall@10 and per-batch latency for the TPU beam search vs the fused flat
 scan. Run on the real chip: PYTHONPATH=... python scripts/hnsw_sweep.py [n]
 """
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp

@@ -33,6 +33,25 @@ class TestEngineCache:
             warm_hits = [h.frame_id for h in o2.search("topic 1 memory").hits]
         assert warm_hits == cold_hits
 
+    def test_entry_survives_reclaim_and_copies_are_independent(self, tmp_path):
+        # Copy-on-reclaim: the parked entry keeps serving later opens (the reference
+        # cache serves concurrent readers, UnifiedSearchEngineCache.swift:53-123),
+        # and each reclaimed copy is mutation-independent.
+        from wax_tpu.search import engine_cache
+
+        engine_cache.clear()
+        p = tmp_path / "share.wxs"
+        o = MemoryOrchestrator(p, HashEmbedder(64), CFG)
+        o.remember("shared warm engines about herons")
+        o.flush()
+        o.close()
+        a = engine_cache.reclaim(*next(iter(engine_cache._entries)))
+        b = engine_cache.reclaim(*next(iter(engine_cache._entries)))
+        assert a is not None and b is not None
+        assert engine_cache.cache_stats()["entries"] == 1  # entry still parked
+        a[0].add(123456, "mutating one copy")
+        assert 123456 in a[0] and 123456 not in b[0]
+
     def test_stale_checksum_not_reclaimed(self, tmp_path):
         p = tmp_path / "s.wxs"
         with MemoryOrchestrator(p, HashEmbedder(64), CFG) as o:

@@ -4,12 +4,15 @@ The analogue of the reference's UnifiedSearchEngineCache (reference:
 Sources/Wax/UnifiedSearch/UnifiedSearchEngineCache.swift:53-123 — process-wide cache
 of deserialized engines keyed by store identity + committed-index checksum + engine
 kind, with incremental catch-up). Ownership differs to fit our model: the store is
-single-writer (flock lease), so live engines can never be SHARED across orchestrators;
-instead a closing orchestrator PARKS its builders here keyed by (path, lex sha,
-vec sha), and a later open RECLAIMS them — removing the entry — iff the committed
-segment checksums still match. On a hit, open skips json/npz deserialization entirely;
-WAL catch-up still runs, so the reclaimed engines converge to exactly the state a cold
-load would build.
+single-writer (flock lease), so live MUTABLE engines can never be aliased across
+orchestrators; instead a closing orchestrator PARKS its builders here keyed by
+(path, lex sha, vec sha), and a later open RECLAIMS a DEEP COPY iff the committed
+segment checksums still match — the parked entry stays, so any number of concurrent
+read-only openers (and later writers) are served warm, matching the reference cache's
+concurrent-reader behavior while keeping exclusive ownership of every live object.
+Copying host arrays is 1-2 orders of magnitude cheaper than json/npz deserialization.
+WAL catch-up still runs after a hit, so reclaimed engines converge to exactly the
+state a cold load would build.
 """
 from __future__ import annotations
 
@@ -48,20 +51,24 @@ def park(path, lex_sha, vec_sha, lex_builder, vector_engine) -> None:
 
 
 def reclaim(path, lex_sha, vec_sha):
-    """Take (and remove) parked engines when the committed checksums still match.
+    """Warm engines when the committed checksums still match, or None.
 
-    Returns (lex_builder, vector_engine) or None. Removal guarantees exclusive
-    ownership — two concurrent opens can never share one mutable builder.
+    Returns a DEEP COPY of (lex_builder, vector_engine); the parked entry stays so
+    further opens (e.g. read-only sessions while a writer is live) also hit. The copy
+    guarantees exclusive ownership — no two sessions ever share a mutable builder.
     """
     if lex_sha is None and vec_sha is None:
         return None
     with _lock:
-        entry = _entries.pop(_key(path, lex_sha, vec_sha), None)
+        entry = _entries.get(_key(path, lex_sha, vec_sha))
         if entry is None:
             _stats["misses"] += 1
-        else:
-            _stats["hits"] += 1
-        return entry
+            return None
+        _entries.move_to_end(_key(path, lex_sha, vec_sha))
+        _stats["hits"] += 1
+    import copy
+
+    return copy.deepcopy(entry)
 
 
 def cache_stats() -> dict:
