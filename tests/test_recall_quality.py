@@ -126,6 +126,49 @@ class TestRecallQuality:
                 joined_ok += 1
         assert joined_ok >= len(MULTI_HOP) - 1, f"only {joined_ok}/{len(MULTI_HOP)} joined"
 
+    def test_long_memory_scale(self, tmp_path):
+        """Larger long-memory corpus (the reference's long-memory JSON corpora axis):
+        600 memories — 30 planted facts across 6 entity families + 570 generated
+        distractors — answer accuracy must hold at scale, not just on a toy set."""
+        import random
+
+        rng = random.Random(7)
+        people = ["Asha", "Bruno", "Carmen", "Dmitri", "Elif", "Farid"]
+        cities = ["Nairobi", "Tallinn", "Cusco", "Sapporo", "Galway", "Muscat"]
+        objects = ["telescope", "accordion", "surfboard", "easel", "drone", "loom"]
+        facts = []
+        for i, (p, c, ob) in enumerate(zip(people, cities, objects)):
+            facts += [
+                (f"{p} moved to {c} in 20{10 + i}.", f"where does {p} live", c.lower()),
+                (f"The {ob} belongs to {p}.", f"who owns the {ob}", p.lower()),
+                (f"{p} was born on March {i + 3}, 199{i}.", f"when was {p} born", f"199{i}"),
+                (f"{p} is allergic to {'shellfish' if i % 2 else 'walnuts'}.",
+                 f"what is {p} allergic to", "shellfish" if i % 2 else "walnuts"),
+                (f"{p}'s favorite dish is {'ramen' if i % 2 else 'paella'}.",
+                 f"what is {p}'s favorite dish", "ramen" if i % 2 else "paella"),
+            ]
+        topics = ["standup", "invoices", "garden", "commute", "backups", "laundry",
+                  "weather", "groceries", "podcast", "jogging"]
+        distractors = [
+            f"Note {i}: spent the afternoon on {rng.choice(topics)} and "
+            f"{rng.choice(topics)}, nothing memorable."
+            for i in range(570)
+        ]
+        o = MemoryOrchestrator(tmp_path / "big.wxs", HashEmbedder(256), CFG)
+        try:
+            o.remember_batch([f for f, _, _ in facts])
+            o.remember_batch(distractors)
+            o.flush()
+            correct = 0
+            for _, q, exp in facts:
+                ans = extract_answer(o.recall(q), q)
+                if ans is not None and exp in ans.text.lower():
+                    correct += 1
+            accuracy = correct / len(facts)
+            assert accuracy >= 0.85, f"scale accuracy {accuracy:.2f} ({correct}/{len(facts)})"
+        finally:
+            o.close()
+
     def test_batched_ingest_equivalent_to_single(self, tmp_path):
         a = MemoryOrchestrator(tmp_path / "a.wxs", HashEmbedder(128), CFG)
         b = MemoryOrchestrator(tmp_path / "b.wxs", HashEmbedder(128), CFG)
