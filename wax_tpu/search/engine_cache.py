@@ -59,16 +59,24 @@ def reclaim(path, lex_sha, vec_sha):
     """
     if lex_sha is None and vec_sha is None:
         return None
+    key = _key(path, lex_sha, vec_sha)
     with _lock:
-        entry = _entries.get(_key(path, lex_sha, vec_sha))
+        entry = _entries.get(key)
         if entry is None:
             _stats["misses"] += 1
             return None
-        _entries.move_to_end(_key(path, lex_sha, vec_sha))
+        _entries.move_to_end(key)
         _stats["hits"] += 1
     import copy
 
-    return copy.deepcopy(entry)
+    try:
+        return copy.deepcopy(entry)
+    except (TypeError, ValueError):
+        # engines holding uncopyable state (a sharded engine's Mesh/Device handles,
+        # the C++ HNSW builder's ctypes pointer) fall back to EXCLUSIVE handover
+        with _lock:
+            _entries.pop(key, None)
+        return entry
 
 
 def cache_stats() -> dict:
