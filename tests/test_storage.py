@@ -295,6 +295,35 @@ class TestStore:
             assert s.frame_content(incompressible) == rnd
             assert rec_i[4] == 0  # stored raw
 
+    def test_corrupt_newest_toc_salvages_previous_generation(self, tmp_path):
+        # Regression: the backward scan returned only the newest-generation footer,
+        # so when its TOC bytes were damaged, salvage found NOTHING instead of the
+        # intact generation-1 state (the WaxDemoCorruptTOC scenario).
+        from wax_tpu.storage.fdfile import FDFile as FD
+        from wax_tpu.storage.format import HEADER_REGION, scan_for_footer
+
+        p = tmp_path / "c.wxs"
+        with WaxStore.create(p, SMALL) as s:
+            s.put("generation one doc")
+            s.commit()
+            s.put("generation two doc")
+            s.commit()
+        fd = FD(p, readonly=True)
+        footer, _ = scan_for_footer(fd, fd.size(), HEADER_REGION)
+        fd.close()
+        assert footer.generation == 2
+        raw = bytearray(p.read_bytes())
+        raw[footer.toc_offset] ^= 0xFF
+        p.write_bytes(bytes(raw))
+        # default open refuses the rollback...
+        with pytest.raises(StoreError, match="rollback"):
+            WaxStore.open(p, SMALL)
+        # ...salvage recovers generation 1, not an empty store
+        opts = StoreOptions(wal_size=SMALL.wal_size, allow_rollback_recovery=True)
+        with WaxStore.open(p, opts) as s:
+            assert s.toc.generation == 1
+            assert s.frame_content(0) == b"generation one doc"
+
     def test_wal_wrap_recovery_without_replay_snapshot(self, tmp_path):
         # Regression: with enable_replay_snapshot=False the header carried no WAL
         # checkpoint position, so recovery scanned from 0; after a ring wrap it saw

@@ -40,6 +40,7 @@ __all__ = [
     "encode_frame_meta",
     "decode_frame_meta",
     "select_valid_header",
+    "scan_all_footers",
     "scan_for_footer",
 ]
 
@@ -344,15 +345,14 @@ class Footer:
         )
 
 
-def scan_for_footer(fd, file_size: int, data_start: int) -> tuple[Footer, int] | None:
-    """Bounded backward scan for the newest valid footer (reference:
-    FooterScanner.findLastValidFooter :20-72 — last 32 MiB, newest generation wins).
-
-    Returns (footer, offset) or None. Footers are FOOTER_ALIGN-aligned.
-    """
+def scan_all_footers(fd, file_size: int, data_start: int) -> list[tuple[Footer, int]]:
+    """Bounded backward scan for EVERY decodable footer, newest generation first
+    (reference: FooterScanner.findLastValidFooter :20-72 — last 32 MiB). Returning
+    all candidates lets recovery fall back to an older generation when the newest
+    footer's TOC bytes are damaged (the WaxDemoCorruptTOC scenario)."""
     lo = max(data_start, file_size - FOOTER_SCAN_BOUND)
     lo = lo + (-lo) % FOOTER_ALIGN
-    best: tuple[Footer, int] | None = None
+    found: list[tuple[Footer, int]] = []
     off = file_size - (file_size % FOOTER_ALIGN) - FOOTER_SIZE
     # read in chunks from the end backward
     while off >= lo:
@@ -364,12 +364,18 @@ def scan_for_footer(fd, file_size: int, data_start: int) -> tuple[Footer, int] |
             if cand[:8] == FOOTER_MAGIC:
                 try:
                     f = Footer.decode(cand)
-                    if best is None or f.generation > best[0].generation:
-                        best = (f, chunk_lo + pos)
+                    found.append((f, chunk_lo + pos))
                 except CodecError:
                     pass
             pos -= FOOTER_ALIGN
         off = chunk_lo - FOOTER_SIZE
         if chunk_lo == lo:
             break
-    return best
+    found.sort(key=lambda t: (-t[0].generation, -t[1]))
+    return found
+
+
+def scan_for_footer(fd, file_size: int, data_start: int) -> tuple[Footer, int] | None:
+    """Newest valid footer, or None (see scan_all_footers)."""
+    all_found = scan_all_footers(fd, file_size, data_start)
+    return all_found[0] if all_found else None

@@ -43,7 +43,7 @@ from wax_tpu.storage.format import (
     StoreTOC,
     decode_frame_meta,
     encode_frame_meta,
-    scan_for_footer,
+    scan_all_footers,
     select_valid_header,
     sha256,
 )
@@ -211,10 +211,10 @@ class WaxStore:
                 candidates.append((f, header.footer_offset))
             except (CodecError, OSError):
                 pass
-        scanned = scan_for_footer(fd, file_size, self.data_start)
-        if scanned is not None:
-            candidates.append(scanned)
-        # newest valid generation whose TOC decodes wins (reference: Wax.swift:568-593)
+        candidates.extend(scan_all_footers(fd, file_size, self.data_start))
+        # newest valid generation whose TOC decodes wins; older generations are
+        # legitimate fallbacks when the newest footer's TOC bytes are damaged
+        # (reference: Wax.swift:568-593; demo: scripts/demo_recovery.py corrupt-toc)
         best: tuple[Footer, int, StoreTOC] | None = None
         for f, off in candidates:
             if best is not None and f.generation <= best[0].generation:
