@@ -20,8 +20,9 @@ from jax.experimental.pallas import tpu as pltpu
 from wax_tpu.ops.flat_scan import _KPAD, _scan_topk_kernel
 from wax_tpu.ops.topk import NEG_INF
 
+import os
 B, D, K = 256, 384, 10
-N = 10_240
+N = int(os.environ.get("PERF_N", 10_240))
 
 _IMIN = -(2**31)  # plain int so kernels do not capture a traced constant
 
@@ -129,7 +130,7 @@ def blockmax(q, emb, bias, *, k=K, mm_dtype=jnp.float32):
     return blockmax_topk(s, k)
 
 
-def slope(fn, q0, emb, bias, lo=500, hi=4000):
+def slope(fn, q0, emb, bias, lo=int(os.environ.get("PERF_LO", 500)), hi=int(os.environ.get("PERF_HI", 4000))):
     @jax.jit
     def chained(q, iters, emb, bias):
         def body(i, carry):
@@ -200,3 +201,16 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def blockmax_bf16s(q, emb, bias, *, k=K):
+    """blockmax with bf16 score materialization: halves the [B, N] HBM round-trip."""
+    from wax_tpu.ops.topk import blockmax_topk
+
+    s = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), emb.astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = (s + bias).astype(jnp.bfloat16)
+    v, i = blockmax_topk(s, k)
+    return v.astype(jnp.float32), i

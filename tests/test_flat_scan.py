@@ -263,6 +263,60 @@ class TestBlockmaxScan:
         assert list(np.asarray(f2[0])) == [3970, 130, 700, 2049, 3500, 3971]
 
 
+class TestBlockmax16Scan:
+    """bf16-materialized blockmax + exact f32 rescore window (the auto backend for
+    mid N): near-exact set, exact values/order for the returned set."""
+
+    def test_overlap_and_exact_values(self, rng):
+        b, vecs, ids = _build(rng, n=36000)
+        idx = b.snapshot()
+        q = normalize_rows(jnp.asarray(rng.standard_normal((16, 64)).astype(np.float32)))
+        v1, _, f1 = flat_scan_topk(q, idx, 10, backend="xla")
+        v2, _, f2 = flat_scan_topk(q, idx, 10, backend="blockmax16")
+        f1, f2 = np.asarray(f1), np.asarray(f2)
+        overlap = np.mean([len(set(f1[r]) & set(f2[r])) / 10 for r in range(16)])
+        assert overlap >= 0.99, overlap
+        # values are EXACT f32 rescored — agreeing slots match tightly
+        agree = f1 == f2
+        np.testing.assert_allclose(np.asarray(v1)[agree], np.asarray(v2)[agree], rtol=1e-6)
+
+    def test_duplicates_lowest_index(self, rng):
+        from wax_tpu.index.dense import DenseIndexBuilder
+
+        n, d = 36000, 64
+        vecs = rng.standard_normal((n, d)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        dup = vecs[77].copy()
+        for row in (501, 9000, 20000, 33333):
+            vecs[row] = dup
+        b = DenseIndexBuilder(dim=d)
+        b.add_batch(np.arange(n), vecs)
+        idx = b.snapshot()
+        _, _, fids = flat_scan_topk(jnp.asarray(dup[None, :]), idx, 5, backend="blockmax16")
+        assert list(np.asarray(fids[0])) == [77, 501, 9000, 20000, 33333]
+
+    def test_tombstones_excluded(self, rng):
+        b, vecs, ids = _build(rng, n=36000)
+        removed = set(int(x) for x in ids[::9][:300])
+        for fid in removed:
+            b.remove(fid)
+        idx = b.snapshot()
+        q = normalize_rows(jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32)))
+        _, _, f = flat_scan_topk(q, idx, 10, backend="blockmax16")
+        assert removed.isdisjoint(set(np.asarray(f).ravel().tolist()))
+
+    def test_auto_stays_exact_at_mid_n(self, rng):
+        # auto keeps the EXACT blockmax at mid N (blockmax16's rescore gather loses
+        # on current XLA — see _blockmax16_topk docstring); blockmax16 is opt-in
+        b, _, _ = _build(rng, n=36000)
+        idx = b.snapshot()
+        assert 32768 < idx.capacity < 524288
+        q = normalize_rows(jnp.asarray(rng.standard_normal((2, 64)).astype(np.float32)))
+        v_auto, _, f_auto = flat_scan_topk(q, idx, 10, backend="auto")
+        v_exp, _, f_exp = flat_scan_topk(q, idx, 10, backend="blockmax")
+        np.testing.assert_array_equal(np.asarray(f_auto), np.asarray(f_exp))
+
+
 class TestChunkmaxScan:
     def test_matches_xla_with_tail_padding(self, rng):
         b, vecs, ids = _build(rng, n=3000)

