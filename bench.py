@@ -114,17 +114,23 @@ def _bench_flat_scan(n: int, d: int, b: int, k: int, lo: int, hi: int) -> float:
     return (t(hi) - t(lo)) / (hi - lo) * 1e3
 
 
-def _bench_blockmax(n: int, d: int, b: int, k: int, lo: int, hi: int) -> float:
+def _bench_backend(n: int, d: int, b: int, k: int, lo: int, hi: int, backend: str, dtype="float32") -> float:
+    """Slope-timed per-batch latency of a named large-N backend."""
     import jax
     import jax.numpy as jnp
 
     from wax_tpu.ops.flat_scan import _blockmax_topk
 
+    if backend == "chunkmax":
+        from wax_tpu.ops.chunkmax_scan import chunkmax_scan_topk as _scan
+    else:
+        _scan = _blockmax_topk
+
     @jax.jit
     def make_data():
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         emb = jax.random.normal(k1, (n, d), jnp.float32)
-        emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+        emb = (emb / jnp.linalg.norm(emb, axis=1, keepdims=True)).astype(dtype)
         q0 = jax.random.normal(k2, (b, d), jnp.float32)
         return emb, q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)
 
@@ -135,7 +141,7 @@ def _bench_blockmax(n: int, d: int, b: int, k: int, lo: int, hi: int) -> float:
     def chained(q, iters, emb, bias):
         def body(i, carry):
             q, acc = carry
-            v, _ = _blockmax_topk(q, emb, bias, k)
+            v, _ = _scan(q, emb, bias, k)
             return q + v[:, :1] * 1e-9, acc + v[0, 0]
 
         return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
@@ -170,11 +176,17 @@ def main() -> None:
         # reference's own headline unit (0.84 ms/query warm at 10K x 384)
         ms1 = _bench_flat_scan(n=10_240, d=384, b=8, k=10, lo=500, hi=4000)
         print(f"# flat_scan n=10240 d=384 b=1(pad 8): {ms1:.4f} ms/query ({ms1*1000:.0f} us)")
-        for n, d in [(102_400, 384), (1_048_576, 768)]:
+        # the backends auto selects at each scale (flat_scan_topk dispatch table)
+        for n, d, backend, dtype, lo, hi in [
+            (102_400, 384, "blockmax", "float32", 50, 400),
+            (1_048_576, 768, "chunkmax", "bfloat16", 20, 120),
+        ]:
             try:
-                # auto backend picks blockmax at these sizes
-                ms = _bench_blockmax(n=n, d=d, b=256, k=10, lo=50, hi=400)
-                print(f"# flat_scan n={n} d={d} b=256: {ms:.4f} ms/batch ({256/ms*1e3:,.0f} q/s/chip)")
+                ms = _bench_backend(n=n, d=d, b=256, k=10, lo=lo, hi=hi, backend=backend, dtype=dtype)
+                print(
+                    f"# flat_scan n={n} d={d} b=256 [{backend}/{dtype}]: "
+                    f"{ms:.4f} ms/batch ({256/ms*1e3:,.0f} q/s/chip)"
+                )
             except Exception as e:  # noqa: BLE001
                 print(f"# flat_scan n={n} d={d}: FAILED {type(e).__name__}: {e}")
 

@@ -28,7 +28,7 @@ __all__ = ["ivf_search_topk_pallas"]
 
 _KPAD = 128
 _QB = 8  # queries per grid cell
-_NSLOTS = 4  # DMA pipeline depth (3 bucket copies in flight)
+_NSLOTS = 4  # default DMA pipeline depth (slots-1 bucket copies in flight)
 
 
 def _kernel(
@@ -45,9 +45,11 @@ def _kernel(
     nprobe: int,
     s_bucket: int,
     k: int,
+    nslots: int = _NSLOTS,
 ):
     cell = pl.program_id(0)
     total = _QB * nprobe
+    _N = nslots
 
     def get_dma(slot, t):
         qi = t // nprobe
@@ -55,8 +57,8 @@ def _kernel(
         bucket = probes_ref[cell * _QB + qi, p]
         return pltpu.make_async_copy(emb_hbm.at[bucket], emb_scratch.at[slot], sems.at[slot])
 
-    # warm-up: keep _NSLOTS - 1 copies in flight
-    for w in range(_NSLOTS - 1):
+    # warm-up: keep nslots - 1 copies in flight
+    for w in range(_N - 1):
         @pl.when(w < total)
         def _(w=w):
             get_dma(w, w).start()
@@ -64,11 +66,11 @@ def _kernel(
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (1, s_bucket), 1)
 
     def body(t, _):
-        slot = t % _NSLOTS
+        slot = t % _N
 
-        @pl.when(t + _NSLOTS - 1 < total)
+        @pl.when(t + _N - 1 < total)
         def _():
-            get_dma((t + _NSLOTS - 1) % _NSLOTS, t + _NSLOTS - 1).start()
+            get_dma((t + _N - 1) % _N, t + _N - 1).start()
 
         get_dma(slot, t).wait()
         qi = t // nprobe
@@ -122,11 +124,11 @@ def _kernel(
     idx_ref[:, :] = poss
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "interpret"))
-def _run(queries, probes, counts, emb3, ids2, k: int, nprobe: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "interpret", "nslots"))
+def _run(queries, probes, counts, emb3, ids2, k: int, nprobe: int, interpret: bool, nslots: int = _NSLOTS):
     b, d = queries.shape
     c, s_bucket, _ = emb3.shape
-    kernel = functools.partial(_kernel, nprobe=nprobe, s_bucket=s_bucket, k=k)
+    kernel = functools.partial(_kernel, nprobe=nprobe, s_bucket=s_bucket, k=k, nslots=nslots)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b // _QB,),
@@ -139,9 +141,9 @@ def _run(queries, probes, counts, emb3, ids2, k: int, nprobe: int, interpret: bo
             pl.BlockSpec((_QB, _KPAD), lambda i, probes, counts: (i, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_NSLOTS, s_bucket, d), emb3.dtype),
+            pltpu.VMEM((nslots, s_bucket, d), emb3.dtype),
             pltpu.VMEM((_QB, nprobe * s_bucket), jnp.float32),
-            pltpu.SemaphoreType.DMA((_NSLOTS,)),
+            pltpu.SemaphoreType.DMA((nslots,)),
         ],
     )
     vals, poss = pl.pallas_call(
@@ -165,7 +167,9 @@ def _run(queries, probes, counts, emb3, ids2, k: int, nprobe: int, interpret: bo
     return vals, fids.astype(jnp.int32)
 
 
-def ivf_search_topk_pallas(queries: jax.Array, index: IVFIndex, k: int = 10, nprobe: int = 8):
+def ivf_search_topk_pallas(
+    queries: jax.Array, index: IVFIndex, k: int = 10, nprobe: int = 8, nslots: int = _NSLOTS
+):
     """DMA-gather IVF search. Same results as ivf_search_topk, kernel-accelerated.
     Query count is padded to a multiple of 8 (Mosaic sublane granularity)."""
     if queries.ndim == 1:
@@ -184,5 +188,7 @@ def ivf_search_topk_pallas(queries: jax.Array, index: IVFIndex, k: int = 10, npr
     _, probes = jax.lax.top_k(cscores, nprobe)
     counts = jnp.sum(index.ids >= 0, axis=1).astype(jnp.int32)  # [C] live per bucket
     interpret = jax.default_backend() == "cpu"
-    vals, fids = _run(q, probes.astype(jnp.int32), counts, index.emb, index.ids, k, nprobe, interpret)
+    vals, fids = _run(
+        q, probes.astype(jnp.int32), counts, index.emb, index.ids, k, nprobe, interpret, nslots
+    )
     return vals[:b], fids[:b]
