@@ -24,6 +24,12 @@ import time
 
 import numpy as np
 
+# Persistent XLA compilation cache: compiles of the large-N kernels take minutes of
+# host CPU on this throttled VM; caching makes re-runs (driver rounds, sweeps) warm.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__) or ".", ".jax_cache")
+)
+
 _recall_at_k = 1.0
 BASELINE_MS = 0.84  # reference warm Metal vector search @10K x 384 (README.md:94)
 
