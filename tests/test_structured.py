@@ -126,3 +126,149 @@ class TestOrchestratorIntegration:
         with MemoryOrchestrator(p, HashEmbedder(64), cfg) as o2:
             rows = o2.facts_query(subject="Whiskers", predicate="owner")
             assert rows and rows[0].value.value == "Janet"
+
+
+class FakeClock:
+    """Deterministic injectable clock (reference: TimestampOverrideTests)."""
+
+    def __init__(self, start: int = 1000):
+        self.t = start
+
+    def __call__(self) -> int:
+        return self.t
+
+    def tick(self, ms: int = 1) -> int:
+        self.t += ms
+        return self.t
+
+
+class TestBitemporalMatrix:
+    """Deterministic transaction-time x valid-time matrix with an injected clock.
+
+    Mirrors the reference's StructuredMemoryAsOf behaviors: a fact is visible at
+    as_of T iff it was asserted by T (transaction time) AND T falls in a validity
+    span [valid_from, valid_to) (valid time, half-open)."""
+
+    def _seed(self):
+        clk = FakeClock(1000)
+        sm = StructuredMemory(now=clk)
+        sm.entity_upsert("Maria")
+        # t=1000: Madrid valid from 500
+        f1 = sm.fact_assert("Maria", "lives_in", FactValue.text("Madrid"), valid_from_ms=500)
+        clk.tick(1000)  # t=2000: Barcelona valid from 1500 (closes Madrid at 1500)
+        f2 = sm.fact_assert("Maria", "lives_in", FactValue.text("Barcelona"), valid_from_ms=1500)
+        return clk, sm, f1, f2
+
+    def test_transaction_time_excludes_unasserted(self):
+        _, sm, _, _ = self._seed()
+        # valid-time 1600 matches Barcelona, but it was asserted at 2000:
+        # an observer at as_of=1600 had not seen the assertion yet
+        assert sm.facts_query("Maria", "lives_in", as_of_ms=1600) == []
+
+    def test_valid_time_half_open_boundaries(self):
+        _, sm, _, _ = self._seed()
+        # as_of >= 2000 (both asserted): Madrid span is [500, 1500), Barcelona [1500, None)
+        rows = sm.facts_query("Maria", "lives_in", as_of_ms=2000)
+        assert [r.value.value for r in rows] == ["Barcelona"]
+        # exactly at the supersede boundary (1500) Barcelona owns the instant,
+        # but transaction time (asserted 2000) hides it; Madrid's span is closed
+        assert sm.facts_query("Maria", "lives_in", as_of_ms=1500) == []
+        # 1000 <= as_of < 1500 with assertion visible at 1000: Madrid
+        rows = sm.facts_query("Maria", "lives_in", as_of_ms=1400)
+        assert [r.value.value for r in rows] == ["Madrid"]
+
+    def test_before_any_validity(self):
+        _, sm, _, _ = self._seed()
+        assert sm.facts_query("Maria", "lives_in", as_of_ms=400) == []
+
+    def test_current_view_tracks_latest_open_span(self):
+        clk, sm, _, _ = self._seed()
+        rows = sm.facts_query("Maria", "lives_in")
+        assert [r.value.value for r in rows] == ["Barcelona"]
+        clk.tick(1000)  # t=3000: move again
+        sm.fact_assert("Maria", "lives_in", FactValue.text("Lisbon"), valid_from_ms=2500)
+        rows = sm.facts_query("Maria", "lives_in")
+        assert [r.value.value for r in rows] == ["Lisbon"]
+        # the full history is reconstructible: at as_of=3000 every assert is visible,
+        # and valid time picks the epoch
+        assert [r.value.value for r in sm.facts_query("Maria", "lives_in", as_of_ms=3000)] == ["Lisbon"]
+        # Barcelona epoch: valid [1500, 2500) — but only visible once asserted;
+        # asserted_ms=2000 <= 2400, so the 2400 observer sees it
+        assert [r.value.value for r in sm.facts_query("Maria", "lives_in", as_of_ms=2400)] == ["Barcelona"]
+
+    def test_retract_closes_open_span_deterministically(self):
+        clk, sm, _, f2 = self._seed()
+        clk.tick(5000)  # t=7000
+        assert sm.fact_retract(f2)
+        assert sm.facts_query("Maria", "lives_in") == []
+        # the retraction timestamp is the injected clock, not the wall clock
+        row = sm.conn.execute(
+            "SELECT valid_to_ms FROM sm_fact_span WHERE fact_id=?", (f2,)
+        ).fetchone()
+        assert row[0] == 7000
+
+    def test_retract_then_reassert_same_value(self):
+        clk, sm, _, f2 = self._seed()
+        clk.tick(1000)
+        sm.fact_retract(f2)
+        clk.tick(1000)  # t=4000
+        f3 = sm.fact_assert("Maria", "lives_in", FactValue.text("Barcelona"), valid_from_ms=3500)
+        rows = sm.facts_query("Maria", "lives_in")
+        assert len(rows) == 1 and rows[0].fact_id == f3
+        # content hash is identical across the retract/reassert cycle
+        h2, h3 = (
+            sm.conn.execute("SELECT content_hash FROM sm_fact WHERE fact_id=?", (f,)).fetchone()[0]
+            for f in (f2, f3)
+        )
+        assert h2 == h3
+
+    def test_supersede_scoped_per_predicate_and_subject(self):
+        clk = FakeClock(1000)
+        sm = StructuredMemory(now=clk)
+        sm.fact_assert("Maria", "lives_in", FactValue.text("Madrid"))
+        sm.fact_assert("Maria", "works_at", FactValue.text("Acme"))
+        sm.fact_assert("Janet", "lives_in", FactValue.text("Oslo"))
+        clk.tick(1000)
+        sm.fact_assert("Maria", "lives_in", FactValue.text("Barcelona"))
+        # other predicate and other subject keep their open spans
+        assert sm.facts_query("Maria", "works_at")[0].value.value == "Acme"
+        assert sm.facts_query("Janet", "lives_in")[0].value.value == "Oslo"
+        assert sm.facts_query("Maria", "lives_in")[0].value.value == "Barcelona"
+
+    def test_no_supersede_keeps_parallel_open_spans(self):
+        clk = FakeClock(1000)
+        sm = StructuredMemory(now=clk)
+        sm.fact_assert("Max", "likes", FactValue.text("fetch"), supersede_open_spans=False)
+        clk.tick(10)
+        sm.fact_assert("Max", "likes", FactValue.text("naps"), supersede_open_spans=False)
+        rows = sm.facts_query("Max", "likes")
+        assert sorted(r.value.value for r in rows) == ["fetch", "naps"]
+
+    def test_serialize_preserves_bitemporal_view(self):
+        clk, sm, _, _ = self._seed()
+        sm2 = StructuredMemory.deserialize(sm.serialize(), now=clk)
+        for as_of in (400, 1400, 1600, 2000, 10**7):
+            a = [(r.value.value, r.valid_from_ms, r.valid_to_ms)
+                 for r in sm.facts_query("Maria", "lives_in", as_of_ms=as_of)]
+            b = [(r.value.value, r.valid_from_ms, r.valid_to_ms)
+                 for r in sm2.facts_query("Maria", "lives_in", as_of_ms=as_of)]
+            assert a == b
+
+    def test_orchestrator_clock_threads_into_structured(self, tmp_path):
+        clk = FakeClock(50_000)
+        cfg = OrchestratorConfig(clock_ms=clk)
+        with MemoryOrchestrator(tmp_path / "m.wxs", HashEmbedder(64), cfg) as o:
+            fid = o.fact_assert("Rex", "status", FactValue.text("active"))
+            row = o.structured.conn.execute(
+                "SELECT asserted_ms FROM sm_fact WHERE fact_id=?", (fid,)
+            ).fetchone()
+            assert row[0] == 50_000
+            o.flush()
+        # reopen: the deserialized structured store keeps using the injected clock
+        with MemoryOrchestrator(tmp_path / "m.wxs", HashEmbedder(64), cfg) as o2:
+            clk.t = 60_000
+            assert o2.fact_retract(fid)
+            row = o2.structured.conn.execute(
+                "SELECT valid_to_ms FROM sm_fact_span WHERE fact_id=?", (fid,)
+            ).fetchone()
+            assert row[0] == 60_000

@@ -142,7 +142,9 @@ class MemoryOrchestrator:
         else:
             self.store = WaxStore.create(self.path, config.store)
 
-        self.structured = StructuredMemory() if config.enable_structured_memory else None
+        self.structured = (
+            StructuredMemory(now=self._now) if config.enable_structured_memory else None
+        )
         self.engine = HybridSearchEngine(
             embedder=self.memoizer,
             dim=embedder.dimensions,
@@ -216,7 +218,7 @@ class MemoryOrchestrator:
         if self.structured is not None:
             sm_blob = self.store.read_segment("structured")
             if sm_blob is not None:
-                self.structured = StructuredMemory.deserialize(sm_blob)
+                self.structured = StructuredMemory.deserialize(sm_blob, now=self._now)
                 self.engine.structured_evidence = (
                     lambda q, as_of: self.structured.evidence_frame_ids(q, as_of)
                 )

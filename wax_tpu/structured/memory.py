@@ -20,7 +20,7 @@ import hashlib
 import re
 import sqlite3
 from dataclasses import dataclass
-from typing import Any, Sequence
+from typing import Any, Callable, Sequence
 
 from wax_tpu.types import now_ms
 
@@ -145,11 +145,18 @@ def _span_hash(fact_hash: str, valid_from: int, valid_to: int | None) -> str:
 
 
 class StructuredMemory:
-    def __init__(self, conn: sqlite3.Connection | None = None):
+    def __init__(
+        self,
+        conn: sqlite3.Connection | None = None,
+        now: Callable[[], int] | None = None,
+    ):
         # check_same_thread=False: access is serialized by the orchestrator's
         # entry-point lock (sqlite3 builds with SQLITE_THREADSAFE are fine with this)
         self.conn = conn if conn is not None else sqlite3.connect(":memory:", check_same_thread=False)
         self.conn.executescript(_SCHEMA)
+        # injectable clock for deterministic bitemporal replay (reference:
+        # TimestampOverrideTests / deterministicNowMs)
+        self._now = now if now is not None else now_ms
 
     # ------------------------------------------------------------------- entities ----
     def entity_upsert(
@@ -160,7 +167,7 @@ class StructuredMemory:
         if row is None:
             cur = self.conn.execute(
                 "INSERT INTO sm_entity (name, kind, created_ms) VALUES (?,?,?)",
-                (name, kind, now_ms()),
+                (name, kind, self._now()),
             )
             eid = cur.lastrowid
         else:
@@ -218,7 +225,7 @@ class StructuredMemory:
         tuples pinning the supporting char range (reference: evidence spans)."""
         eid = subject if isinstance(subject, int) else self.entity_upsert(subject)
         pid = self._predicate_id(predicate)
-        ts = now_ms()
+        ts = self._now()
         vf = valid_from_ms if valid_from_ms is not None else ts
         subject_name = self.entity_name(eid) or str(eid)
         chash = _fact_hash(subject_name, predicate, value)
@@ -267,7 +274,7 @@ class StructuredMemory:
         return fact_id
 
     def fact_retract(self, fact_id: int, valid_to_ms: int | None = None) -> bool:
-        ts = valid_to_ms if valid_to_ms is not None else now_ms()
+        ts = valid_to_ms if valid_to_ms is not None else self._now()
         cur = self.conn.execute(
             "UPDATE sm_fact_span SET valid_to_ms=? WHERE fact_id=? AND valid_to_ms IS NULL",
             (ts, fact_id),
@@ -373,10 +380,10 @@ class StructuredMemory:
         return self.conn.serialize()
 
     @classmethod
-    def deserialize(cls, blob: bytes) -> "StructuredMemory":
+    def deserialize(cls, blob: bytes, now: Callable[[], int] | None = None) -> "StructuredMemory":
         conn = sqlite3.connect(":memory:", check_same_thread=False)
         conn.deserialize(blob)
-        return cls(conn)
+        return cls(conn, now=now)
 
     def stats_attrs(self) -> dict[str, str]:
         return {k: str(v) for k, v in self.stats().items()}
