@@ -78,6 +78,21 @@ class TestIngestBench:
         # guardrail: must beat 50 docs/s even on a throttled host
         assert len(corpus) / dt > 50
 
+    def test_ingest_batched_throughput(self, tmp_path, corpus):
+        """remember_batch: one WAL batch + one embed batch per call — the TPU-first
+        ingest path (the per-doc number above mirrors the reference's per-doc actor
+        calls; this row is what a bulk loader would use)."""
+        orch = MemoryOrchestrator(tmp_path / "bb.wxs", HashEmbedder(384), CFG)
+        bs = 256
+        t0 = time.perf_counter()
+        for i in range(0, len(corpus), bs):
+            orch.remember_batch(corpus[i : i + bs])
+        dt = time.perf_counter() - t0
+        orch.flush()
+        orch.close()
+        _emit(f"ingest_batched_docs_per_s_{SCALE}", len(corpus) / dt, "docs/s")
+        assert len(corpus) / dt > 100
+
 
 class TestSearchBench:
     @pytest.fixture(scope="class")

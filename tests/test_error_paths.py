@@ -108,3 +108,82 @@ class TestReadOnly:
         finally:
             r1.close()
             r2.close()
+
+
+class TestEmbedderMismatchGuard:
+    """The vec segment records the provider identity that built it; opening with a
+    different provider must not silently mix embedding spaces."""
+
+    def _write(self, path, seed="wax-tpu"):
+        with MemoryOrchestrator(path, HashEmbedder(64, seed=seed), CFG) as o:
+            o.remember("Max the golden retriever was born in Austin.")
+            o.remember("The quarterly report is due on Friday afternoon.")
+            o.flush()
+
+    def test_identity_recorded_in_vec_attrs(self, tmp_path):
+        p = tmp_path / "m.wxs"
+        self._write(p)
+        store = WaxStore.open(p, CFG.store, readonly=True)
+        attrs = store.toc.manifests["vec"].attrs
+        store.close()
+        assert attrs.get("embedder") == HashEmbedder(64).identity
+
+    def test_mismatch_errors_by_default(self, tmp_path):
+        p = tmp_path / "m.wxs"
+        self._write(p)
+        with pytest.raises(StoreError, match="embedder"):
+            MemoryOrchestrator(p, HashEmbedder(64, seed="other"), CFG)
+
+    def test_same_identity_reopens(self, tmp_path):
+        p = tmp_path / "m.wxs"
+        self._write(p)
+        with MemoryOrchestrator(p, HashEmbedder(64), CFG) as o:
+            assert o.search("golden retriever").hits
+
+    def test_reindex_rebuilds_in_new_space(self, tmp_path):
+        import dataclasses
+
+        p = tmp_path / "m.wxs"
+        self._write(p)
+        cfg = dataclasses.replace(CFG, embedder_mismatch="reindex")
+        with MemoryOrchestrator(p, HashEmbedder(64, seed="other"), cfg) as o:
+            # dense lane must work against vectors re-embedded with the NEW provider:
+            # a pure-vector query (no lexical overlap scored via dense rank presence)
+            resp = o.search("golden retriever puppy")
+            assert resp.hits
+            # and the rebuilt index covers every embedded frame
+            assert len(o.engine.vector) == 2
+
+    def test_ignore_keeps_stale_index(self, tmp_path):
+        import dataclasses
+
+        p = tmp_path / "m.wxs"
+        self._write(p)
+        cfg = dataclasses.replace(CFG, embedder_mismatch="ignore")
+        with MemoryOrchestrator(p, HashEmbedder(64, seed="other"), cfg) as o:
+            assert len(o.engine.vector) == 2  # untouched (stale) vectors
+
+    def test_legacy_store_without_identity_opens(self, tmp_path):
+        """Stores written before the identity attr (e.g. via WaxSession, which has no
+        embedder) open without tripping the guard."""
+        from wax_tpu.session import WaxSession
+
+        p = tmp_path / "m.wxs"
+        store = WaxStore.create(p, CFG.store)
+        s = WaxSession(store, dim=64)
+        s.put("session-written frame", embedding=np.ones(64, np.float32) / 8.0)
+        s.commit()
+        store.close()
+        with MemoryOrchestrator(p, HashEmbedder(64), CFG) as o:
+            assert o.search("session-written frame").hits
+
+    def test_failed_open_releases_writer_lock(self, tmp_path):
+        """A guard failure inside open must release the writer lease so a corrected
+        retry (same process) can proceed."""
+        p = tmp_path / "m.wxs"
+        self._write(p)
+        with pytest.raises(StoreError):
+            MemoryOrchestrator(p, HashEmbedder(64, seed="other"), CFG)
+        # corrected retry succeeds immediately — no dangling flock
+        with MemoryOrchestrator(p, HashEmbedder(64), CFG) as o:
+            assert o.search("golden retriever").hits

@@ -56,3 +56,13 @@ class OrchestratorConfig:
     # injectable clock (ms) for deterministic replay/tests (reference:
     # TimestampOverrideTests / deterministicNowMs); None = wall clock
     clock_ms: Callable[[], int] | None = None
+    # What to do when the committed vec segment was built by a DIFFERENT embedding
+    # provider than the one this orchestrator was opened with (detected via the
+    # `embedder` identity recorded in the segment attrs):
+    #   "error"   — refuse to open (default: silent recall corruption is worse)
+    #   "reindex" — drop the index and re-embed every live frame's search text with
+    #               the current provider (text-derived embeddings only; vectors put
+    #               directly via put_embedding, e.g. multimodal, are rebuilt by their
+    #               own orchestrators' re-ingest paths)
+    #   "ignore"  — keep the mismatched index (pre-round-2 behavior)
+    embedder_mismatch: str = "error"

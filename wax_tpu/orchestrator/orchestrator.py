@@ -142,6 +142,15 @@ class MemoryOrchestrator:
         else:
             self.store = WaxStore.create(self.path, config.store)
 
+        try:
+            self._init_after_store_open(config, embedder)
+        except BaseException:
+            # release the writer lease: a failed open (e.g. the embedder-mismatch
+            # guard) must not leave the path locked against a corrected retry
+            self.store.close()
+            raise
+
+    def _init_after_store_open(self, config: OrchestratorConfig, embedder) -> None:
         self.structured = (
             StructuredMemory(now=self._now) if config.enable_structured_memory else None
         )
@@ -248,6 +257,51 @@ class MemoryOrchestrator:
                         self.access_stats = AccessStats.from_json(raw.decode("utf-8"))
                     self._access_stats_frame = fid
                     break
+        # embedder identity guard: the vec segment records which provider built it
+        # (serialization.serialize_vector_engine); a different provider at open time
+        # means stored vectors and fresh query embeddings live in different spaces
+        if self.config.enable_vector_search and vec_man is not None:
+            stored_ident = (vec_man.attrs or {}).get("embedder")
+            cur_ident = self.memoizer.provider.identity
+            if stored_ident and stored_ident != cur_ident:
+                mode = self.config.embedder_mismatch
+                if mode == "reindex":
+                    self._reembed_all()
+                elif mode != "ignore":
+                    raise StoreError(
+                        f"vector index was built by embedder {stored_ident!r} but the "
+                        f"orchestrator was opened with {cur_ident!r}; pass the original "
+                        "provider, or set OrchestratorConfig(embedder_mismatch="
+                        "'reindex') to rebuild (or 'ignore' to keep the stale index)"
+                    )
+
+    def _reembed_all(self) -> None:
+        """Drop the vector index and re-embed every live frame that has search text
+        with the current provider (embedder_mismatch='reindex')."""
+        from wax_tpu.search.vector_engines import make_vector_engine
+
+        old = self.engine.vector
+        self.engine.vector = make_vector_engine(old.kind, dim=old.dim)
+        fids: list[int] = []
+        texts: list[str] = []
+        for m in self.store.timeline(include_superseded=False):
+            if m.kind.startswith(_INTERNAL_PREFIX):
+                continue
+            text = m.search_text
+            if (
+                text is None
+                and m.chunk_count is None  # multi-chunk parents are not embedded
+                and m.kind in (FrameKind.CHUNK.value, FrameKind.DOCUMENT.value)
+            ):
+                raw = self.store.frame_content(m.frame_id)
+                text = raw.decode("utf-8", errors="ignore") if raw else None
+            if text:
+                fids.append(m.frame_id)
+                texts.append(text)
+        bs = self.config.embed_batch_size
+        for i in range(0, len(fids), bs):
+            vecs = self.memoizer.embed_batch(texts[i : i + bs])
+            self.engine.index_embedding_batch(fids[i : i + bs], vecs)
 
     def _check_writable(self) -> None:
         if self.readonly:
@@ -542,7 +596,9 @@ class MemoryOrchestrator:
             blob, attrs = serialize_lex(self.engine.lex)
             self.store.stage_index("lex", blob, attrs)
         if self.config.enable_vector_search:
-            blob, attrs = serialize_vector_engine(self.engine.vector)
+            blob, attrs = serialize_vector_engine(
+                self.engine.vector, embedder_identity=self.memoizer.provider.identity
+            )
             self.store.stage_index("vec", blob, attrs)
         if self.structured is not None:
             self.store.stage_index("structured", self.structured.serialize(), self.structured.stats_attrs())

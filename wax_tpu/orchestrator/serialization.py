@@ -61,8 +61,21 @@ def deserialize_dense(blob: bytes, attrs: dict[str, str]) -> DenseIndexBuilder:
     )
 
 
-def serialize_vector_engine(engine) -> tuple[bytes, dict[str, str]]:
-    """Serialize a FlatVectorEngine or HNSWVectorEngine into a segment blob."""
+def serialize_vector_engine(
+    engine, embedder_identity: str | None = None
+) -> tuple[bytes, dict[str, str]]:
+    """Serialize a FlatVectorEngine or HNSWVectorEngine into a segment blob.
+
+    When `embedder_identity` is given it is recorded in the segment attrs so a later
+    open can detect that the index was built by a different provider (the analogue of
+    the reference tying its vector index to the CoreML model identity)."""
+    blob, attrs = _serialize_vector_engine(engine)
+    if embedder_identity is not None:
+        attrs["embedder"] = embedder_identity
+    return blob, attrs
+
+
+def _serialize_vector_engine(engine) -> tuple[bytes, dict[str, str]]:
     if engine.kind in ("flat", "sharded"):
         blob, attrs = serialize_dense(engine.builder)
         attrs["engine"] = engine.kind
