@@ -97,6 +97,25 @@ class TestMcpTools:
         latest = _call(server, "wax_handoff_latest", {})
         assert latest["found"] and latest["content"] == "state snapshot"
 
+    def test_session_end_stops_tagging(self, server):
+        _call(server, "wax_session_start", {"name": "s2"})
+        tagged = _call(server, "wax_remember", {"content": "tagged during session s2"})
+        assert _call(server, "wax_session_end", {})["ok"]
+        untagged = _call(server, "wax_remember", {"content": "untagged after session end"})
+        tags_in = server.orch.store.frame_meta(tagged["document_id"]).tags
+        tags_out = server.orch.store.frame_meta(untagged["document_id"]).tags
+        assert any(str(t).startswith("session:") for t in tags_in)
+        assert not any(str(t).startswith("session:") for t in tags_out)
+
+    def test_entity_resolve_roundtrip(self, server):
+        _call(server, "wax_entity_upsert", {"name": "Aurora Station", "aliases": ["the station"]})
+        byname = _call(server, "wax_entity_resolve", {"name": "Aurora Station"})
+        byalias = _call(server, "wax_entity_resolve", {"name": "the station"})
+        assert byname["entity_id"] is not None
+        assert byname["entity_id"] == byalias["entity_id"]
+        missing = _call(server, "wax_entity_resolve", {"name": "no such thing"})
+        assert missing["entity_id"] is None
+
     def test_forget_and_timeline(self, server):
         r = _call(server, "wax_remember", {"content": "ephemeral"})
         tl = _call(server, "wax_timeline", {})
