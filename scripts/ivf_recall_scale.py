@@ -1,0 +1,141 @@
+"""Serving-scale IVF recall + latency on ONE chip: real k-means build at ~7.9M x 384.
+
+Builds a real IVF index (device spherical k-means, bf16 buckets) over 7,864,320
+uniform-normal vectors, computes exact top-10 ground truth by chunked MXU scan over
+the same data, then reports recall@10 + slope-timed batch latency for an nprobe sweep.
+
+This upgrades docs/benchmarks.md's synthetic-bucket 10M timing row with a real-recall
+measurement (BASELINE.md config 5's single-chip half; the sharded path divides the
+same probe work across a mesh). Run on the real TPU: takes ~10-20 min wall through
+the tunnel (k-means + host packing dominate).
+
+    python scripts/ivf_recall_scale.py
+"""
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wax_tpu.index.ivf import build_ivf
+from wax_tpu.ops.ivf_kernel import ivf_search_topk_pallas
+
+C, S, D, B, K = 16384, 512, 384, 256, 10
+N = 16384 * 480  # 7,864,320 — 6.7% bucket slack for overflow spill
+GEN_CHUNK = 1_048_576
+
+T0 = time.perf_counter()
+
+
+def mark(msg: str) -> None:
+    print(f"[{time.perf_counter()-T0:7.1f}s] {msg}", flush=True)
+
+
+GEN_STEP = 524_288  # N % GEN_STEP == 0
+
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _fill_chunk(buf, key, start):
+    """Write one normalized chunk into the donated corpus buffer — the full matrix
+    is built in place (concatenating chunks would transiently triple HBM)."""
+    v = jax.random.normal(key, (GEN_STEP, D), jnp.float32)
+    v = (v / jnp.linalg.norm(v, axis=1, keepdims=True)).astype(jnp.bfloat16)
+    return jax.lax.dynamic_update_slice_in_dim(buf, v, start, 0)
+
+
+def main() -> None:
+    n_steps = N // GEN_STEP
+    keys = jax.random.split(jax.random.PRNGKey(7), n_steps + 1)
+    vecs = jnp.zeros((N, D), jnp.bfloat16)
+    for i in range(n_steps):
+        vecs = _fill_chunk(vecs, keys[i], jnp.int32(i * GEN_STEP))
+    qk = keys[-1]
+    q = jax.random.normal(qk, (B, D), jnp.float32)
+    q = jax.block_until_ready(q / jnp.linalg.norm(q, axis=1, keepdims=True))
+    mark(f"data on device: {N} x {D} bf16 ({N*D*2/2**30:.1f} GiB)")
+
+    # exact ground truth: chunked scan, f32 accumulation on the MXU
+    @jax.jit
+    def _chunk_topk(q, rows, base):
+        s = jax.lax.dot_general(
+            q, rows, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        v, i = jax.lax.top_k(s, K)
+        return v, i + base
+
+    vs, isx = [], []
+    gt_chunk = GEN_CHUNK // 2
+    for s0 in range(0, N, gt_chunk):
+        rows = jax.lax.dynamic_slice_in_dim(vecs, s0, min(gt_chunk, N - s0), 0)
+        v, i = _chunk_topk(q, rows, s0)
+        # serialize: each chunk's [B, chunk] f32 score intermediate is ~0.5 GB;
+        # letting the async queue stack them up OOMs next to the 5.6 GB corpus.
+        # (value fetch, not block_until_ready — the tunnel can return early)
+        float(v[0, 0])
+        vs.append(v)
+        isx.append(i)
+    allv = jnp.concatenate(vs, axis=1)
+    alli = jnp.concatenate(isx, axis=1)
+    _, pos = jax.lax.top_k(allv, K)
+    gt = np.asarray(jnp.take_along_axis(alli, pos, axis=1))
+    mark("exact top-10 ground truth done")
+
+    idx = build_ivf(
+        vecs,
+        np.arange(N, dtype=np.int64),
+        n_clusters=C,
+        bucket_size=S,
+        iters=4,
+        normalize=False,
+        bucket_dtype=jnp.bfloat16,
+        train_rows=2_097_152,  # bound the k-means training set (HBM: see build_ivf)
+    )
+    del vecs
+    mark(f"IVF built: {C} clusters x {S} bf16 bucket slots ({C*S*D*2/2**30:.1f} GiB)")
+
+    def slope(nprobe, lo=10, hi=60):
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("nprobe",))
+        def chained(q, iters, idx, nprobe):
+            def body(i, carry):
+                q, acc = carry
+                v, _ = ivf_search_topk_pallas(q, idx, K, nprobe)
+                return q + (v[:, :1] * 1e-9).astype(q.dtype), acc + v[0, 0]
+
+            return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
+
+        float(chained(q, 1, idx, nprobe))
+
+        def t(iters):
+            best = float("inf")
+            for r in range(2):
+                qq = q * (1.0 + 1e-6 * (iters + r))
+                t0 = time.perf_counter()
+                float(chained(qq, iters, idx, nprobe))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        return (t(hi) - t(lo)) / (hi - lo) * 1e3
+
+    for nprobe in (8, 16, 32):
+        _, fids = ivf_search_topk_pallas(q, idx, K, nprobe)
+        got = np.asarray(fids)
+        recall = float(((gt[:, :, None] == got[:, None, :]).any(-1)).mean())
+        ms = slope(nprobe)
+        mark(
+            f"N={N} nprobe={nprobe}: recall@10={recall:.3f}  "
+            f"{ms:.2f} ms/batch ({B/ms*1e3:,.0f} q/s/chip)"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,20 @@ class TestSearch:
         idx = build_ivf(vecs[:50], np.arange(50), n_clusters=4, bucket_size=16)
         vals, fids = ivf_search_topk(jnp.asarray(vecs[:2]), idx, k=40, nprobe=1)
         assert fids.shape == (2, 40)
+
+    def test_train_rows_subsample_build(self, clustered):
+        """Bounded k-means training set (build_ivf train_rows): assignments still
+        cover every row, self-query stays exact, and recall at wide nprobe is intact
+        (the 10M-scale HBM-bounded build path, scripts/ivf_recall_scale.py)."""
+        vecs, queries = clustered
+        idx = build_ivf(
+            vecs, np.arange(len(vecs)), n_clusters=64, seed=1, train_rows=len(vecs) // 4
+        )
+        assert int(jnp.sum(idx.ids >= 0)) == len(vecs)  # every row packed exactly once
+        _, fids = ivf_search_topk(jnp.asarray(vecs[:8]), idx, k=1, nprobe=4)
+        np.testing.assert_array_equal(np.asarray(fids)[:, 0], np.arange(8))
+        _, wide = ivf_search_topk(jnp.asarray(queries), idx, k=10, nprobe=64)
+        # probing every cluster is exhaustive regardless of training-sample quality
+        oracle_scores = np.asarray(jnp.asarray(queries) @ jnp.asarray(vecs).T)
+        oracle = np.argsort(-oracle_scores, axis=1)[:, :10]
+        assert _recall(np.asarray(wide), oracle) == 1.0

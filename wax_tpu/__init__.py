@@ -41,7 +41,10 @@ __all__ = [
     "QueryType",
     "TimeRange",
     "MemoryOrchestrator",
+    "OrchestratorConfig",
     "WaxStore",
+    "StoreOptions",
+    "FastRAGConfig",
     "WaxSession",
     "open_session",
 ]
@@ -53,10 +56,18 @@ def __getattr__(name):
         from wax_tpu.orchestrator.orchestrator import MemoryOrchestrator
 
         return MemoryOrchestrator
-    if name == "WaxStore":
-        from wax_tpu.storage.store import WaxStore
+    if name == "OrchestratorConfig":
+        from wax_tpu.orchestrator.config import OrchestratorConfig
 
-        return WaxStore
+        return OrchestratorConfig
+    if name == "FastRAGConfig":
+        from wax_tpu.rag.config import FastRAGConfig
+
+        return FastRAGConfig
+    if name in ("WaxStore", "StoreOptions"):
+        import wax_tpu.storage.store as _store
+
+        return getattr(_store, name)
     if name in ("WaxSession", "open_session"):
         import wax_tpu.session as _session
 

@@ -119,6 +119,7 @@ def build_ivf(
     seed: int = 0,
     normalize: bool = True,
     bucket_dtype=None,
+    train_rows: int | None = None,
 ) -> IVFIndex:
     """Cluster + pack into fixed-size buckets (overflow spills to next-best center).
 
@@ -126,6 +127,12 @@ def build_ivf(
     only cluster assignments (4 bytes/row) do, and bucket packing is a device
     permutation scatter. Matters on tunneled TPU setups where pulling a multi-GB
     corpus is minutes of wall clock.
+
+    `train_rows` bounds the k-means TRAINING set (a uniform sample; the final
+    assignment still covers every row). At multi-million scale the centroid-update
+    scatter-add materializes an f32 copy of its training rows, so training on the
+    full corpus would transiently need 2x corpus bytes of HBM; ~2M training rows
+    estimate 16K centroids just as well (standard k-means subsampling practice).
     """
     vecs_dev = jnp.asarray(vecs)
     n, d = vecs_dev.shape
@@ -143,7 +150,14 @@ def build_ivf(
     while n_clusters * bucket_size < n:
         bucket_size = _round_up(bucket_size + max(128, bucket_size // 4), 128)
 
-    centroids, assign_dev = kmeans(vecs_dev, n_clusters, iters, seed)
+    if train_rows is not None and train_rows < n:
+        sample = jax.random.choice(
+            jax.random.PRNGKey(seed ^ 0x5EED), n, (train_rows,), replace=False
+        )
+        centroids, _ = kmeans(jnp.take(vecs_dev, sample, axis=0), n_clusters, iters, seed)
+        assign_dev = _assign(vecs_dev, centroids)
+    else:
+        centroids, assign_dev = kmeans(vecs_dev, n_clusters, iters, seed)
     assign = np.asarray(assign_dev)  # [N] int32 — the only per-row host transfer
 
     # pack on host over assignments only
@@ -162,8 +176,17 @@ def build_ivf(
             overflow.append(row)
     if overflow:
         ov = np.asarray(overflow)
-        sims = np.asarray(
-            _assign_scores(jnp.take(vecs_dev, jnp.asarray(ov), axis=0), centroids)
+        # blocked: [O, C] f32 in one shot is GBs when many clusters overflow at scale
+        sims = np.concatenate(
+            [
+                np.asarray(
+                    _assign_scores(
+                        jnp.take(vecs_dev, jnp.asarray(ov[s : s + _ASSIGN_BLOCK]), axis=0),
+                        centroids,
+                    )
+                )
+                for s in range(0, len(ov), _ASSIGN_BLOCK)
+            ]
         )  # [O, C] — overflow rows only
         pref = np.argsort(-sims, axis=1)
         for i, row in enumerate(ov.tolist()):
