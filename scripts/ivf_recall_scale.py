@@ -1,6 +1,6 @@
-"""Serving-scale IVF recall + latency on ONE chip: real k-means build at ~7.9M x 384.
+"""Serving-scale IVF recall + latency on ONE chip: real k-means build at ~5.9M x 384.
 
-Builds a real IVF index (device spherical k-means, bf16 buckets) over 7,864,320
+Builds a real IVF index (device spherical k-means, bf16 buckets) over 5,898,240
 uniform-normal vectors, computes exact top-10 ground truth by chunked MXU scan over
 the same data, then reports recall@10 + slope-timed batch latency for an nprobe sweep.
 
@@ -28,9 +28,10 @@ import numpy as np
 from wax_tpu.index.ivf import build_ivf
 from wax_tpu.ops.ivf_kernel import ivf_search_topk_pallas
 
-C, S, D, B, K = 16384, 512, 384, 256, 10
-N = 16384 * 480  # 7,864,320 — 6.7% bucket slack for overflow spill
-GEN_CHUNK = 1_048_576
+# Usable HBM through the tunnel is ~12 GiB (probe-measured), and the build's peak
+# residency is corpus + bucket tensor; C x S is sized so that peak stays ~9 GiB.
+C, S, D, B, K = 12288, 512, 384, 256, 10
+N = 12288 * 480  # 5,898,240 — 6.7% bucket slack for overflow spill
 
 T0 = time.perf_counter()
 
@@ -39,7 +40,7 @@ def mark(msg: str) -> None:
     print(f"[{time.perf_counter()-T0:7.1f}s] {msg}", flush=True)
 
 
-GEN_STEP = 524_288  # N % GEN_STEP == 0
+GEN_STEP = N // 12  # 491,520 rows per fill/score chunk
 
 
 @functools.partial(jax.jit, donate_argnums=0)
@@ -72,7 +73,7 @@ def main() -> None:
         return v, i + base
 
     vs, isx = [], []
-    gt_chunk = GEN_CHUNK // 2
+    gt_chunk = GEN_STEP
     for s0 in range(0, N, gt_chunk):
         rows = jax.lax.dynamic_slice_in_dim(vecs, s0, min(gt_chunk, N - s0), 0)
         v, i = _chunk_topk(q, rows, s0)

@@ -60,6 +60,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 _ASSIGN_BLOCK = 65536
+_ASSIGN_SCORE_BYTES = 1 << 30  # cap the [block, C] f32 score temp at ~1 GiB
 
 
 @jax.jit
@@ -70,15 +71,23 @@ def _assign_block(vecs, centroids):
     return jnp.argmax(scores, axis=1)
 
 
+def _assign_rows(n_clusters: int) -> int:
+    """Rows per assignment block, sized so the [block, C] f32 score temp stays under
+    ~1 GiB — at C=16K a 64K-row block's 4.3 GiB temp arena fragments HBM next to a
+    multi-GB corpus + bucket tensor (the 10M-scale OOM mode)."""
+    return max(8192, min(_ASSIGN_BLOCK, _ASSIGN_SCORE_BYTES // (4 * max(n_clusters, 1))))
+
+
 def _assign(vecs, centroids):
     """Blocked assignment: the full [N, C] score matrix would not fit in HBM at the
     10M-scale configs, so rows are processed in fixed blocks."""
     n = vecs.shape[0]
-    if n <= _ASSIGN_BLOCK:
+    rows = _assign_rows(centroids.shape[0])
+    if n <= rows:
         return _assign_block(vecs, centroids)
     out = []
-    for s in range(0, n, _ASSIGN_BLOCK):
-        block = jax.lax.dynamic_slice_in_dim(vecs, s, min(_ASSIGN_BLOCK, n - s), 0)
+    for s in range(0, n, rows):
+        block = jax.lax.dynamic_slice_in_dim(vecs, s, min(rows, n - s), 0)
         out.append(_assign_block(block, centroids))
     return jnp.concatenate(out)
 
@@ -160,32 +169,36 @@ def build_ivf(
         centroids, assign_dev = kmeans(vecs_dev, n_clusters, iters, seed)
     assign = np.asarray(assign_dev)  # [N] int32 — the only per-row host transfer
 
-    # pack on host over assignments only
+    # pack on host over assignments only — vectorized (a per-row Python loop is
+    # minutes of wall clock at 10M rows on a throttled host). Semantics identical to
+    # the sequential fill: rows sorted stably by cluster (so ascending original index
+    # within a cluster), the first `bucket_size` of each cluster take slots 0.., the
+    # rest overflow in the same traversal order.
     order = np.argsort(assign, kind="stable")
-    bucket_fill = np.zeros(n_clusters, np.int64)
+    sorted_assign = assign[order].astype(np.int64)
+    counts = np.bincount(sorted_assign, minlength=n_clusters)
+    group_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank_in_group = np.arange(n, dtype=np.int64) - group_start[sorted_assign]
+    fits = rank_in_group < bucket_size
     slot_cluster = np.full(n, -1, np.int64)
     slot_pos = np.full(n, -1, np.int64)
-    overflow: list[int] = []
-    for row in order.tolist():
-        c = assign[row]
-        if bucket_fill[c] < bucket_size:
-            slot_cluster[row] = c
-            slot_pos[row] = bucket_fill[c]
-            bucket_fill[c] += 1
-        else:
-            overflow.append(row)
+    slot_cluster[order[fits]] = sorted_assign[fits]
+    slot_pos[order[fits]] = rank_in_group[fits]
+    bucket_fill = np.minimum(counts, bucket_size)
+    overflow: list[int] = order[~fits].tolist()
     if overflow:
         ov = np.asarray(overflow)
         # blocked: [O, C] f32 in one shot is GBs when many clusters overflow at scale
+        ov_rows = _assign_rows(n_clusters)
         sims = np.concatenate(
             [
                 np.asarray(
                     _assign_scores(
-                        jnp.take(vecs_dev, jnp.asarray(ov[s : s + _ASSIGN_BLOCK]), axis=0),
+                        jnp.take(vecs_dev, jnp.asarray(ov[s : s + ov_rows]), axis=0),
                         centroids,
                     )
                 )
-                for s in range(0, len(ov), _ASSIGN_BLOCK)
+                for s in range(0, len(ov), ov_rows)
             ]
         )  # [O, C] — overflow rows only
         pref = np.argsort(-sims, axis=1)
