@@ -1,8 +1,11 @@
 """Serving-scale IVF recall + latency on ONE chip: real k-means build at ~5.9M x 384.
 
 Builds a real IVF index (device spherical k-means, bf16 buckets) over 5,898,240
-uniform-normal vectors, computes exact top-10 ground truth by chunked MXU scan over
-the same data, then reports recall@10 + slope-timed batch latency for an nprobe sweep.
+clustered vectors (8192 latent centers x unit noise — the same realistic embedding
+geometry as scripts/ivf_sweep.py; uniform-random high-dim data has no cluster
+structure for ANY ANN to exploit, see docs/benchmarks.md on HNSW), computes exact
+top-10 ground truth by chunked MXU scan over the same data, then reports recall@10 +
+slope-timed batch latency for an nprobe sweep.
 
 This upgrades docs/benchmarks.md's synthetic-bucket 10M timing row with a real-recall
 measurement (BASELINE.md config 5's single-chip half; the sharded path divides the
@@ -43,23 +46,30 @@ def mark(msg: str) -> None:
 GEN_STEP = N // 12  # 491,520 rows per fill/score chunk
 
 
+N_CENTERS = 8192
+
+
 @functools.partial(jax.jit, donate_argnums=0)
-def _fill_chunk(buf, key, start):
-    """Write one normalized chunk into the donated corpus buffer — the full matrix
-    is built in place (concatenating chunks would transiently triple HBM)."""
-    v = jax.random.normal(key, (GEN_STEP, D), jnp.float32)
+def _fill_chunk(buf, centers, key, start):
+    """Write one normalized clustered chunk into the donated corpus buffer — the full
+    matrix is built in place (concatenating chunks would transiently triple HBM)."""
+    ka, kn = jax.random.split(key)
+    assign = jax.random.randint(ka, (GEN_STEP,), 0, N_CENTERS)
+    v = centers[assign] + jax.random.normal(kn, (GEN_STEP, D), jnp.float32)
     v = (v / jnp.linalg.norm(v, axis=1, keepdims=True)).astype(jnp.bfloat16)
     return jax.lax.dynamic_update_slice_in_dim(buf, v, start, 0)
 
 
 def main() -> None:
     n_steps = N // GEN_STEP
-    keys = jax.random.split(jax.random.PRNGKey(7), n_steps + 1)
+    keys = jax.random.split(jax.random.PRNGKey(7), n_steps + 2)
+    centers = jax.random.normal(keys[-2], (N_CENTERS, D), jnp.float32) * 2.0
     vecs = jnp.zeros((N, D), jnp.bfloat16)
     for i in range(n_steps):
-        vecs = _fill_chunk(vecs, keys[i], jnp.int32(i * GEN_STEP))
+        vecs = _fill_chunk(vecs, centers, keys[i], jnp.int32(i * GEN_STEP))
     qk = keys[-1]
-    q = jax.random.normal(qk, (B, D), jnp.float32)
+    ka, kn = jax.random.split(qk)
+    q = centers[jax.random.randint(ka, (B,), 0, N_CENTERS)] + jax.random.normal(kn, (B, D), jnp.float32)
     q = jax.block_until_ready(q / jnp.linalg.norm(q, axis=1, keepdims=True))
     mark(f"data on device: {N} x {D} bf16 ({N*D*2/2**30:.1f} GiB)")
 

@@ -128,7 +128,7 @@ def build_ivf(
     seed: int = 0,
     normalize: bool = True,
     bucket_dtype=None,
-    train_rows: int | None = None,
+    train_rows: int | str | None = "auto",
 ) -> IVFIndex:
     """Cluster + pack into fixed-size buckets (overflow spills to next-best center).
 
@@ -142,6 +142,8 @@ def build_ivf(
     scatter-add materializes an f32 copy of its training rows, so training on the
     full corpus would transiently need 2x corpus bytes of HBM; ~2M training rows
     estimate 16K centroids just as well (standard k-means subsampling practice).
+    "auto" (default) trains on max(2M, 128 rows/centroid), capped at n; None trains
+    on the full corpus.
     """
     vecs_dev = jnp.asarray(vecs)
     n, d = vecs_dev.shape
@@ -159,6 +161,8 @@ def build_ivf(
     while n_clusters * bucket_size < n:
         bucket_size = _round_up(bucket_size + max(128, bucket_size // 4), 128)
 
+    if train_rows == "auto":
+        train_rows = max(2_097_152, 128 * n_clusters)
     if train_rows is not None and train_rows < n:
         sample = jax.random.choice(
             jax.random.PRNGKey(seed ^ 0x5EED), n, (train_rows,), replace=False
