@@ -192,23 +192,28 @@ def build_ivf(
     overflow: list[int] = order[~fits].tolist()
     if overflow:
         ov = np.asarray(overflow)
-        # blocked: [O, C] f32 in one shot is GBs when many clusters overflow at scale
+        # blocked ([O, C] f32 in one shot is GBs when many clusters overflow at
+        # scale), and only the top-8 preferred clusters leave the device — pulling
+        # raw [O, C] scores through a tunneled backend is GBs of host transfer
         ov_rows = _assign_rows(n_clusters)
-        sims = np.concatenate(
+        n_pref = min(8, n_clusters)
+        pref = np.concatenate(
             [
                 np.asarray(
-                    _assign_scores(
-                        jnp.take(vecs_dev, jnp.asarray(ov[s : s + ov_rows]), axis=0),
-                        centroids,
-                    )
+                    jax.lax.top_k(
+                        _assign_scores(
+                            jnp.take(vecs_dev, jnp.asarray(ov[s : s + ov_rows]), axis=0),
+                            centroids,
+                        ),
+                        n_pref,
+                    )[1]
                 )
                 for s in range(0, len(ov), ov_rows)
             ]
-        )  # [O, C] — overflow rows only
-        pref = np.argsort(-sims, axis=1)
+        )  # [O, n_pref] — preferred clusters per overflow row
         for i, row in enumerate(ov.tolist()):
             placed = False
-            for c in pref[i, : min(8, n_clusters)].tolist():
+            for c in pref[i].tolist():
                 if bucket_fill[c] < bucket_size:
                     slot_cluster[row] = c
                     slot_pos[row] = bucket_fill[c]
