@@ -36,6 +36,10 @@ class WordPieceTokenizer:
             for i, line in enumerate(Path(vocab_path).read_text().splitlines()):
                 self.vocab[line.strip()] = i
             self.vocab_size = max(vocab_size, len(self.vocab))
+        # word -> piece-ids memo: words repeat heavily across a corpus, and both the
+        # greedy-longest-match loop and the hashed fallback's per-piece sha256 are
+        # the tokenize hot path (ingest is tokenizer-bound on slow hosts)
+        self._word_cache: dict[str, list[int]] = {}
 
     @property
     def using_real_vocab(self) -> bool:
@@ -47,6 +51,15 @@ class WordPieceTokenizer:
         return base + h % max(1, self.vocab_size - base)
 
     def _wordpiece(self, word: str) -> list[int]:
+        cached = self._word_cache.get(word)
+        if cached is not None:
+            return cached
+        out = self._wordpiece_uncached(word)
+        if len(self._word_cache) < 65536:
+            self._word_cache[word] = out
+        return out
+
+    def _wordpiece_uncached(self, word: str) -> list[int]:
         if self.vocab is None:
             # hashed fallback: split long words into 4-char pieces (##-prefixed tail)
             pieces = [word[:6]] + [f"##{word[i:i+4]}" for i in range(6, len(word), 4)]
