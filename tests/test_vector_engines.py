@@ -155,3 +155,72 @@ class TestBf16AutoMode:
         eng = FlatVectorEngine(dim=16, device_dtype=None)
         eng.add_batch(np.arange(10), np.random.default_rng(1).standard_normal((10, 16)).astype(np.float32))
         assert eng.snapshot().emb.dtype == jnp.float32
+
+
+class TestIVFIncrementalAdds:
+    """IVF inserts slot into existing buckets without re-running k-means (the
+    USearch-add analogue); removals/upserts/2x growth force a full retrain."""
+
+    def _engine(self, n0=512, dim=32, seed=0):
+        from wax_tpu.search.vector_engines import IVFVectorEngine
+
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal((n0, dim)).astype(np.float32)
+        e = IVFVectorEngine(dim=dim, n_clusters=8)
+        e.add_batch(np.arange(n0), v)
+        e.snapshot()  # initial full build
+        return e, rng
+
+    def test_incremental_add_is_searchable_without_retrain(self):
+        e, rng = self._engine()
+        full_builds = e.snapshot_count
+        new = rng.standard_normal((16, 32)).astype(np.float32)
+        e.add_batch(np.arange(1000, 1016), new)
+        vals, fids = e.search(new, k=1)
+        assert e.incremental_count == 1
+        # every new vector finds itself (nprobe default covers its own bucket)
+        assert set(fids[:, 0].tolist()) == set(range(1000, 1016))
+        assert e._trained_count == 512  # no retrain happened
+
+    def test_remove_forces_full_rebuild(self):
+        e, rng = self._engine()
+        assert e.remove(5)
+        e.add(2000, rng.standard_normal(32).astype(np.float32))
+        e.search(rng.standard_normal((1, 32)).astype(np.float32), k=4)
+        assert e.incremental_count == 0
+        assert e._trained_count == 512  # rebuilt over 512 live (512 - 1 + 1)
+
+    def test_upsert_forces_full_rebuild(self):
+        e, rng = self._engine()
+        e.add(5, rng.standard_normal(32).astype(np.float32))  # fid 5 already present
+        e.search(rng.standard_normal((1, 32)).astype(np.float32), k=4)
+        assert e.incremental_count == 0
+        # the stale copy must be gone: searching the NEW vector finds fid 5 once
+        snap = e.snapshot()
+        ids = np.asarray(snap.ids)
+        assert (ids == 5).sum() == 1
+
+    def test_growth_bound_retrains(self):
+        e, rng = self._engine(n0=128)
+        big = rng.standard_normal((512, 32)).astype(np.float32)
+        e.add_batch(np.arange(5000, 5512), big)  # 5x growth > 2x bound
+        e.search(big[:4], k=4)
+        assert e.incremental_count == 0 and e._trained_count == 640
+
+    def test_full_probe_exactness_after_incremental(self):
+        e, rng = self._engine()
+        new = rng.standard_normal((8, 32)).astype(np.float32)
+        e.add_batch(np.arange(3000, 3008), new)
+        q = rng.standard_normal((4, 32)).astype(np.float32)
+        e.nprobe = 8  # all clusters -> exhaustive
+        _, fids = e.search(q, k=10)
+        # oracle over the builder's live vectors
+        state = e.builder.state_arrays()
+        live = state["active"]
+        vecs, fr = state["emb"][live], state["frame_ids"][live]
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        oracle = np.asarray(fr)[np.argsort(-(qn @ vecs.T), axis=1)[:, :10]]
+        overlap = np.mean([
+            len(set(fids[i].tolist()) & set(oracle[i].tolist())) / 10 for i in range(4)
+        ])
+        assert overlap == 1.0

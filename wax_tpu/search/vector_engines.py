@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Protocol, runtime_checkable
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -203,33 +204,107 @@ class IVFVectorEngine:
         self._trained_count = 0
         self._centroids = None
         self.snapshot_count = 0
+        # incremental-add state: new vectors since the last snapshot slot into the
+        # EXISTING buckets (classic IVF insert, the analogue of USearch's add) so
+        # interactive ingest does not re-run k-means per mutation. Removals, upserts,
+        # or >2x growth since training force a full retrain.
+        self._pending_adds: list[tuple[int, np.ndarray]] = []
+        self._needs_full = False
+        self.incremental_count = 0
 
     @property
     def dim(self) -> int:
         return self.builder.dim
 
     def add(self, frame_id, vec):
+        if int(frame_id) in self.builder._row_of:
+            self._needs_full = True  # upsert: stale copy must leave the buckets
+        else:
+            self._pending_adds.append((int(frame_id), self.builder._prep(vec)[0]))
         self.builder.add(frame_id, vec)
 
     def add_batch(self, frame_ids, vecs):
-        self.builder.add_batch(np.asarray(frame_ids), vecs)
+        frame_ids = np.asarray(frame_ids)
+        if any(int(f) in self.builder._row_of for f in frame_ids):
+            self._needs_full = True
+        else:
+            prepped = self.builder._prep(vecs)
+            self._pending_adds.extend(
+                (int(f), v) for f, v in zip(frame_ids.tolist(), prepped)
+            )
+        self.builder.add_batch(frame_ids, vecs)
 
     def remove(self, frame_id) -> bool:
-        return self.builder.remove(frame_id)
+        ok = self.builder.remove(frame_id)
+        if ok:
+            self._needs_full = True
+        return ok
+
+    def _try_incremental(self):
+        """Slot pending adds into the existing buckets (top-8 preferred centroids,
+        first with free capacity; densest-prefix invariant preserved). Returns the
+        new snapshot, or None when a full rebuild is required (no capacity)."""
+        snap = self._snap
+        c, s = snap.n_clusters, snap.bucket_size
+        fids = np.asarray([f for f, _ in self._pending_adds], np.int64)
+        vecs = np.stack([v for _, v in self._pending_adds]).astype(np.float32)
+        scores = jax.lax.dot_general(
+            jnp.asarray(vecs), snap.centroids, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        prefs = np.asarray(jax.lax.top_k(scores, min(8, c))[1])
+        fills = np.array(jnp.sum(snap.ids >= 0, axis=1))  # writable host copy
+        b_idx = np.empty(len(fids), np.int32)
+        s_idx = np.empty(len(fids), np.int32)
+        for i in range(len(fids)):
+            for cand in prefs[i]:
+                if fills[cand] < s:
+                    b = int(cand)
+                    break
+            else:
+                b = int(np.argmin(fills))
+                if fills[b] >= s:
+                    return None  # every bucket full
+            b_idx[i] = b
+            s_idx[i] = fills[b]
+            fills[b] += 1
+        bi, si = jnp.asarray(b_idx), jnp.asarray(s_idx)
+        from wax_tpu.index.ivf import IVFIndex
+
+        return IVFIndex(
+            centroids=snap.centroids,
+            emb=snap.emb.at[bi, si].set(jnp.asarray(vecs).astype(snap.emb.dtype)),
+            ids=snap.ids.at[bi, si].set(jnp.asarray(fids, jnp.int32)),
+            bias=snap.bias.at[bi, si].set(0.0),
+        )
 
     def snapshot(self):
         from wax_tpu.index.ivf import build_ivf
 
         if self._snap is None or self._snap_gen != self.builder.generation:
-            state = self.builder.state_arrays()
-            live = state["active"]
-            vecs = state["emb"][live]
-            fids = state["frame_ids"][live]
-            self._snap = build_ivf(
-                vecs, fids, n_clusters=self.n_clusters, seed=self.seed,
-                bucket_dtype=self.bucket_dtype,
-            )
-            self._trained_count = len(vecs)
+            incremental = None
+            if (
+                self._snap is not None
+                and not self._needs_full
+                and self._pending_adds
+                and len(self.builder) <= 2 * max(self._trained_count, 1)
+            ):
+                incremental = self._try_incremental()
+            if incremental is not None:
+                self._snap = incremental
+                self.incremental_count += 1
+            else:
+                state = self.builder.state_arrays()
+                live = state["active"]
+                vecs = state["emb"][live]
+                fids = state["frame_ids"][live]
+                self._snap = build_ivf(
+                    vecs, fids, n_clusters=self.n_clusters, seed=self.seed,
+                    bucket_dtype=self.bucket_dtype,
+                )
+                self._trained_count = len(vecs)
+                self._needs_full = False
+            self._pending_adds.clear()
             self._snap_gen = self.builder.generation
             self.snapshot_count += 1
         return self._snap
