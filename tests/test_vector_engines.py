@@ -224,3 +224,13 @@ class TestIVFIncrementalAdds:
             len(set(fids[i].tolist()) & set(oracle[i].tolist())) / 10 for i in range(4)
         ])
         assert overlap == 1.0
+
+    def test_intra_batch_upsert_forces_full_rebuild(self):
+        e, rng = self._engine()
+        v = rng.standard_normal((2, 32)).astype(np.float32)
+        # same NEW fid twice in one batch: builder keeps the second copy only
+        e.add_batch(np.asarray([4000, 4000]), v)
+        e.search(rng.standard_normal((1, 32)).astype(np.float32), k=4)
+        assert e.incremental_count == 0
+        snap = e.snapshot()
+        assert (np.asarray(snap.ids) == 4000).sum() == 1

@@ -225,13 +225,16 @@ class IVFVectorEngine:
 
     def add_batch(self, frame_ids, vecs):
         frame_ids = np.asarray(frame_ids)
-        if any(int(f) in self.builder._row_of for f in frame_ids):
+        fid_list = frame_ids.tolist()
+        if len(set(fid_list)) != len(fid_list) or any(
+            int(f) in self.builder._row_of for f in fid_list
+        ):
+            # upsert (vs the index or within the batch): the stale copy must leave
+            # the buckets, which only a full rebuild does
             self._needs_full = True
         else:
             prepped = self.builder._prep(vecs)
-            self._pending_adds.extend(
-                (int(f), v) for f, v in zip(frame_ids.tolist(), prepped)
-            )
+            self._pending_adds.extend((int(f), v) for f, v in zip(fid_list, prepped))
         self.builder.add_batch(frame_ids, vecs)
 
     def remove(self, frame_id) -> bool:
