@@ -28,7 +28,10 @@ from wax_tpu.ops.topk import NEG_INF, blockmax_topk
 __all__ = ["chunkmax_scan_topk"]
 
 _TB = 256
-_TN = 1024
+# TN sweep at 1M x 768 bf16 on v5e (round 2): 1024 -> 4.30 ms, 2048 -> 3.56 ms
+# (fewer grid steps amortize the per-tile revisit overhead), 4096 -> VMEM OOM
+# (17.4M scoped > 16M limit). 2048 is the widest tile that fits.
+_TN = 2048
 
 
 def _chunkmax_kernel(q_ref, db_ref, bias_ref, cm_ref, *, tn: int):

@@ -378,7 +378,8 @@ def flat_scan_topk(
             backend = "xla"
         elif index.capacity <= 32768:
             backend = "pallas"  # packed-key kernel: 92.7us @10K vs 109.5 exact (v5e)
-        elif index.capacity >= 524288 and index.contiguous and k <= 100:
+        elif index.capacity >= 524288 and index.capacity % 2048 == 0 and index.contiguous and k <= 100:
+            # capacity alignment: chunkmax tiles the corpus in _TN=2048-row blocks
             backend = "chunkmax"
         else:
             backend = "blockmax"
