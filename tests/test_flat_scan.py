@@ -361,3 +361,29 @@ class TestTopkUtils:
         v, i = merge_topk(va, ia, vb, ib, 3)
         np.testing.assert_allclose(np.asarray(v[0]), [5.0, 5.0, 2.0])
         np.testing.assert_array_equal(np.asarray(i[0]), [10, 20, 21])
+
+
+class TestAutoDispatchAlignment:
+    def test_auto_never_errors_on_512_aligned_capacity(self):
+        """Auto dispatch must not raise for capacities that are 512- but not
+        2048-aligned (chunkmax tiles in _TN=2048 blocks; auto falls back)."""
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        from wax_tpu.index.dense import DenseIndexBuilder
+
+        rng = np.random.default_rng(0)
+        b = DenseIndexBuilder(dim=16)
+        b.add_batch(np.arange(64), rng.standard_normal((64, 16)).astype(np.float32))
+        idx = b.snapshot()
+        n = 525_312  # >= 524288 threshold, 512-aligned, NOT 2048-aligned
+        idx = dataclasses.replace(
+            idx,
+            emb=jnp.zeros((n, 16), jnp.float32),
+            frame_ids=jnp.full((n,), -1, jnp.int32).at[:64].set(jnp.arange(64)),
+            active=jnp.zeros((n,), bool).at[:64].set(True),
+        )
+        q = normalize_rows(jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32)))
+        vals, rows, fids = flat_scan_topk(q, idx, k=5)
+        assert fids.shape == (8, 5)
