@@ -234,3 +234,40 @@ class TestIVFIncrementalAdds:
         assert e.incremental_count == 0
         snap = e.snapshot()
         assert (np.asarray(snap.ids) == 4000).sum() == 1
+
+    def test_random_interleaving_full_probe_exactness(self):
+        """Property: after ANY interleaving of adds/removes/upserts/searches, a
+        full-probe search equals the brute-force oracle over the live set."""
+        from wax_tpu.search.vector_engines import IVFVectorEngine
+
+        rng = np.random.default_rng(42)
+        e = IVFVectorEngine(dim=16, n_clusters=4)
+        live: dict[int, np.ndarray] = {}
+        next_fid = 0
+        for step in range(60):
+            op = rng.random()
+            if op < 0.55 or not live:
+                v = rng.standard_normal(16).astype(np.float32)
+                e.add(next_fid, v)
+                live[next_fid] = v / np.linalg.norm(v)
+                next_fid += 1
+            elif op < 0.75:
+                fid = int(rng.choice(list(live)))
+                assert e.remove(fid)
+                del live[fid]
+            elif op < 0.85:
+                fid = int(rng.choice(list(live)))
+                v = rng.standard_normal(16).astype(np.float32)
+                e.add(fid, v)  # upsert
+                live[fid] = v / np.linalg.norm(v)
+            else:
+                q = rng.standard_normal((2, 16)).astype(np.float32)
+                e.nprobe = 4
+                _, fids = e.search(q, k=min(5, len(live)))
+                mat = np.stack([live[f] for f in sorted(live)])
+                ids = np.asarray(sorted(live))
+                qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+                k = min(5, len(live))
+                oracle = ids[np.argsort(-(qn @ mat.T), axis=1)[:, :k]]
+                for r in range(2):
+                    assert set(fids[r, :k].tolist()) == set(oracle[r].tolist()), step
