@@ -108,3 +108,52 @@ class TestConcurrencyStress:
         orch.close()
         with MemoryOrchestrator(path, HashEmbedder(64), CFG) as o2:
             assert len([m for m in o2.timeline()]) >= 30
+
+
+class TestStructuredConcurrency:
+    def test_concurrent_facts_and_search(self, tmp_path):
+        """Structured mutations + hybrid searches from racing threads: the
+        entry-point lock serializes sqlite access; no errors, consistent end state."""
+        import threading
+
+        from wax_tpu.structured.memory import FactValue
+
+        orch = MemoryOrchestrator(tmp_path / "sc.wxs", HashEmbedder(64), CFG)
+        orch.remember("Rex the dog belongs to Ana and lives in Lisbon.")
+        errors: list = []
+        stop = threading.Event()
+
+        def facts_worker():
+            i = 0
+            try:
+                while not stop.is_set() and i < 40:
+                    orch.entity_upsert(f"Entity{i % 7}", kind="thing")
+                    orch.fact_assert(f"Entity{i % 7}", "counter", FactValue.integer(i))
+                    i += 1
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        def search_worker():
+            try:
+                for _ in range(30):
+                    if stop.is_set():
+                        break
+                    orch.search("who owns Rex")
+                    orch.facts_query(subject="Entity0")
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=facts_worker), threading.Thread(target=search_worker)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        stop.set()
+        assert not errors, errors
+        # every predicate supersede chain ends with exactly one open span
+        for e in range(7):
+            rows = orch.facts_query(subject=f"Entity{e}", predicate="counter")
+            assert len(rows) <= 1
+        orch.flush()
+        assert orch.store.verify(deep=True)["ok"]
+        orch.close()
