@@ -1,4 +1,4 @@
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 # Single-file snapshot format version (see wax_tpu/storage/format.py).
 SNAPSHOT_FORMAT_VERSION = 1
