@@ -657,6 +657,21 @@ def build_server(store_path: str | Path | None = None) -> McpServer:
     access = os.environ.get("WAX_TPU_FEATURE_ACCESS_STATS", "1") != "0"
     path = Path(store_path) if store_path else default_store_path()
     path.parent.mkdir(parents=True, exist_ok=True)
+    # Persistent XLA compile cache next to the store: the first query's lane
+    # compiles (~80-90 s on a slow host, minutes on a tunneled TPU) become a
+    # one-time-per-machine cost instead of per-process. An in-process warmup probe
+    # was measured WORSE (empty-store shapes compile nothing useful, then the probe
+    # contends with the real query's compile); the cache is the right fix.
+    # Honors an existing JAX_COMPILATION_CACHE_DIR / jax config.
+    try:
+        import jax
+
+        if not os.environ.get("JAX_COMPILATION_CACHE_DIR") and not jax.config.jax_compilation_cache_dir:
+            cache_dir = path.parent / "jax_cache"
+            cache_dir.mkdir(parents=True, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+    except Exception:  # noqa: BLE001 — cache setup is best-effort
+        pass
     cfg = OrchestratorConfig(enable_structured_memory=structured, enable_access_stats=access)
     orch = MemoryOrchestrator(path, config=cfg)
     return McpServer(orch, structured_enabled=structured)
