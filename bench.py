@@ -1,18 +1,29 @@
-"""Headline benchmark: batched dense top-k query latency at 10K x 384-dim.
+"""Headline benchmark: batched dense top-k query latency at 10K x 384-dim, plus the
+scale configs (100K blockmax, 1M x 768 bf16 chunkmax, IVF 1M nprobe 8, fused hybrid
+@100K) in a "configs" object.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ..., "configs"}.
 
 Baseline (BASELINE.md): the reference's warm Metal GPU vector search at 10K x 384 is
 0.84 ms per query (M1 Pro). We measure the per-batch latency of a 256-query top-10
 fused Pallas scan on one TPU chip using slope timing: iterations are chained inside a
 single XLA program (each iteration's query depends on the previous result, so they
-serialize on device) and the per-iteration time is the slope between two iteration
+serialize on device) and the per-iteration time is the slope between iteration
 counts — this cancels the constant launch/tunnel overhead, giving true steady-state
 device latency (the same warm-kernel regime as the reference's warm-GPU number).
 vs_baseline = baseline_ms / value_ms (speedup; our batch answers 256 queries in the
 time the baseline answers one).
 
-`python bench.py --all` additionally reports larger configs on '#'-prefixed lines.
+Measurement robustness (round 3): the TPU tunnel has sustained slow-episodes (round 2
+recorded a 26x-off headline because of one). Every estimate now goes through
+`robust_slope`, which requires (a) LINEARITY — three iteration counts whose two
+sub-slopes agree within 15%; a point-spike fails this, (b) ROOFLINE BOUNDS — a slope
+below the hardware floor (impossible) or above `cap_ms` (a sustained episode scales
+the whole line linearly, so only an absolute cap catches it) is rejected, and
+(c) AGREEMENT — attempts repeat (bounded) until two independent estimates agree
+within 15%; the min of the agreeing pair is reported with dispersion + attempt count
+so a bad record is self-describing. Unit-tested with a mocked episode timer in
+tests/test_bench_robust.py.
 """
 from __future__ import annotations
 
@@ -24,21 +35,117 @@ import time
 
 import numpy as np
 
-# Persistent XLA compilation cache: compiles of the large-N kernels take minutes of
-# host CPU on this throttled VM; caching makes re-runs (driver rounds, sweeps) warm.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__) or ".", ".jax_cache")
-)
+# Persistent XLA compilation cache: remote compiles take minutes; warm re-runs skip
+# them (76.8 s -> 0.5 s probe-measured). Must go through jax.config.update — the
+# sitecustomize preloads jax, so env vars set here never reach the config (the
+# round-2 empty-.jax_cache bug). See wax_tpu/utils/compile_cache.py.
+from wax_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 
-_recall_at_k = 1.0
+enable_compile_cache()
+
 BASELINE_MS = 0.84  # reference warm Metal vector search @10K x 384 (README.md:94)
+
+# v5e roofline constants used for the per-config floor estimates below: bf16 MXU peak
+# 197 TFLOP/s (f32 floors also use this — an overestimated peak only makes the floor
+# safer), HBM ~819 GB/s.
+_PEAK_FLOPS = 197e12
+_HBM_BW = 819e9
+
+
+class SlopeError(RuntimeError):
+    """No attempt produced a trustworthy slope estimate."""
+
+
+def robust_slope(
+    t,
+    lo: int,
+    mid: int,
+    hi: int,
+    *,
+    floor_ms: float,
+    cap_ms: float,
+    tol: float = 0.15,
+    max_attempts: int = 6,
+):
+    """Slow-episode-proof slope estimate.
+
+    `t(iters)` returns elapsed seconds for a chained run of `iters` iterations.
+    Returns (ms_per_iter, info). Raises SlopeError if max_attempts pass without a
+    valid estimate (info is attached to the exception).
+    """
+    estimates: list[float] = []
+    rejects: list[tuple] = []
+    info = {"attempts": 0, "rejects": rejects}
+    for _ in range(max_attempts):
+        info["attempts"] += 1
+        t_lo, t_mid, t_hi = t(lo), t(mid), t(hi)
+        s1 = (t_mid - t_lo) / (mid - lo) * 1e3
+        s2 = (t_hi - t_mid) / (hi - mid) * 1e3
+        s = (t_hi - t_lo) / (hi - lo) * 1e3
+        if s1 <= 0 or s2 <= 0 or abs(s1 - s2) / max(abs(s1), abs(s2)) > tol:
+            rejects.append(("nonlinear", round(s1, 4), round(s2, 4)))
+            continue
+        if s < floor_ms:
+            # faster than the hardware roofline: a caching/sync artifact
+            rejects.append(("below_floor", round(s, 4)))
+            continue
+        if s > cap_ms:
+            # a SUSTAINED tunnel episode scales all three points, staying linear —
+            # only an absolute bound catches it
+            rejects.append(("tunnel_episode", round(s, 4)))
+            continue
+        estimates.append(s)
+        if len(estimates) >= 2:
+            a, b = sorted(estimates)[:2]
+            if (b - a) / b <= tol:
+                info.update(value_ms=a, dispersion=round((b - a) / b, 4), estimates=[round(e, 4) for e in estimates])
+                return a, info
+    if estimates:
+        # attempts exhausted without two agreeing estimates: report the min but mark
+        # the record degraded so the driver artifact is self-describing
+        info.update(
+            value_ms=min(estimates),
+            dispersion=None,
+            degraded=True,
+            estimates=[round(e, 4) for e in estimates],
+        )
+        return min(estimates), info
+    err = SlopeError(f"no valid slope in {max_attempts} attempts: {rejects}")
+    err.info = info
+    raise err
+
+
+def _make_timer(chained, q0, *args):
+    """Build t(iters) over a jitted chained fn; unique input values per call so no
+    layer (incl. any transport-level result cache) can replay a previous execution.
+    Sync via an actual value fetch: on tunneled backends block_until_ready() can
+    return before execution finishes."""
+    rep = [0]
+    debug = os.environ.get("WAX_BENCH_DEBUG") == "1"
+
+    def t(iters: int) -> float:
+        rep[0] += 1
+        qq = q0 * (1.0 + 1e-6 * rep[0])
+        t0 = time.perf_counter()
+        float(chained(qq, iters, *args))
+        dt = time.perf_counter() - t0
+        if debug:
+            print(f"# raw iters={iters}: {dt*1e3:.1f} ms")
+        return dt
+
+    return t
+
+
+# ---------------------------------------------------------------------------------
+# Config runners
+# ---------------------------------------------------------------------------------
 
 
 def _chained_scan_fn(n: int, d: int, k: int):
-    """Build a jitted (q0, iters, emb, bias) -> scalar chained-scan fn over the
-    packed-key fused kernel (the production "pallas" backend). The index arrays are
-    ARGUMENTS, not closure constants — closing over them bakes gigabytes of constants
-    into the executable and breaks large-N compilation."""
+    """Jitted (q0, iters, emb, bias) -> scalar chained-scan fn over the packed-key
+    fused kernel (the production "pallas" backend, incl. its exact f32 rescore). The
+    index arrays are ARGUMENTS, not closure constants — closing over them bakes
+    gigabytes of constants into the executable and breaks large-N compilation."""
     import jax
     import jax.numpy as jnp
 
@@ -60,31 +167,35 @@ def _chained_scan_fn(n: int, d: int, k: int):
     return chained
 
 
-def _bench_flat_scan(n: int, d: int, b: int, k: int, lo: int, hi: int) -> float:
-    """Slope-timed per-batch latency (ms)."""
+def _unit_data(n: int, d: int, b: int, dtype="float32", seed: int = 0):
+    """Normalized (emb, q) generated ON DEVICE — shipping gigabytes of host arrays
+    through the TPU tunnel dominates wall-clock otherwise."""
     import jax
     import jax.numpy as jnp
 
-    # generate data ON DEVICE — shipping gigabytes of host arrays through the TPU
-    # tunnel dominates wall-clock otherwise
     @jax.jit
-    def make_data():
-        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    def make():
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
         emb = jax.random.normal(k1, (n, d), jnp.float32)
-        emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+        emb = (emb / jnp.linalg.norm(emb, axis=1, keepdims=True)).astype(dtype)
         q0 = jax.random.normal(k2, (b, d), jnp.float32)
-        q0 = q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)
-        return emb, q0
+        return emb, q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)
 
-    emb, q0 = jax.block_until_ready(make_data())
+    emb, q0 = jax.block_until_ready(make())
+    return emb, q0
+
+
+def bench_headline(n=10_240, d=384, b=256, k=10):
+    """10K x 384 packed-kernel latency + recall@10 vs the exact oracle."""
+    import jax
+    import jax.numpy as jnp
+
+    from wax_tpu.ops.flat_scan import _TB, _packed_scan_topk, _pick_tn
+
+    emb, q0 = _unit_data(n, d, b)
     bias = jnp.zeros((1, n), jnp.float32)
-
     chained = _chained_scan_fn(n, d, k)
     float(chained(q0, 1, emb, bias))  # compile + verify execution completes
-
-    # recall@10 vs the exact oracle at this config (packed keys compare scores with
-    # <= 2^-12 relative truncation; report the resulting parity, don't hide it)
-    from wax_tpu.ops.flat_scan import _TB, _packed_scan_topk, _pick_tn
 
     @jax.jit
     def recall_check(q, emb, bias):
@@ -94,124 +205,297 @@ def _bench_flat_scan(n: int, d: int, b: int, k: int, lo: int, hi: int) -> float:
         hits = (oracle[:, :, None] == got[:, None, :]).any(-1).sum(-1)
         return hits.sum() / (q.shape[0] * k)
 
-    global _recall_at_k
-    _recall_at_k = float(recall_check(q0, emb, bias))
+    recall = float(recall_check(q0, emb, bias))
 
-    rep = [0]
-    debug = os.environ.get("WAX_BENCH_DEBUG") == "1"
-
-    def t(iters: int) -> float:
-        best = float("inf")
-        for _ in range(2):
-            rep[0] += 1
-            # unique input values per call so no layer (incl. any transport-level
-            # result cache) can replay a previous execution
-            qq = q0 * (1.0 + 1e-6 * rep[0])
-            t0 = time.perf_counter()
-            # sync via an actual value fetch: on tunneled backends
-            # block_until_ready() can return before execution finishes
-            float(chained(qq, iters, emb, bias))
-            dt = time.perf_counter() - t0
-            if debug:
-                print(f"# raw n={n} iters={iters}: {dt*1e3:.1f} ms")
-            best = min(best, dt)
-        return best
-
-    return (t(hi) - t(lo)) / (hi - lo) * 1e3
+    # floor: max(flops, bytes) roofline = max(2*256*10240*384/197e12, 10240*384*4/819e9)
+    ms, info = robust_slope(
+        _make_timer(chained, q0, emb, bias),
+        500, 2500, 4500, floor_ms=0.015, cap_ms=0.5,
+    )
+    return ms, recall, info
 
 
-def _bench_backend(n: int, d: int, b: int, k: int, lo: int, hi: int, backend: str, dtype="float32") -> float:
-    """Slope-timed per-batch latency of a named large-N backend."""
+def bench_blockmax_100k(n=102_400, d=384, b=256, k=10):
+    """Exact blockmax backend at 100K x 384 (the auto-dispatch choice at this N)."""
     import jax
     import jax.numpy as jnp
 
     from wax_tpu.ops.flat_scan import _blockmax_topk
 
-    if backend == "chunkmax":
-        from wax_tpu.ops.chunkmax_scan import chunkmax_scan_topk as _scan
-    else:
-        _scan = _blockmax_topk
-
-    @jax.jit
-    def make_data():
-        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-        emb = jax.random.normal(k1, (n, d), jnp.float32)
-        emb = (emb / jnp.linalg.norm(emb, axis=1, keepdims=True)).astype(dtype)
-        q0 = jax.random.normal(k2, (b, d), jnp.float32)
-        return emb, q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)
-
-    emb, q0 = jax.block_until_ready(make_data())
+    emb, q0 = _unit_data(n, d, b)
     bias = jnp.zeros((1, n), jnp.float32)
 
     @jax.jit
     def chained(q, iters, emb, bias):
         def body(i, carry):
             q, acc = carry
-            v, _ = _scan(q, emb, bias, k)
+            v, _ = _blockmax_topk(q, emb, bias, k)
             return q + v[:, :1] * 1e-9, acc + v[0, 0]
 
         return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
 
     float(chained(q0, 1, emb, bias))
-    rep = [0]
+    # floor: [B,N] f32 score write+read (210 MB) + emb read (157 MB) at HBM BW
+    ms, info = robust_slope(
+        _make_timer(chained, q0, emb, bias), 50, 300, 550, floor_ms=0.15, cap_ms=3.0
+    )
+    return ms, info
 
-    def t(iters):
-        best = float("inf")
-        for _ in range(2):
-            rep[0] += 1
-            qq = q0 * (1.0 + 1e-6 * rep[0])
-            t0 = time.perf_counter()
-            float(chained(qq, iters, emb, bias))
-            best = min(best, time.perf_counter() - t0)
-        return best
 
-    return (t(hi) - t(lo)) / (hi - lo) * 1e3
+def _make_corpus_1m(n, d, n_centers=2000, b=256):
+    """Clustered bf16 corpus + queries on device (chunked donated fills: a single
+    [N, d] normal at this scale takes minutes through the tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    step = n // 8
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def fill(buf, centers, key, start):
+        ka, kn = jax.random.split(key)
+        assign = jax.random.randint(ka, (step,), 0, n_centers)
+        v = centers[assign] + jax.random.normal(kn, (step, d), jnp.float32)
+        v = (v / jnp.linalg.norm(v, axis=1, keepdims=True)).astype(jnp.bfloat16)
+        return jax.lax.dynamic_update_slice_in_dim(buf, v, start, 0)
+
+    keys = jax.random.split(jax.random.PRNGKey(11), 10)
+    centers = jax.random.normal(keys[-2], (n_centers, d), jnp.float32) * 2.0
+    vecs = jnp.zeros((n, d), jnp.bfloat16)
+    for i in range(n // step):
+        vecs = fill(vecs, centers, keys[i], jnp.int32(i * step))
+    ka, kn = jax.random.split(keys[-1])
+    q = centers[jax.random.randint(ka, (b,), 0, n_centers)] + jax.random.normal(
+        kn, (b, d), jnp.float32
+    )
+    q = jax.block_until_ready(q / jnp.linalg.norm(q, axis=1, keepdims=True))
+    return vecs, q
+
+
+def bench_chunkmax_and_ivf(n=1_048_576, d=768, b=256, k=10, nprobe=8):
+    """1M x 768 bf16: exact chunkmax latency, then IVF latency + recall@10 against
+    the chunkmax result (exact) as ground truth. One shared corpus."""
+    import jax
+    import jax.numpy as jnp
+
+    from wax_tpu.index.ivf import build_ivf
+    from wax_tpu.ops.chunkmax_scan import chunkmax_scan_topk
+    from wax_tpu.ops.ivf_kernel import ivf_search_topk_pallas
+
+    vecs, q0 = _make_corpus_1m(n, d)
+    bias = jnp.zeros((1, n), jnp.float32)
+
+    @jax.jit
+    def chained(q, iters, emb, bias):
+        def body(i, carry):
+            q, acc = carry
+            v, _ = chunkmax_scan_topk(q, emb, bias, k)
+            return q + v[:, :1] * 1e-9, acc + v[0, 0]
+
+        return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
+
+    float(chained(q0, 1, vecs, bias))
+    # floor: corpus read 1.6 GB bf16 at HBM BW ~= 2 ms
+    chunk_ms, chunk_info = robust_slope(
+        _make_timer(chained, q0, vecs, bias), 10, 60, 110, floor_ms=1.5, cap_ms=15.0
+    )
+
+    # exact ground truth for IVF recall (chunkmax is exact)
+    _, gt_rows = jax.jit(functools.partial(chunkmax_scan_topk, k=k))(q0, vecs, bias)
+    gt = np.asarray(gt_rows)
+
+    idx = build_ivf(
+        vecs,
+        np.arange(n, dtype=np.int64),
+        n_clusters=4096,
+        iters=4,
+        normalize=False,
+        bucket_dtype=jnp.bfloat16,
+        train_rows=524_288,
+    )
+    del vecs
+    _, fids = ivf_search_topk_pallas(q0, idx, k, nprobe)
+    got = np.asarray(fids)
+    recall = float(((gt[:, :, None] == got[:, None, :]).any(-1)).mean())
+
+    @functools.partial(jax.jit, static_argnames=("nprobe",))
+    def chained_ivf(q, iters, idx, nprobe):
+        def body(i, carry):
+            q, acc = carry
+            v, _ = ivf_search_topk_pallas(q, idx, k, nprobe)
+            return q + (v[:, :1] * 1e-9).astype(q.dtype), acc + v[0, 0]
+
+        return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
+
+    float(chained_ivf(q0, 1, idx, nprobe))
+    # floor: probed-bucket DMA bytes B*nprobe*bucket*d*2 at HBM BW, / QB=8 query grouping
+    ivf_ms, ivf_info = robust_slope(
+        _make_timer(chained_ivf, q0, idx, nprobe), 20, 150, 280, floor_ms=0.5, cap_ms=8.0
+    )
+    return chunk_ms, chunk_info, ivf_ms, recall, ivf_info
+
+
+def bench_hybrid_100k(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16):
+    """Fused hybrid (dense + BM25 + RRF in one XLA program) on a 1-device mesh at
+    100K docs, synthetic Zipf postings (~64 postings/doc)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from wax_tpu.parallel.sharded_hybrid import ShardedLexIndex, sharded_hybrid_topk
+    from wax_tpu.parallel.sharded_scan import ShardedDenseIndex
+
+    emb, q0 = _unit_data(n, d, b, seed=3)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+
+    # synthetic CSR: term df ~ Zipf over n_terms, total postings ~= 64 * n
+    rng = np.random.default_rng(5)
+    raw_df = (1.0 / np.arange(1, n_terms + 1)) ** 0.7
+    df = np.minimum((raw_df / raw_df.sum() * 64 * n).astype(np.int64) + 1, n)
+    max_df = int(((df.max() + 127) // 128) * 128)
+    offsets = np.zeros(n_terms + 1, np.int64)
+    offsets[1:] = np.cumsum(df)
+    total = int(offsets[-1])
+    doc_rows = rng.integers(0, n, total).astype(np.int32)
+    tfs = rng.integers(1, 5, total).astype(np.float32)
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
+    doc_len = np.full(n, 64.0, np.float32)
+
+    lex = ShardedLexIndex(
+        doc_rows=jnp.asarray(doc_rows[None, :]),
+        tfs=jnp.asarray(tfs[None, :]),
+        offsets=jnp.asarray(offsets[None, :].astype(np.int32)),
+        idf=jnp.asarray(idf[None, :]),
+        doc_len=jnp.asarray(doc_len[None, :]),
+        frame_ids=jnp.asarray(np.arange(n, dtype=np.int32)[None, :]),
+        live=jnp.asarray(np.ones((1, n), bool)),
+        row_base=jnp.zeros(1, jnp.int32),
+        avgdl=jnp.float32(64.0),
+        max_df=max_df,
+    )
+    dense = ShardedDenseIndex(
+        emb=emb[None, :, :],
+        frame_ids=jnp.asarray(np.arange(n, dtype=np.int32)[None, :]),
+        bias=jnp.zeros((1, n), jnp.float32),
+    )
+    tids0 = jnp.asarray(rng.integers(0, n_terms, (b, q_terms)).astype(np.int32))
+
+    with mesh:
+        @jax.jit
+        def chained(q, iters, tids, demb, dfid, dbias, ldr, ltf, loff, lidf, ldl, llive, lfid, lbase):
+            dn = ShardedDenseIndex(emb=demb, frame_ids=dfid, bias=dbias)
+            lx = ShardedLexIndex(
+                doc_rows=ldr, tfs=ltf, offsets=loff, idf=lidf, doc_len=ldl,
+                frame_ids=lfid, live=llive, row_base=lbase, avgdl=lex.avgdl, max_df=max_df,
+            )
+
+            def body(i, carry):
+                q, acc = carry
+                v, _ = sharded_hybrid_topk(q, tids, dn, lx, k, mesh)
+                return q + v[:, :1] * 1e-9, acc + v[0, 0]
+
+            return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
+
+        args = (
+            tids0, dense.emb, dense.frame_ids, dense.bias,
+            lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live,
+            lex.frame_ids, lex.row_base,
+        )
+        float(chained(q0, 1, *args))
+        ms, info = robust_slope(
+            _make_timer(chained, q0, *args), 5, 45, 85, floor_ms=0.3, cap_ms=20.0
+        )
+    return ms, info
+
+
+# ---------------------------------------------------------------------------------
+
+
+def _info_public(info: dict) -> dict:
+    out = {"attempts": info.get("attempts")}
+    if info.get("dispersion") is not None:
+        out["dispersion"] = info["dispersion"]
+    if info.get("degraded"):
+        out["degraded"] = True
+    if info.get("rejects"):
+        out["rejects"] = len(info["rejects"])
+    return out
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--all", action="store_true", help="run the full config table")
+    ap.add_argument("--fast", action="store_true", help="headline config only")
+    ap.add_argument("--all", action="store_true", help="also report single-query latency")
     args = ap.parse_args()
 
-    # wide iteration spread: the TPU tunnel adds +-50ms launch jitter, so the timed
-    # delta must be hundreds of ms of real device work. Two independent slope
-    # estimates, keep the min — the tunnel occasionally has slow episodes and the
-    # driver records a single run.
-    headline_ms = min(
-        _bench_flat_scan(n=10_240, d=384, b=256, k=10, lo=500, hi=4000) for _ in range(2)
-    )
+    t_start = time.time()
+    headline_ms, recall, h_info = bench_headline()
+    record = {
+        "metric": "dense_topk_p50_latency_batch256_10k_x384",
+        "value": round(headline_ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_MS / headline_ms, 2),
+        "recall_at_10": round(recall, 4),
+        "qps_per_chip": round(256 / headline_ms * 1e3),
+        "timing": _info_public(h_info),
+    }
 
     if args.all:
-        # single-query latency (B=1 padded to the 8-row sublane minimum): the
-        # reference's own headline unit (0.84 ms/query warm at 10K x 384)
-        ms1 = _bench_flat_scan(n=10_240, d=384, b=8, k=10, lo=500, hi=4000)
-        print(f"# flat_scan n=10240 d=384 b=1(pad 8): {ms1:.4f} ms/query ({ms1*1000:.0f} us)")
-        # the backends auto selects at each scale (flat_scan_topk dispatch table)
-        for n, d, backend, dtype, lo, hi in [
-            (102_400, 384, "blockmax", "float32", 50, 400),
-            (1_048_576, 768, "chunkmax", "bfloat16", 20, 120),
-        ]:
-            try:
-                ms = _bench_backend(n=n, d=d, b=256, k=10, lo=lo, hi=hi, backend=backend, dtype=dtype)
-                print(
-                    f"# flat_scan n={n} d={d} b=256 [{backend}/{dtype}]: "
-                    f"{ms:.4f} ms/batch ({256/ms*1e3:,.0f} q/s/chip)"
-                )
-            except Exception as e:  # noqa: BLE001
-                print(f"# flat_scan n={n} d={d}: FAILED {type(e).__name__}: {e}")
+        import jax  # noqa: F401
 
-    print(
-        json.dumps(
-            {
-                "metric": "dense_topk_p50_latency_batch256_10k_x384",
-                "value": round(headline_ms, 4),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_MS / headline_ms, 2),
-                "recall_at_10": round(_recall_at_k, 4),
-                "qps_per_chip": round(256 / headline_ms * 1e3),
-            }
+        from wax_tpu.ops.flat_scan import _TB  # noqa: F401
+
+        emb, q1 = _unit_data(10_240, 384, 8)
+        import jax.numpy as jnp
+
+        bias = jnp.zeros((1, 10_240), jnp.float32)
+        ch = _chained_scan_fn(10_240, 384, 10)
+        float(ch(q1, 1, emb, bias))
+        ms1, _ = robust_slope(
+            _make_timer(ch, q1, emb, bias), 500, 2500, 4500, floor_ms=0.01, cap_ms=0.5
         )
-    )
+        print(f"# flat_scan n=10240 d=384 b=1(pad 8): {ms1:.4f} ms/query ({ms1*1000:.0f} us)")
+
+    configs = {}
+    if not args.fast:
+        try:
+            ms, info = bench_blockmax_100k()
+            configs["flat_100k_x384_blockmax"] = {
+                "ms_per_batch256": round(ms, 4),
+                "qps_per_chip": round(256 / ms * 1e3),
+                "exact": True,
+                "timing": _info_public(info),
+            }
+        except Exception as e:  # noqa: BLE001
+            configs["flat_100k_x384_blockmax"] = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            cms, cinfo, ims, irec, iinfo = bench_chunkmax_and_ivf()
+            configs["flat_1m_x768_chunkmax_bf16"] = {
+                "ms_per_batch256": round(cms, 4),
+                "qps_per_chip": round(256 / cms * 1e3),
+                "exact": True,
+                "timing": _info_public(cinfo),
+            }
+            configs["ivf_1m_x768_nprobe8"] = {
+                "ms_per_batch256": round(ims, 4),
+                "qps_per_chip": round(256 / ims * 1e3),
+                "recall_at_10": round(irec, 4),
+                "timing": _info_public(iinfo),
+            }
+        except Exception as e:  # noqa: BLE001
+            configs["flat_1m_x768_chunkmax_bf16"] = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            ms, info = bench_hybrid_100k()
+            configs["hybrid_100k_x384"] = {
+                "ms_per_batch256": round(ms, 4),
+                "qps_per_chip": round(256 / ms * 1e3),
+                "timing": _info_public(info),
+            }
+        except Exception as e:  # noqa: BLE001
+            configs["hybrid_100k_x384"] = {"error": f"{type(e).__name__}: {e}"}
+        record["configs"] = configs
+        record["wall_s"] = round(time.time() - t_start, 1)
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

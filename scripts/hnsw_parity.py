@@ -28,9 +28,18 @@ B, D, K = 256, 384, 10
 
 
 def load_ref():
-    so = HERE / "_build_librefhnsw.so"
     src = HERE / "ref_hnsw.cpp"
-    if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+    # Key the build artifact on a source hash, not mtime: git does not preserve
+    # mtimes, so a fresh clone could otherwise silently run a stale comparator.
+    # The .so is never committed (see .gitignore) and uses -march=native, so it is
+    # only valid on the host that built it.
+    import hashlib
+
+    src_hash = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    so = HERE / f"_build_librefhnsw_{src_hash}.so"
+    if not so.exists():
+        for stale in HERE.glob("_build_librefhnsw*.so"):
+            stale.unlink(missing_ok=True)
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", str(so), str(src)],
             check=True,

@@ -1,0 +1,104 @@
+"""robust_slope: the bench harness must reject tunnel slow-episodes.
+
+Round 2's driver artifact recorded a 26x-off headline because a sustained tunnel
+slow-episode poisoned every min-of-4 slope estimate. These tests drive the round-3
+`robust_slope` harness with mocked timers reproducing that failure mode (and others)
+and assert the recorded value is the true kernel slope, not the episode.
+"""
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from bench import SlopeError, robust_slope  # noqa: E402
+
+TRUE_MS = 0.092  # true per-iteration latency the timers simulate
+OVERHEAD_S = 0.050  # constant launch/tunnel overhead per call
+
+
+def _clean_timer():
+    def t(iters: int) -> float:
+        return OVERHEAD_S + iters * TRUE_MS / 1e3
+
+    return t
+
+
+def _run(t, **kw):
+    kw.setdefault("floor_ms", 0.015)
+    kw.setdefault("cap_ms", 0.5)
+    return robust_slope(t, 500, 2500, 4500, **kw)
+
+
+def test_clean_timer_recovers_true_slope():
+    ms, info = _run(_clean_timer())
+    assert ms == pytest.approx(TRUE_MS, rel=1e-6)
+    assert info["attempts"] == 2  # two agreeing estimates, no retries
+    assert not info.get("degraded")
+    assert info["dispersion"] == 0
+
+
+def test_point_spike_rejected_by_linearity():
+    """A single slow call (one-off episode) bends the line; retry must reject it."""
+    calls = [0]
+
+    def t(iters: int) -> float:
+        calls[0] += 1
+        spike = 2.0 if calls[0] == 2 else 0.0  # poison the first attempt's mid point
+        return OVERHEAD_S + spike + iters * TRUE_MS / 1e3
+
+    ms, info = _run(t)
+    assert ms == pytest.approx(TRUE_MS, rel=1e-6)
+    assert info["rejects"][0][0] == "nonlinear"
+    assert info["attempts"] == 3
+
+
+def test_sustained_episode_rejected_by_cap():
+    """Round 2's exact failure mode: a sustained episode scales the WHOLE line
+    (linearity passes — 26x slower is still linear), so only the absolute roofline
+    cap can reject it."""
+    attempt = [0]
+
+    def t(iters: int) -> float:
+        attempt[0] += 1
+        # first two attempts (6 calls) run inside the slow episode at 26x
+        scale = 26.0 if attempt[0] <= 6 else 1.0
+        return OVERHEAD_S + iters * TRUE_MS * scale / 1e3
+
+    ms, info = _run(t)
+    assert ms == pytest.approx(TRUE_MS, rel=1e-6)
+    assert [r[0] for r in info["rejects"]] == ["tunnel_episode", "tunnel_episode"]
+    assert info["attempts"] == 4
+
+
+def test_impossibly_fast_rejected_by_floor():
+    def t(iters: int) -> float:
+        return OVERHEAD_S  # zero marginal cost: some layer replayed the execution
+
+    with pytest.raises(SlopeError):
+        _run(t, max_attempts=3)
+
+
+def test_disagreeing_estimates_marked_degraded():
+    """Valid-but-scattered estimates (within bounds, linear, never within 15% of
+    each other) exhaust attempts and must be flagged, not silently recorded."""
+    attempt = [0]
+
+    def t(iters: int) -> float:
+        attempt[0] += 1
+        scale = 1.0 + 0.8 * ((attempt[0] - 1) // 3)  # 1.0x, 1.8x, 2.6x, ... per attempt
+        return OVERHEAD_S + iters * TRUE_MS * scale / 1e3
+
+    ms, info = _run(t, max_attempts=3)
+    assert info["degraded"] is True
+    assert ms == pytest.approx(TRUE_MS, rel=1e-6)  # min of the valid estimates
+
+
+def test_all_episodes_raises():
+    def t(iters: int) -> float:
+        return OVERHEAD_S + iters * TRUE_MS * 26.0 / 1e3
+
+    with pytest.raises(SlopeError) as ei:
+        _run(t, max_attempts=4)
+    assert ei.value.info["attempts"] == 4

@@ -379,8 +379,17 @@ class PhotoRAGOrchestrator:
         the deterministic analogue of the reference's CGImage crop (:1270-1280)."""
         if isinstance(image, np.ndarray) and image.ndim >= 2 and bbox != (0.0, 0.0, 1.0, 1.0):
             h, w = image.shape[0], image.shape[1]
-            y0, y1 = int(bbox[1] * h), max(int(bbox[1] * h) + 1, int((bbox[1] + bbox[3]) * h))
-            x0, x1 = int(bbox[0] * w), max(int(bbox[0] * w) + 1, int((bbox[0] + bbox[2]) * w))
+            # Clamp to the image bounds first — OCR providers may return slightly
+            # out-of-range normalized coords; unclamped negatives would wrap and crop
+            # unrelated pixels (mirrors the reference's CGRect intersection).
+            bx0 = min(max(bbox[0], 0.0), 1.0)
+            by0 = min(max(bbox[1], 0.0), 1.0)
+            bx1 = min(max(bbox[0] + max(bbox[2], 0.0), bx0), 1.0)
+            by1 = min(max(bbox[1] + max(bbox[3], 0.0), by0), 1.0)
+            y0, x0 = int(by0 * h), int(bx0 * w)
+            y1 = min(max(int(by1 * h), y0 + 1), h)
+            x1 = min(max(int(bx1 * w), x0 + 1), w)
+            y0, x0 = min(y0, h - 1), min(x0, w - 1)
             return image[y0:y1, x0:x1]
         return image
 

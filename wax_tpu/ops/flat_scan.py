@@ -19,8 +19,10 @@ Backends:
                     fastest for tiny corpora.
   * "pallas":       fused packed-key kernel (see _packed_topk_kernel) — each
                     extraction pass is 3 VPU ops on i32 keys holding truncated score
-                    bits + a column tie-break. Fastest at small/mid N; scores are
-                    compared at <= 2^-12 relative precision.
+                    bits + a column tie-break. Fastest at small/mid N; candidates are
+                    SELECTED at <= 2^-12 relative score precision, then the final k
+                    are rescored exactly in f32 (returned scores are exact).
+                    "pallas_packed" is an explicit alias.
   * "pallas_exact": the round-1 fused kernel — bit-exact vs "xla", 6 ops/pass.
   * "blockmax" / "chunkmax": exact XLA/DMA variants that win at large N.
 None of these materialize [B, N] scores in HBM except "blockmax" (at 1M x 768 the
@@ -184,7 +186,19 @@ def _packed_scan_topk(queries, emb, bias, k: int, tb: int, tn: int, interpret: b
     mv, pos = jax.lax.top_k(svals.reshape(b, nn * k), k)
     mi = jnp.take_along_axis(gcol.reshape(b, nn * k), pos, axis=-1)
     mi = jnp.where(mv <= NEG_INF * 0.5, -1, mi)
-    return mv, mi
+    # Exact f32 rescore of the selected k (same trick as blockmax16's rescore
+    # window): the packed keys SELECT candidates with <= 2^-12 relative score
+    # truncation, but the returned score values and within-set order are exact.
+    safe = jnp.maximum(mi, 0)
+    rows = jnp.take(emb, safe, axis=0).astype(jnp.float32)
+    exact = jnp.einsum("bkd,bd->bk", rows, queries.astype(jnp.float32))
+    exact = jnp.where(mi >= 0, exact + bias[0, safe], NEG_INF)
+    tie = jnp.where(mi >= 0, mi, jnp.int32(2**31 - 1))
+    order = jnp.lexsort((tie, -exact), axis=-1)
+    return (
+        jnp.take_along_axis(exact, order, axis=-1),
+        jnp.take_along_axis(mi, order, axis=-1),
+    )
 
 
 def _scan_topk_kernel(q_ref, db_ref, bias_ref, vals_ref, idx_ref, *, tn: int, k: int):
@@ -347,11 +361,13 @@ def flat_scan_topk(
       queries: [B, dim] query matrix (normalized by the caller for cosine).
       index: DenseIndex snapshot.
       k: static top-k.
-      backend: "auto" | "xla" | "pallas" (fused packed-key kernel: fastest at small
-        N; scores compared with <= 2^-12 relative truncation, so near-tied elements
-        can swap ranks vs exact — deterministic, duplicate-safe, lowest-index ties)
-        | "pallas_exact" (fused kernel, bit-exact vs the xla oracle) | "blockmax"
-        (exact chunk-max pruned top-k) | "chunkmax" (exact, fastest at very large N).
+      backend: "auto" | "xla" | "pallas"/"pallas_packed" (fused packed-key kernel:
+        fastest at small N; candidates SELECTED with <= 2^-12 relative score
+        truncation — deterministic, duplicate-safe, lowest-index ties — then the
+        final k are rescored exactly in f32, so returned score values are exact)
+        | "pallas_exact" (fused kernel, bit-exact selection vs the xla oracle)
+        | "blockmax" (exact chunk-max pruned top-k) | "chunkmax" (exact, fastest
+        at very large N).
 
     Returns:
       (scores [B, k] f32, rows [B, k] int32 row indices into index.emb,
@@ -384,7 +400,7 @@ def flat_scan_topk(
         else:
             backend = "blockmax"
 
-    if backend in ("pallas", "pallas_exact") and k > _KPAD:
+    if backend in ("pallas", "pallas_packed", "pallas_exact") and k > _KPAD:
         backend = "xla"  # fused kernels extract into a 128-lane block: k <= 128 only
 
     if backend == "xla":
@@ -414,7 +430,7 @@ def flat_scan_topk(
         from wax_tpu.ops.chunkmax_scan import chunkmax_scan_topk
 
         vals, rows = chunkmax_scan_topk(q, index.emb, bias, k)
-    elif backend == "pallas" and k <= _KPAD and tn <= (_COL_MASK + 1):
+    elif backend in ("pallas", "pallas_packed") and k <= _KPAD and tn <= (_COL_MASK + 1):
         vals, rows = _packed_scan_topk(q, index.emb, bias, k, tb, tn, _use_interpret())
     else:  # "pallas_exact", or "pallas" shapes the packed kernel cannot serve
         vals, rows = _pallas_scan_topk(q, index.emb, bias, k, tb, tn, _use_interpret())

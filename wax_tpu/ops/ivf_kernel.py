@@ -134,7 +134,7 @@ def _run(queries, probes, counts, emb3, ids2, k: int, nprobe: int, interpret: bo
         grid=(b // _QB,),
         in_specs=[
             pl.BlockSpec((_QB, d), lambda i, probes, counts: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((_QB, _KPAD), lambda i, probes, counts: (i, 0), memory_space=pltpu.VMEM),

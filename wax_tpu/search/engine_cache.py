@@ -60,23 +60,29 @@ def reclaim(path, lex_sha, vec_sha):
     if lex_sha is None and vec_sha is None:
         return None
     key = _key(path, lex_sha, vec_sha)
+    # Pop the entry BEFORE copying: two threads racing on an uncopyable engine must
+    # never both receive the same mutable tuple, so whoever pops owns it exclusively
+    # until the copy succeeds and the original is re-parked.
     with _lock:
-        entry = _entries.get(key)
+        entry = _entries.pop(key, None)
         if entry is None:
             _stats["misses"] += 1
             return None
-        _entries.move_to_end(key)
         _stats["hits"] += 1
     import copy
 
     try:
-        return copy.deepcopy(entry)
+        copied = copy.deepcopy(entry)
     except (TypeError, ValueError):
         # engines holding uncopyable state (a sharded engine's Mesh/Device handles,
-        # the C++ HNSW builder's ctypes pointer) fall back to EXCLUSIVE handover
-        with _lock:
-            _entries.pop(key, None)
+        # the C++ HNSW builder's ctypes pointer): EXCLUSIVE handover of the popped
+        # entry — it is no longer in the cache, so no other thread can alias it
         return entry
+    with _lock:
+        # restore the original for future openers unless a newer park replaced it
+        _entries.setdefault(key, entry)
+        _entries.move_to_end(key)
+    return copied
 
 
 def cache_stats() -> dict:

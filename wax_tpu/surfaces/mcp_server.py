@@ -662,14 +662,18 @@ def build_server(store_path: str | Path | None = None) -> McpServer:
     # one-time-per-machine cost instead of per-process. An in-process warmup probe
     # was measured WORSE (empty-store shapes compile nothing useful, then the probe
     # contends with the real query's compile); the cache is the right fix.
-    # Honors an existing JAX_COMPILATION_CACHE_DIR / jax config.
+    # Honors an existing jax config / JAX_COMPILATION_CACHE_DIR; NOTE the env var
+    # alone is a no-op when jax was preloaded (sitecustomize), so the helper always
+    # goes through jax.config.update (see utils/compile_cache.py).
     try:
         import jax
 
-        if not os.environ.get("JAX_COMPILATION_CACHE_DIR") and not jax.config.jax_compilation_cache_dir:
-            cache_dir = path.parent / "jax_cache"
-            cache_dir.mkdir(parents=True, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        from wax_tpu.utils.compile_cache import enable_compile_cache
+
+        if not jax.config.jax_compilation_cache_dir:
+            enable_compile_cache(
+                os.environ.get("JAX_COMPILATION_CACHE_DIR") or path.parent / "jax_cache"
+            )
     except Exception:  # noqa: BLE001 — cache setup is best-effort
         pass
     cfg = OrchestratorConfig(enable_structured_memory=structured, enable_access_stats=access)
