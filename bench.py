@@ -143,7 +143,7 @@ def _make_timer(chained, q0, *args):
 
 def _chained_scan_fn(n: int, d: int, k: int):
     """Jitted (q0, iters, emb, bias) -> scalar chained-scan fn over the packed-key
-    fused kernel (the production "pallas" backend, incl. its exact f32 rescore). The
+    fused kernel (the production "auto"/"pallas_packed" backend at this N). The
     index arrays are ARGUMENTS, not closure constants — closing over them bakes
     gigabytes of constants into the executable and breaks large-N compilation."""
     import jax
@@ -306,11 +306,12 @@ def bench_chunkmax_and_ivf(n=1_048_576, d=768, b=256, k=10, nprobe=8):
     idx = build_ivf(
         vecs,
         np.arange(n, dtype=np.int64),
-        n_clusters=4096,
+        n_clusters=min(4096, n // 256),
         iters=4,
         normalize=False,
         bucket_dtype=jnp.bfloat16,
         train_rows=524_288,
+        spill="auto",  # boundary replication into bucket slack: the recall lever
     )
     del vecs
     _, fids = ivf_search_topk_pallas(q0, idx, k, nprobe)
@@ -372,10 +373,12 @@ def bench_hybrid_100k(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16):
         avgdl=jnp.float32(64.0),
         max_df=max_df,
     )
+    # ShardedDenseIndex is flat [N_pad, d] sharded over the data axis (no leading
+    # shard dim — unlike ShardedLexIndex whose arrays carry one)
     dense = ShardedDenseIndex(
-        emb=emb[None, :, :],
-        frame_ids=jnp.asarray(np.arange(n, dtype=np.int32)[None, :]),
-        bias=jnp.zeros((1, n), jnp.float32),
+        emb=emb,
+        frame_ids=jnp.asarray(np.arange(n, dtype=np.int32)),
+        bias=jnp.zeros((n,), jnp.float32),
     )
     tids0 = jnp.asarray(rng.integers(0, n_terms, (b, q_terms)).astype(np.int32))
 

@@ -127,7 +127,8 @@ class TestPallasScan:
 
 
 class TestPackedScan:
-    """The packed-key kernel (default "pallas" backend): deterministic, duplicate-
+    """The packed-key kernel ("pallas_packed", the "auto" pick at small N):
+    deterministic, duplicate-
     safe, lowest-index ties; scores compared at <= 2^-12 relative truncation."""
 
     @pytest.mark.parametrize("n,bq,k", [(3000, 7, 10), (1024, 1, 1), (5000, 64, 32)])
@@ -136,7 +137,7 @@ class TestPackedScan:
         idx = b.snapshot()
         q = normalize_rows(jnp.asarray(rng.standard_normal((bq, 64)).astype(np.float32)))
         v1, _, f1 = flat_scan_topk(q, idx, k, backend="xla")
-        v2, _, f2 = flat_scan_topk(q, idx, k, backend="pallas")
+        v2, _, f2 = flat_scan_topk(q, idx, k, backend="pallas_packed")
         f1, f2 = np.asarray(f1), np.asarray(f2)
         overlap = np.mean(
             [len(set(f1[r]) & set(f2[r])) / max(1, (f1[r] >= 0).sum()) for r in range(bq)]
@@ -169,7 +170,7 @@ class TestPackedScan:
         idx = b.snapshot()
         q = jnp.asarray(base[None, :])
         v1, r1, f1 = flat_scan_topk(q, idx, 10, backend="xla")
-        v2, r2, f2 = flat_scan_topk(q, idx, 10, backend="pallas")
+        v2, r2, f2 = flat_scan_topk(q, idx, 10, backend="pallas_packed")
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=2**-11)
 
@@ -186,15 +187,15 @@ class TestPackedScan:
         b.add_batch(np.arange(n), vecs)
         idx = b.snapshot()
         q = jnp.asarray(dup[None, :])
-        _, _, fids = flat_scan_topk(q, idx, 6, backend="pallas")
+        _, _, fids = flat_scan_topk(q, idx, 6, backend="pallas_packed")
         assert list(np.asarray(fids[0])) == [50, 130, 700, 2049, 3500, 3971]
 
     def test_deterministic(self, rng):
         b, _, _ = _build(rng, n=3000)
         idx = b.snapshot()
         q = normalize_rows(jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32)))
-        v1, _, f1 = flat_scan_topk(q, idx, 10, backend="pallas")
-        v2, _, f2 = flat_scan_topk(q, idx, 10, backend="pallas")
+        v1, _, f1 = flat_scan_topk(q, idx, 10, backend="pallas_packed")
+        v2, _, f2 = flat_scan_topk(q, idx, 10, backend="pallas_packed")
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
@@ -205,7 +206,7 @@ class TestPackedScan:
             b.remove(fid)
         idx = b.snapshot()
         q = normalize_rows(jnp.asarray(rng.standard_normal((9, 64)).astype(np.float32)))
-        _, _, f2 = flat_scan_topk(q, idx, 10, backend="pallas")
+        _, _, f2 = flat_scan_topk(q, idx, 10, backend="pallas_packed")
         assert removed.isdisjoint(set(np.asarray(f2).ravel().tolist()))
 
 

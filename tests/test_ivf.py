@@ -107,3 +107,66 @@ class TestSearch:
         oracle_scores = np.asarray(jnp.asarray(queries) @ jnp.asarray(vecs).T)
         oracle = np.argsort(-oracle_scores, axis=1)[:, :10]
         assert _recall(np.asarray(wide), oracle) == 1.0
+
+
+class TestSpill:
+    """Boundary replication (build_ivf(spill=...)): recall lever + dedup contract."""
+
+    def _build(self, clustered, spill):
+        vecs, _ = clustered
+        return build_ivf(
+            vecs, np.arange(len(vecs)), n_clusters=64, bucket_size=256,
+            iters=4, spill=spill,
+        )
+
+    def test_spill_flag_and_extra_copies(self, clustered):
+        base = self._build(clustered, 0.0)
+        sp = self._build(clustered, 0.25)
+        assert not base.spilled and sp.spilled
+        n_base = int(np.sum(np.asarray(base.ids) >= 0))
+        n_sp = int(np.sum(np.asarray(sp.ids) >= 0))
+        assert n_base == len(clustered[0])
+        assert n_sp > n_base  # replicas landed
+
+    def test_no_duplicate_fids_in_results(self, clustered):
+        vecs, queries = clustered
+        sp = self._build(clustered, "auto")
+        _, fids = ivf_search_topk(jnp.asarray(queries), sp, k=10, nprobe=4)
+        got = np.asarray(fids)
+        for row in got:
+            live = row[row >= 0]
+            assert len(live) == len(set(live.tolist()))
+
+    def test_recall_improves_at_fixed_nprobe(self, clustered, oracle):
+        vecs, queries = clustered
+        base = self._build(clustered, 0.0)
+        sp = self._build(clustered, "auto")
+        _, f_base = ivf_search_topk(jnp.asarray(queries), base, k=10, nprobe=2)
+        _, f_sp = ivf_search_topk(jnp.asarray(queries), sp, k=10, nprobe=2)
+        r_base = _recall(np.asarray(f_base), oracle)
+        r_sp = _recall(np.asarray(f_sp), oracle)
+        assert r_sp >= r_base
+
+    def test_exact_at_full_probe_with_spill(self, clustered, oracle):
+        vecs, queries = clustered
+        sp = self._build(clustered, "auto")
+        _, fids = ivf_search_topk(jnp.asarray(queries), sp, k=10, nprobe=sp.n_clusters)
+        assert _recall(np.asarray(fids), oracle) == 1.0
+
+    def test_pallas_kernel_parity_on_spilled(self, clustered):
+        from wax_tpu.ops.ivf_kernel import ivf_search_topk_pallas
+
+        vecs, queries = clustered
+        sp = self._build(clustered, "auto")
+        v1, f1 = ivf_search_topk(jnp.asarray(queries), sp, k=10, nprobe=4)
+        v2, f2 = ivf_search_topk_pallas(jnp.asarray(queries), sp, k=10, nprobe=4)
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+    def test_live_slots_remain_prefix(self, clustered):
+        sp = self._build(clustered, "auto")
+        ids = np.asarray(sp.ids)
+        for c in range(ids.shape[0]):
+            live = ids[c] >= 0
+            n = int(live.sum())
+            assert live[:n].all() and not live[n:].any()

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import functools
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ import numpy as np
 
 from wax_tpu.ops.topk import NEG_INF
 
-__all__ = ["IVFIndex", "build_ivf", "ivf_search_topk", "kmeans"]
+__all__ = ["IVFIndex", "build_ivf", "dedup_topk", "ivf_search_topk", "kmeans"]
 
 
 @jax.tree_util.register_dataclass
@@ -35,12 +35,16 @@ class IVFIndex:
     emb:       [C, S, d] bucketed vectors (bucket-contiguous in HBM).
     ids:       [C, S] int32 external frame ids, -1 padding.
     bias:      [C, S] f32 additive mask (0 live / NEG_INF padding).
+    spilled:   True when boundary rows were replicated into their 2nd-best bucket
+               (build_ivf(spill=...)); search then fetches a 2k window and dedupes
+               by frame id, since the same row can reach the merge via two buckets.
     """
 
     centroids: jax.Array
     emb: jax.Array
     ids: jax.Array
     bias: jax.Array
+    spilled: bool = field(metadata=dict(static=True), default=False)
 
     @property
     def n_clusters(self) -> int:
@@ -129,8 +133,18 @@ def build_ivf(
     normalize: bool = True,
     bucket_dtype=None,
     train_rows: int | str | None = "auto",
+    spill: float | str = 0.0,
 ) -> IVFIndex:
     """Cluster + pack into fixed-size buckets (overflow spills to next-best center).
+
+    `spill` enables BOUNDARY REPLICATION (classic IVF multi-assignment, the recall
+    lever at fixed nprobe): after primary packing, rows closest to a cluster
+    boundary (smallest top1-top2 centroid-score margin) are COPIED into their
+    2nd-best cluster's remaining empty slots. Buckets are already padded to a fixed
+    size, so this costs zero extra HBM — it fills slack that would otherwise be
+    NEG_INF padding. A float caps the number of copies at `spill * n`; "auto" fills
+    every free slot. Search on a spilled index fetches a 2k candidate window and
+    dedupes by frame id (see ivf_search_topk).
 
     Accepts host or device vectors; the vector matrix never round-trips to the host —
     only cluster assignments (4 bytes/row) do, and bucket packing is a device
@@ -230,9 +244,20 @@ def build_ivf(
     if bucket_dtype is not None:
         vecs_dev = vecs_dev.astype(bucket_dtype)
     emb = _scatter_buckets(vecs_dev, jnp.asarray(slot_index), n_clusters * bucket_size)
-    emb = emb.reshape(n_clusters, bucket_size, d)
     ids = np.full((n_clusters * bucket_size,), -1, np.int32)
     ids[slot_index] = frame_ids.astype(np.int32)
+
+    spilled = False
+    if spill and n_clusters > 1:
+        spill_rows, spill_slots = _plan_spill(
+            vecs_dev, centroids, assign, bucket_fill, bucket_size, spill, seed
+        )
+        if len(spill_rows):
+            emb = _scatter_spill(emb, vecs_dev, jnp.asarray(spill_rows), jnp.asarray(spill_slots))
+            ids[spill_slots] = frame_ids[spill_rows].astype(np.int32)
+            spilled = True
+
+    emb = emb.reshape(n_clusters, bucket_size, d)
     ids = ids.reshape(n_clusters, bucket_size)
     bias = np.where(ids >= 0, 0.0, NEG_INF).astype(np.float32)
 
@@ -241,7 +266,57 @@ def build_ivf(
         emb=emb,
         ids=jnp.asarray(ids),
         bias=jnp.asarray(bias),
+        spilled=spilled,
     )
+
+
+def _plan_spill(vecs_dev, centroids, assign, bucket_fill, bucket_size: int, spill, seed: int):
+    """Pick boundary rows + target slots for 2nd-best-cluster replication.
+
+    Device computes per-row (2nd-best cluster, top1-top2 margin) in blocks; the host
+    then selects, per target cluster, its free-slot count of candidates in ascending
+    margin order (closest to the boundary first — those are the rows whose true
+    nearest neighbors most often live across the boundary). Returns (rows, flat
+    slots) as int64 arrays.
+    """
+    n = vecs_dev.shape[0]
+    n_clusters = centroids.shape[0]
+    rows_per = _assign_rows(n_clusters)
+    sec = np.empty(n, np.int64)
+    margin = np.empty(n, np.float32)
+    for s in range(0, n, rows_per):
+        block = jax.lax.dynamic_slice_in_dim(vecs_dev, s, min(rows_per, n - s), 0)
+        v2, i2 = jax.jit(lambda b, c: jax.lax.top_k(_assign_scores(b, c), 2))(block, centroids)
+        e = s + block.shape[0]
+        sec[s:e] = np.asarray(i2[:, 1])
+        margin[s:e] = np.asarray(v2[:, 0] - v2[:, 1])
+
+    budget = n if spill == "auto" else int(float(spill) * n)
+    if budget <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    # global cap first: only the `budget` most-boundary rows are candidates
+    cand = np.argsort(margin, kind="stable")[:budget]
+    # per-cluster packing: rank candidates within their target cluster by margin,
+    # keep those that fit in the free slots
+    order = np.lexsort((margin[cand], sec[cand]))
+    cand = cand[order]
+    tgt = sec[cand]
+    counts = np.bincount(tgt, minlength=n_clusters)
+    group_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(cand), dtype=np.int64) - group_start[tgt]
+    free = (bucket_size - bucket_fill).astype(np.int64)
+    take = rank < free[tgt]
+    rows = cand[take]
+    slots = tgt[take] * bucket_size + bucket_fill[tgt[take]] + rank[take]
+    return rows.astype(np.int64), slots.astype(np.int64)
+
+
+def _scatter_spill(emb_flat, vecs_dev, rows, slots):
+    @jax.jit
+    def scatter(e, v, r, sl):
+        return e.at[sl].set(v[r].astype(e.dtype))
+
+    return scatter(emb_flat, vecs_dev, rows, slots)
 
 
 @jax.jit
@@ -261,6 +336,28 @@ def _scatter_buckets(vecs, slot_index, total_slots: int):
 
 
 
+def dedup_topk(vals, fids, k: int):
+    """Collapse duplicate frame ids in a candidate window, keep the best score each,
+    return the top k by (score desc, frame id asc).
+
+    Needed for spilled indexes: a replicated row can reach the merge through two
+    probed buckets. Sort by (fid asc, score desc), kill non-first group members,
+    then re-rank.
+    """
+    order = jnp.lexsort((-vals, fids), axis=-1)
+    fid_s = jnp.take_along_axis(fids, order, axis=-1)
+    val_s = jnp.take_along_axis(vals, order, axis=-1)
+    dup = jnp.concatenate(
+        [jnp.zeros_like(fid_s[:, :1], bool), (fid_s[:, 1:] == fid_s[:, :-1]) & (fid_s[:, 1:] >= 0)],
+        axis=1,
+    )
+    val_s = jnp.where(dup, NEG_INF, val_s)
+    fid_s = jnp.where(dup, -1, fid_s)
+    tie = jnp.where(fid_s >= 0, fid_s, jnp.int32(2**31 - 1))
+    final = jnp.lexsort((tie, -val_s), axis=-1)[:, :k]
+    return jnp.take_along_axis(val_s, final, axis=-1), jnp.take_along_axis(fid_s, final, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "nprobe"))
 def ivf_search_topk(queries: jax.Array, index: IVFIndex, k: int = 10, nprobe: int = 8):
     """Probe the nprobe best buckets per query, score exactly inside them.
@@ -269,6 +366,9 @@ def ivf_search_topk(queries: jax.Array, index: IVFIndex, k: int = 10, nprobe: in
     running top-k merge per step) so memory stays bounded at any nprobe/corpus size —
     materializing all probed buckets at once would need nprobe x S x d floats per
     query (tens of GB at the 1M x 768 configs).
+
+    On a spilled index the merge carries a 2k window and duplicates (one row via two
+    buckets) are collapsed at the end, keeping the best-scored copy.
 
     Returns (scores [B, k] f32, frame_ids [B, k] int32); -1 padded.
     """
@@ -280,7 +380,8 @@ def ivf_search_topk(queries: jax.Array, index: IVFIndex, k: int = 10, nprobe: in
         q, index.centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     _, probes = jax.lax.top_k(cscores, nprobe)  # [B, P]
-    kk = min(k, s_bucket * nprobe)
+    kfetch = 2 * k if index.spilled else k
+    kk = min(kfetch, s_bucket * nprobe)
 
     def step(carry, probe_col):  # probe_col: [B] bucket ids for this probe rank
         best_v, best_f = carry
@@ -301,7 +402,12 @@ def ivf_search_topk(queries: jax.Array, index: IVFIndex, k: int = 10, nprobe: in
     )
     (vals, fids), _ = jax.lax.scan(step, init, jnp.transpose(probes))
     fids = jnp.where(vals > NEG_INF * 0.5, fids, -1)
-    if kk < k:
-        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
-        fids = jnp.pad(fids, ((0, 0), (0, k - kk)), constant_values=-1)
+    if index.spilled:
+        vals, fids = dedup_topk(vals, fids.astype(jnp.int32), min(k, kk))
+    else:
+        vals, fids = vals[:, :k], fids[:, :k]
+    if vals.shape[1] < k:
+        pad = k - vals.shape[1]
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_INF)
+        fids = jnp.pad(fids, ((0, 0), (0, pad)), constant_values=-1)
     return vals, fids.astype(jnp.int32)

@@ -17,13 +17,13 @@ so the full [B, N] score matrix never round-trips to HBM. Hierarchy:
 Backends:
   * "xla":          full matmul + masked `lax.top_k`. Correctness oracle; also
                     fastest for tiny corpora.
-  * "pallas":       fused packed-key kernel (see _packed_topk_kernel) — each
+  * "pallas":       the exact fused kernel — bit-exact vs "xla", 6 VPU ops per
+                    extraction pass ("pallas_exact" is an alias).
+  * "pallas_packed": fused packed-key kernel (see _packed_topk_kernel) — each
                     extraction pass is 3 VPU ops on i32 keys holding truncated score
-                    bits + a column tie-break. Fastest at small/mid N; candidates are
-                    SELECTED at <= 2^-12 relative score precision, then the final k
-                    are rescored exactly in f32 (returned scores are exact).
-                    "pallas_packed" is an explicit alias.
-  * "pallas_exact": the round-1 fused kernel — bit-exact vs "xla", 6 ops/pass.
+                    bits + a column tie-break. Fastest at small/mid N (what "auto"
+                    picks there); scores are compared and returned at <= 2^-12
+                    relative precision (top-10 overlap 0.9988 @10K x 384).
   * "blockmax" / "chunkmax": exact XLA/DMA variants that win at large N.
 None of these materialize [B, N] scores in HBM except "blockmax" (at 1M x 768 the
 score matrix alone is ~1 GB).
@@ -186,19 +186,11 @@ def _packed_scan_topk(queries, emb, bias, k: int, tb: int, tn: int, interpret: b
     mv, pos = jax.lax.top_k(svals.reshape(b, nn * k), k)
     mi = jnp.take_along_axis(gcol.reshape(b, nn * k), pos, axis=-1)
     mi = jnp.where(mv <= NEG_INF * 0.5, -1, mi)
-    # Exact f32 rescore of the selected k (same trick as blockmax16's rescore
-    # window): the packed keys SELECT candidates with <= 2^-12 relative score
-    # truncation, but the returned score values and within-set order are exact.
-    safe = jnp.maximum(mi, 0)
-    rows = jnp.take(emb, safe, axis=0).astype(jnp.float32)
-    exact = jnp.einsum("bkd,bd->bk", rows, queries.astype(jnp.float32))
-    exact = jnp.where(mi >= 0, exact + bias[0, safe], NEG_INF)
-    tie = jnp.where(mi >= 0, mi, jnp.int32(2**31 - 1))
-    order = jnp.lexsort((tie, -exact), axis=-1)
-    return (
-        jnp.take_along_axis(exact, order, axis=-1),
-        jnp.take_along_axis(mi, order, axis=-1),
-    )
+    # NOTE an exact f32 rescore of the final k was tried here (round 3) and removed:
+    # the [B, k] row gather + einsum costs +74us/batch on v5e — the rescored packed
+    # path (0.167 ms) is strictly dominated by the exact kernel (0.109 ms). Callers
+    # who need exact scores use backend="pallas" (the exact fused kernel).
+    return mv, mi
 
 
 def _scan_topk_kernel(q_ref, db_ref, bias_ref, vals_ref, idx_ref, *, tn: int, k: int):
@@ -361,13 +353,13 @@ def flat_scan_topk(
       queries: [B, dim] query matrix (normalized by the caller for cosine).
       index: DenseIndex snapshot.
       k: static top-k.
-      backend: "auto" | "xla" | "pallas"/"pallas_packed" (fused packed-key kernel:
-        fastest at small N; candidates SELECTED with <= 2^-12 relative score
-        truncation — deterministic, duplicate-safe, lowest-index ties — then the
-        final k are rescored exactly in f32, so returned score values are exact)
-        | "pallas_exact" (fused kernel, bit-exact selection vs the xla oracle)
-        | "blockmax" (exact chunk-max pruned top-k) | "chunkmax" (exact, fastest
-        at very large N).
+      backend: "auto" | "xla" | "pallas" (fused kernel, bit-exact vs the xla
+        oracle; alias "pallas_exact") | "pallas_packed" (fused packed-key kernel —
+        fastest at small N and what "auto" picks there; scores compared AND
+        returned with <= 2^-12 relative truncation, so near-tied elements can swap
+        ranks vs exact — deterministic, duplicate-safe, lowest-index ties; top-10
+        overlap 0.9988 measured at 10K x 384) | "blockmax" (exact chunk-max pruned
+        top-k) | "chunkmax" (exact, fastest at very large N).
 
     Returns:
       (scores [B, k] f32, rows [B, k] int32 row indices into index.emb,
@@ -393,7 +385,7 @@ def flat_scan_topk(
         if index.similarity == Similarity.EUCLIDEAN or index.capacity <= 2048 or k > 128:
             backend = "xla"
         elif index.capacity <= 32768:
-            backend = "pallas"  # packed-key kernel: 92.7us @10K vs 109.5 exact (v5e)
+            backend = "pallas_packed"  # 92.2us @10K vs 108.6 exact (v5e, round 3)
         elif index.capacity >= 524288 and index.capacity % 2048 == 0 and index.contiguous and k <= 100:
             # capacity alignment: chunkmax tiles the corpus in _TN=2048-row blocks
             backend = "chunkmax"
@@ -430,9 +422,10 @@ def flat_scan_topk(
         from wax_tpu.ops.chunkmax_scan import chunkmax_scan_topk
 
         vals, rows = chunkmax_scan_topk(q, index.emb, bias, k)
-    elif backend in ("pallas", "pallas_packed") and k <= _KPAD and tn <= (_COL_MASK + 1):
+    elif backend == "pallas_packed" and k <= _KPAD and tn <= (_COL_MASK + 1):
         vals, rows = _packed_scan_topk(q, index.emb, bias, k, tb, tn, _use_interpret())
-    else:  # "pallas_exact", or "pallas" shapes the packed kernel cannot serve
+    else:  # "pallas"/"pallas_exact" (exact fused kernel), or shapes the packed
+        # kernel cannot serve
         vals, rows = _pallas_scan_topk(q, index.emb, bias, k, tb, tn, _use_interpret())
     vals, rows = vals[:b], rows[:b]
     safe = jnp.maximum(rows, 0)

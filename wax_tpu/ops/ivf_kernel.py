@@ -171,7 +171,9 @@ def ivf_search_topk_pallas(
     queries: jax.Array, index: IVFIndex, k: int = 10, nprobe: int = 8, nslots: int = _NSLOTS
 ):
     """DMA-gather IVF search. Same results as ivf_search_topk, kernel-accelerated.
-    Query count is padded to a multiple of 8 (Mosaic sublane granularity)."""
+    Query count is padded to a multiple of 8 (Mosaic sublane granularity). On a
+    spilled index the kernel extracts a 2k window and duplicates (a boundary row
+    reached via two probed buckets) are collapsed on the XLA side."""
     if queries.ndim == 1:
         queries = queries[None, :]
     b, d = queries.shape
@@ -188,7 +190,16 @@ def ivf_search_topk_pallas(
     _, probes = jax.lax.top_k(cscores, nprobe)
     counts = jnp.sum(index.ids >= 0, axis=1).astype(jnp.int32)  # [C] live per bucket
     interpret = jax.default_backend() == "cpu"
+    kfetch = min(2 * k, _KPAD, index.bucket_size * nprobe) if index.spilled else k
     vals, fids = _run(
-        q, probes.astype(jnp.int32), counts, index.emb, index.ids, k, nprobe, interpret, nslots
+        q, probes.astype(jnp.int32), counts, index.emb, index.ids, kfetch, nprobe, interpret, nslots
     )
+    if index.spilled:
+        from wax_tpu.index.ivf import dedup_topk
+
+        vals, fids = jax.jit(functools.partial(dedup_topk, k=min(k, kfetch)))(vals, fids)
+        if vals.shape[1] < k:
+            pad = k - vals.shape[1]
+            vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=NEG_INF)
+            fids = jnp.pad(fids, ((0, 0), (0, pad)), constant_values=-1)
     return vals[:b], fids[:b]

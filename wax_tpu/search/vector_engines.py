@@ -279,6 +279,7 @@ class IVFVectorEngine:
             emb=snap.emb.at[bi, si].set(jnp.asarray(vecs).astype(snap.emb.dtype)),
             ids=snap.ids.at[bi, si].set(jnp.asarray(fids, jnp.int32)),
             bias=snap.bias.at[bi, si].set(0.0),
+            spilled=snap.spilled,
         )
 
     def snapshot(self):
