@@ -109,6 +109,9 @@ def main() -> None:
     alli = jnp.concatenate(isx, axis=1)
     _, pos = jax.lax.top_k(allv, K)
     gt = np.asarray(jnp.take_along_axis(alli, pos, axis=1))
+    # free the [B, N] f32 ground-truth intermediates (~6 GiB) BEFORE the bucket
+    # tensor is allocated — holding them through the build OOMs at S=640
+    del vs, isx, allv, alli, pos
     mark("exact top-10 ground truth done")
 
     idx = build_ivf(

@@ -129,14 +129,26 @@ class TestSearchBench:
         _emit(f"recall_build_p50_{SCALE}", np.percentile(lat, 50) * 1e3, "ms")
 
     def test_cold_open_to_first_query(self, orch, tmp_path):
+        """True cold open: full store recovery + segment deserialization + device
+        upload + first query, with the process-wide engine cache CLEARED (otherwise
+        the parked engines short-circuit the very path being measured) and the jit
+        executables warm (a fresh process gets them from the persistent compile
+        cache next to the store — the production steady state; the reference's 17 ms
+        similarly excludes Metal pipeline compilation)."""
+        from wax_tpu.search import engine_cache
+
         path = orch.path
         orch.flush()
-        t0 = time.perf_counter()
-        o2 = MemoryOrchestrator(path.parent / "cold_copy.wxs", HashEmbedder(384), CFG)
-        o2.close()
-        # measure true cold open on the populated store (readonly second handle
-        # is blocked by the writer lease, so close first)
         orch.close()
+        # warm the jit executables for the DESERIALIZED engines' shapes (clearing
+        # the engine cache first — a reclaimed builder can carry different capacity
+        # padding than a deserialized one, which would leave the measured run
+        # compiling), then drop all warm engine state again
+        engine_cache.clear()
+        warm = MemoryOrchestrator(path, HashEmbedder(384), CFG)
+        warm.search("alpha subsystem")
+        warm.close()
+        engine_cache.clear()
         t0 = time.perf_counter()
         o3 = MemoryOrchestrator(path, HashEmbedder(384), CFG)
         o3.search("alpha subsystem")

@@ -253,3 +253,94 @@ class TestPostingsBudget:
         _, _, fids = bm25_topk(tids, snap, 4)
         got = {int(f) for f in np.asarray(fids)[0] if f >= 0}
         assert got == {6, 7}
+
+
+class TestFrozenLexBuilder:
+    """v2 npz lex segment: frozen-CSR load path parity with the dict builder."""
+
+    def _built(self):
+        b = LexIndexBuilder()
+        docs = [
+            (0, "alpha beta gamma alpha"),
+            (1, "beta delta epsilon"),
+            (2, "gamma gamma zeta alpha"),
+            (3, "unique pancake syrup"),
+        ]
+        b.add_batch(docs)
+        return b, docs
+
+    def _roundtrip(self, b):
+        from wax_tpu.orchestrator.serialization import deserialize_lex, serialize_lex
+
+        blob, attrs = serialize_lex(b)
+        assert attrs["format"] == "wxs-lex-cols-v2"
+        return deserialize_lex(blob, attrs)
+
+    def _snap_equal(self, a, b):
+        import numpy as np
+
+        for f in ("doc_rows", "tfs", "offsets", "idf", "doc_len", "frame_ids", "active"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+            )
+        assert int(a.count) == int(b.count)
+        assert a.max_df == b.max_df
+        np.testing.assert_allclose(float(a.avgdl), float(b.avgdl), rtol=1e-6)
+
+    def test_frozen_snapshot_matches_thawed(self):
+        b, _ = self._built()
+        b2 = self._roundtrip(b)
+        assert b2._frozen is not None
+        self._snap_equal(b.snapshot(), b2.snapshot())
+        assert len(b2) == len(b) and 2 in b2 and 99 not in b2
+
+    def test_remove_on_frozen_stays_frozen_and_matches(self):
+        b, _ = self._built()
+        b2 = self._roundtrip(b)
+        b.remove(1)
+        b2.remove(1)
+        assert b2._frozen is not None  # tombstoning must not thaw
+        self._snap_equal(b.snapshot(), b2.snapshot())
+
+    def test_add_thaws_and_matches(self):
+        b, _ = self._built()
+        b2 = self._roundtrip(b)
+        b.add(9, "fresh alpha content")
+        b2.add(9, "fresh alpha content")
+        assert b2._frozen is None
+        self._snap_equal(b.snapshot(), b2.snapshot())
+        assert b2.query_term_ids("fresh alpha") == b.query_term_ids("fresh alpha")
+
+    def test_serialize_after_thaw_round_trips(self):
+        b, _ = self._built()
+        b2 = self._roundtrip(b)
+        b2.add(9, "more words here")
+        b3 = self._roundtrip(b2)
+        self._snap_equal(b2.snapshot(), b3.snapshot())
+
+    def test_v1_json_segment_still_readable(self):
+        import json
+
+        from wax_tpu.orchestrator.serialization import deserialize_lex
+
+        b, _ = self._built()
+        state = b.state()
+        payload = {
+            "vocab": state["vocab"],
+            "doc_terms": state["doc_terms"],
+            "doc_len": state["doc_len"],
+            "frame_ids": state["frame_ids"],
+            "active": state["active"],
+        }
+        blob = json.dumps(payload, separators=(",", ":")).encode()
+        b2 = deserialize_lex(blob, {"format": "wxs-lex-json-v1"})
+        self._snap_equal(b.snapshot(), b2.snapshot())
+
+    def test_df_and_empty_builder(self):
+        b = LexIndexBuilder()
+        b2 = self._roundtrip(b)
+        assert len(b2) == 0
+        b3, _ = self._built()
+        f = self._roundtrip(b3)
+        tid = f.query_term_ids("alpha")[0]
+        assert f.df(tid) == b3.df(tid) == 2

@@ -109,16 +109,22 @@ class TestMerkleRoot:
     def test_empty_toc_root_is_zero(self):
         assert StoreTOC.empty().merkle_root() == b"\x00" * 32
 
-    def test_decode_rejects_tampered_root(self):
+    def test_tampered_root_surfaces_at_deep_verify(self):
+        """v2 contract: decode trusts the body sha256 (O(1) open); a stored root
+        that disagrees with the columns is caught by deep verify, not decode."""
         t = TestTocCodec()._toc()
         blob = bytearray(t.encode())
         # the root is the 32 bytes just before the trailing checksum; flip one and
-        # re-seal the checksum so only the merkle check can catch it
+        # re-seal the checksum so only the merkle comparison can catch it
         blob[-33] ^= 0xFF
         body = bytes(blob[:-32])
         resealed = body + sha256(body)
-        with pytest.raises(CodecError, match="merkle"):
-            StoreTOC.decode(resealed)
+        decoded = StoreTOC.decode(resealed)  # decode accepts (body checksum valid)
+        assert decoded.stored_merkle is not None
+        assert decoded.stored_merkle != decoded.merkle_root()
+        # a clean round-trip agrees
+        clean = StoreTOC.decode(t.encode())
+        assert clean.stored_merkle == clean.merkle_root()
 
     def test_store_verify_reports_root(self, tmp_path):
         from wax_tpu.storage.store import WaxStore

@@ -86,3 +86,93 @@ class TestDiagnostics:
         log_swallowed("test-ctx", ValueError("boom"))
         log_swallowed("test-ctx", KeyError("x"))
         assert swallowed_counts()["test-ctx"] == 2
+
+
+class _FakeScreen:
+    """Headless curses-screen stand-in: scripted keys, captured draw calls."""
+
+    def __init__(self, keys):
+        self.keys = list(keys)
+        self.drawn: list[str] = []
+
+    def timeout(self, ms):
+        pass
+
+    def erase(self):
+        self.drawn.append("<erase>")
+
+    def refresh(self):
+        pass
+
+    def getmaxyx(self):
+        return (24, 100)
+
+    def addnstr(self, y, x, s, n, *a):
+        self.drawn.append(s[:n])
+
+    def getch(self):
+        return self.keys.pop(0) if self.keys else 27  # Esc when script runs out
+
+
+class TestRepoTui:
+    """Headless drive of the SwiftTUI-analogue (reference: WaxRepo Views/)."""
+
+    def _indexer(self, git_repo, tmp_path):
+        from wax_tpu.surfaces.repo import RepoIndexer
+
+        idx = RepoIndexer(tmp_path / "tui.wxs")
+        idx.index(git_repo)
+        return idx
+
+    def test_model_search_select_preview(self, git_repo, tmp_path):
+        from wax_tpu.surfaces.repo_tui import RepoTuiModel
+
+        idx = self._indexer(git_repo, tmp_path)
+        try:
+            m = RepoTuiModel(idx, debounce_s=0.0)
+            for ch in "fuzzy search":
+                m.type_char(ch)
+            assert m.tick(now=1e18)  # debounce elapsed
+            assert m.results, m.status
+            top = m.results[0]
+            assert "fuzzy" in top["preview"]
+            lines = m.preview_lines()
+            assert lines[0].startswith("commit ")
+            assert any("fuzzy search" in ln for ln in lines)
+            m.move(1)
+            assert m.selected == min(1, len(m.results) - 1)
+            m.backspace()
+            assert m.query == "fuzzy searc"
+        finally:
+            idx.close()
+
+    def test_empty_query_clears(self, git_repo, tmp_path):
+        from wax_tpu.surfaces.repo_tui import RepoTuiModel
+
+        idx = self._indexer(git_repo, tmp_path)
+        try:
+            m = RepoTuiModel(idx, debounce_s=0.0)
+            m.type_char("x")
+            m.tick(now=1e18)
+            m.backspace()
+            m.tick(now=1e18)
+            assert m.results == [] and m.status == "type to search"
+        finally:
+            idx.close()
+
+    def test_event_loop_headless(self, git_repo, tmp_path):
+        import curses
+
+        from wax_tpu.surfaces.repo_tui import run_tui
+
+        idx = self._indexer(git_repo, tmp_path)
+        try:
+            keys = [ord(c) for c in "race condition"] + [10, curses.KEY_DOWN, curses.KEY_UP, 27]
+            scr = _FakeScreen(keys)
+            run_tui(idx, scr)
+            blob = "\n".join(scr.drawn)
+            assert "sift> race condition" in blob
+            assert "race" in blob.lower()
+            assert "hits in" in blob  # status line after Enter-triggered search
+        finally:
+            idx.close()

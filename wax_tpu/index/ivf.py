@@ -286,7 +286,7 @@ def _plan_spill(vecs_dev, centroids, assign, bucket_fill, bucket_size: int, spil
     margin = np.empty(n, np.float32)
     for s in range(0, n, rows_per):
         block = jax.lax.dynamic_slice_in_dim(vecs_dev, s, min(rows_per, n - s), 0)
-        v2, i2 = jax.jit(lambda b, c: jax.lax.top_k(_assign_scores(b, c), 2))(block, centroids)
+        v2, i2 = _top2_clusters(block, centroids)
         e = s + block.shape[0]
         sec[s:e] = np.asarray(i2[:, 1])
         margin[s:e] = np.asarray(v2[:, 0] - v2[:, 1])
@@ -311,12 +311,32 @@ def _plan_spill(vecs_dev, centroids, assign, bucket_fill, bucket_size: int, spil
     return rows.astype(np.int64), slots.astype(np.int64)
 
 
-def _scatter_spill(emb_flat, vecs_dev, rows, slots):
-    @jax.jit
-    def scatter(e, v, r, sl):
-        return e.at[sl].set(v[r].astype(e.dtype))
+@jax.jit
+def _top2_clusters(block, centroids):
+    return jax.lax.top_k(_assign_scores(block, centroids), 2)
 
-    return scatter(emb_flat, vecs_dev, rows, slots)
+
+@functools.partial(jax.jit, donate_argnums=0)
+def _scatter_spill_jit(e, v, r, sl):
+    # e is DONATED: at multi-GB bucket sizes an un-aliased scatter would hold two
+    # full copies of the bucket tensor (the 5.9M-scale OOM)
+    return e.at[sl].set(v[r].astype(e.dtype))
+
+
+_SPILL_CHUNK = 262_144
+
+
+def _scatter_spill(emb_flat, vecs_dev, rows, slots):
+    """Chunked spill scatter: each step's row-gather temp stays ~200 MB — at the
+    5.9M configs corpus + buckets already fill most of HBM, and a single-shot
+    multi-GB gather tips it over (with a value-fetch sync per chunk so the async
+    queue cannot stack the temporaries; see CLAUDE.md)."""
+    for s in range(0, len(rows), _SPILL_CHUNK):
+        emb_flat = _scatter_spill_jit(
+            emb_flat, vecs_dev, rows[s : s + _SPILL_CHUNK], slots[s : s + _SPILL_CHUNK]
+        )
+        float(emb_flat[0, 0])  # value-fetch sync (block_until_ready can return early)
+    return emb_flat
 
 
 @jax.jit

@@ -116,6 +116,12 @@ class LexIndexBuilder:
         self._active: list[bool] = []
         self._row_of: dict[int, int] = {}
         self._generation = 0
+        # Frozen-CSR mode: a builder loaded from a v2 segment keeps numpy arrays
+        # (token sequences + postings CSR) instead of per-term dicts; snapshot() is
+        # then pure vectorized padding (the cold-open hot path), and the dicts are
+        # materialized lazily on the first add()/compact() (_thaw). remove() works
+        # directly on the frozen arrays (tombstoning touches only active/frame_ids).
+        self._frozen: dict | None = None
 
     def __len__(self) -> int:
         return len(self._row_of)
@@ -136,6 +142,7 @@ class LexIndexBuilder:
         return tid
 
     def add(self, frame_id: int, text: str) -> None:
+        self._thaw()
         fid = int(frame_id)
         if fid in self._row_of:
             self.remove(fid)
@@ -158,8 +165,12 @@ class LexIndexBuilder:
         row = self._row_of.pop(int(frame_id), None)
         if row is None:
             return False
-        self._active[row] = False
-        self._frame_ids[row] = -1
+        if self._frozen is not None:
+            self._frozen["active"][row] = False
+            self._frozen["frame_ids"][row] = -1
+        else:
+            self._active[row] = False
+            self._frame_ids[row] = -1
         self._generation += 1
         return True
 
@@ -178,10 +189,143 @@ class LexIndexBuilder:
     def df(self, tid: int) -> int:
         """Document frequency of a term id (for idf-head selection of very long
         queries — ops/bm25.py pad_term_ids)."""
+        if self._frozen is not None:
+            po = self._frozen["post_offsets"]
+            return int(po[tid + 1] - po[tid]) if 0 <= tid < len(po) - 1 else 0
         return len(self._postings[tid]) if 0 <= tid < len(self._postings) else 0
+
+    # -- frozen-CSR fast path ---------------------------------------------------------
+    @classmethod
+    def from_frozen_arrays(
+        cls, vocab_list: list[str], arrays: dict, postings_budget: int | None = None
+    ) -> "LexIndexBuilder":
+        """Build a frozen builder from v2-segment arrays (no per-term dicts).
+
+        arrays: doc_tids i32 [total_tokens] + doc_offsets i64 [N+1] (token-id
+        sequence per doc, order-preserving), frame_ids i64 [N], active bool [N],
+        doc_rows i32 [P] + tfs i32 [P] + post_offsets i64 [T+1] (postings CSR,
+        rows ascending within each term).
+        """
+        b = cls(postings_budget=postings_budget)
+        b._vocab = {t: i for i, t in enumerate(vocab_list)}
+        fr = {k: np.array(v) for k, v in arrays.items()}  # writable copies
+        b._frozen = fr
+        live = np.nonzero(fr["active"] & (fr["frame_ids"] >= 0))[0]
+        b._row_of = dict(zip(fr["frame_ids"][live].tolist(), live.tolist()))
+        return b
+
+    def _thaw(self) -> None:
+        """Materialize the dict/list state from frozen arrays (first mutation)."""
+        fr = self._frozen
+        if fr is None:
+            return
+        self._frozen = None
+        inv = list(self._vocab.keys())
+        do = fr["doc_offsets"]
+        dt = fr["doc_tids"].tolist()
+        n = len(fr["frame_ids"])
+        self._doc_terms = [[inv[t] for t in dt[do[i] : do[i + 1]]] for i in range(n)]
+        self._doc_len = np.diff(do).astype(np.int64).tolist()
+        self._frame_ids = fr["frame_ids"].astype(np.int64).tolist()
+        self._active = fr["active"].tolist()
+        po = fr["post_offsets"]
+        dr = fr["doc_rows"].tolist()
+        tf = fr["tfs"].astype(np.int64).tolist()
+        self._postings = [
+            dict(zip(dr[po[t] : po[t + 1]], tf[po[t] : po[t + 1]]))
+            for t in range(len(po) - 1)
+        ]
+
+    def frozen_or_built_arrays(self) -> tuple[list[str], dict]:
+        """(vocab_list, v2 arrays) — from the frozen state when untouched, else
+        built from the dict state (serialization path)."""
+        vocab_list = list(self._vocab.keys())
+        if self._frozen is not None:
+            return vocab_list, self._frozen
+        tid_of = self._vocab
+        doc_tids = np.fromiter(
+            (tid_of[t] for terms in self._doc_terms for t in terms),
+            np.int32,
+            count=sum(len(t) for t in self._doc_terms),
+        )
+        doc_offsets = np.zeros(len(self._doc_terms) + 1, np.int64)
+        np.cumsum([len(t) for t in self._doc_terms], out=doc_offsets[1:])
+        sizes = [len(p) for p in self._postings]
+        post_offsets = np.zeros(len(self._postings) + 1, np.int64)
+        np.cumsum(sizes, out=post_offsets[1:])
+        doc_rows = np.zeros(int(post_offsets[-1]), np.int32)
+        tfs = np.zeros(int(post_offsets[-1]), np.int32)
+        for t, plist in enumerate(self._postings):
+            off = int(post_offsets[t])
+            rows = sorted(plist)
+            doc_rows[off : off + len(rows)] = rows
+            tfs[off : off + len(rows)] = [plist[r] for r in rows]
+        return vocab_list, {
+            "doc_tids": doc_tids,
+            "doc_offsets": doc_offsets,
+            "frame_ids": np.asarray(self._frame_ids, np.int64),
+            "active": np.asarray(self._active, bool),
+            "doc_rows": doc_rows,
+            "tfs": tfs,
+            "post_offsets": post_offsets,
+        }
+
+    def _snapshot_frozen(self) -> LexIndex:
+        fr = self._frozen
+        frame_ids_a = fr["frame_ids"]
+        active_a = fr["active"]
+        n = len(frame_ids_a)
+        n_cap = max(128, _round_up(max(n, 1), 128))
+        active = np.zeros(n_cap, bool)
+        active[:n] = active_a
+        doc_len_src = np.diff(fr["doc_offsets"]).astype(np.float32)
+        doc_len = np.zeros(n_cap, np.float32)
+        doc_len[:n] = doc_len_src
+        frame_ids = np.full(n_cap, -1, np.int32)
+        frame_ids[:n] = frame_ids_a
+        live = max(1, int(active_a.sum()))
+        avgdl = max(float(doc_len_src[active_a].sum() / live) if n else 1.0, 1e-6)
+        po = fr["post_offsets"]
+        t = len(po) - 1
+        p_total = int(po[-1])
+        p_cap = max(128, _round_up(max(p_total, 1), 128))
+        doc_rows = np.zeros(p_cap, np.int32)
+        doc_rows[:p_total] = fr["doc_rows"]
+        tfs = np.zeros(p_cap, np.float32)
+        tfs[:p_total] = fr["tfs"]
+        # df over active rows only — vectorized segment sum over the CSR
+        if p_total:
+            act_post = active_a[fr["doc_rows"]].astype(np.int64)
+            cs = np.concatenate([[0], np.cumsum(act_post)])
+            df = cs[po[1:]] - cs[po[:-1]]
+        else:
+            df = np.zeros(max(t, 0), np.int64)
+        idf = np.log((live - df + 0.5) / (df + 0.5) + 1.0).astype(np.float32)
+        if t == 0:
+            idf = np.zeros(1, np.float32)
+        sizes = np.diff(po)
+        max_df = int(sizes.max()) if t and len(sizes) else 0
+        return LexIndex(
+            doc_rows=jnp.asarray(doc_rows),
+            tfs=jnp.asarray(tfs),
+            offsets=jnp.asarray(po.astype(np.int32) if t else np.zeros(2, np.int32)),
+            idf=jnp.asarray(idf),
+            doc_len=jnp.asarray(doc_len),
+            frame_ids=jnp.asarray(frame_ids),
+            active=jnp.asarray(active),
+            count=jnp.asarray(n, dtype=jnp.int32),
+            avgdl=jnp.asarray(avgdl, dtype=jnp.float32),
+            max_df=_round_up(max(max_df, 1), 128),
+        )
 
     # -- snapshot -------------------------------------------------------------------
     def snapshot(self) -> LexIndex:
+        if self._frozen is not None:
+            budget = self.postings_budget
+            sizes = np.diff(self._frozen["post_offsets"])
+            if budget is None or not len(sizes) or int(sizes.max()) <= budget:
+                return self._snapshot_frozen()
+            self._thaw()  # budget truncation needs the impact-ordered slow path
         n = len(self._doc_len)
         n_cap = max(128, _round_up(max(n, 1), 128))
         t = len(self._vocab)
@@ -254,6 +398,7 @@ class LexIndexBuilder:
         """Physically drop tombstoned rows and unreferenced vocab, renumbering rows.
         The analogue of the reference's index compaction commit
         (MemoryOrchestrator+Maintenance.swift:160-171)."""
+        self._thaw()
         items = [
             (fid, terms)
             for fid, terms, alive in zip(self._frame_ids, self._doc_terms, self._active)
@@ -275,6 +420,7 @@ class LexIndexBuilder:
 
     # -- (de)serialization hooks ------------------------------------------------------
     def state(self) -> dict:
+        self._thaw()
         return {
             "vocab": self._vocab,
             "doc_terms": self._doc_terms,

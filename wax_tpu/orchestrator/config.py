@@ -49,6 +49,9 @@ class OrchestratorConfig:
     chunking: ChunkingStrategy = field(default_factory=ChunkingStrategy)
     embed_batch_size: int = 256
     embedding_cache_capacity: int = 2048
+    # persistent XLA compile cache next to the store (skips first-query jit
+    # compiles in fresh processes); disable for processes managing their own cache
+    enable_compile_cache: bool = True
     require_on_device_providers: bool = True
     store: StoreOptions = field(default_factory=StoreOptions)
     rag: FastRAGConfig = field(default_factory=FastRAGConfig)

@@ -13,6 +13,7 @@ StructuredMemory, with index state serialized into store segments at flush
 from __future__ import annotations
 
 import functools
+import os
 import threading
 import uuid
 from dataclasses import dataclass
@@ -126,6 +127,22 @@ class MemoryOrchestrator:
         self.config = config
         self.path = Path(path)
         self.readonly = readonly
+        if config.enable_compile_cache:
+            # persistent XLA compile cache next to the store: a fresh process's
+            # first query skips the jit compiles (~0.8 s on a slow host, minutes on
+            # a tunneled TPU). No-op if a cache dir is already configured.
+            try:
+                import jax
+
+                from wax_tpu.utils.compile_cache import enable_compile_cache
+
+                if not jax.config.jax_compilation_cache_dir:
+                    enable_compile_cache(
+                        os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                        or self.path.parent / "jax_cache"
+                    )
+            except Exception:  # noqa: BLE001 — cache setup is best-effort
+                pass
         self._lock = threading.RLock()
         self._now = config.clock_ms if config.clock_ms is not None else now_ms
         embedder = embedder if embedder is not None else HashEmbedder()
@@ -238,8 +255,28 @@ class MemoryOrchestrator:
             self.engine.vector.add_batch(fids, vecs)
         # catch-up: lex-index any live frame not yet in the lex builder
         if self.config.enable_text_search:
-            for m in self.store.timeline(include_superseded=True):
-                if m.kind.startswith(_INTERNAL_PREFIX) or m.frame_id in self.engine.lex:
+            # Coverage fast path: the staged lex segment records how many frames
+            # existed when it was serialized ("scanned_frames") — every frame below
+            # that id was already considered for lex indexing at stage time, so the
+            # catch-up scan starts there (on a clean open it scans nothing, keeping
+            # cold open O(1) in frame count). Segments without the attr (v1 / other
+            # writers) scan from 0 as before.
+            start_fid = 0
+            if lex_man is not None and not self.store.pending_embeddings():
+                try:
+                    start_fid = min(
+                        int(lex_man.attrs.get("scanned_frames", 0)), self.store.frame_count()
+                    )
+                except ValueError:
+                    start_fid = 0
+            for fid in range(start_fid, self.store.frame_count()):
+                m = self.store.frame_meta(fid)
+                if (
+                    m is None
+                    or m.status == FrameStatus.DELETED.value
+                    or m.kind.startswith(_INTERNAL_PREFIX)
+                    or m.frame_id in self.engine.lex
+                ):
                     continue
                 text = m.search_text
                 if text is None and m.kind in (FrameKind.CHUNK.value, FrameKind.DOCUMENT.value):
@@ -249,9 +286,11 @@ class MemoryOrchestrator:
                     self.engine.lex.add(m.frame_id, text)
         # access stats from the hidden internal frame
         if self.config.enable_access_stats:
-            for fid in range(self.store.frame_count() - 1, -1, -1):
+            # kind-column lookup (no per-frame meta materialization): newest
+            # non-superseded stats frame wins
+            for fid in reversed(self.store.frame_ids_of_kind(ACCESS_STATS_KIND)):
                 m = self.store.frame_meta(fid)
-                if m and m.kind == ACCESS_STATS_KIND and m.superseded_by is None:
+                if m and m.superseded_by is None:
                     raw = self.store.frame_content(fid)
                     if raw:
                         self.access_stats = AccessStats.from_json(raw.decode("utf-8"))
@@ -594,6 +633,9 @@ class MemoryOrchestrator:
                 self._access_stats_frame = self.store.put(payload, kind=ACCESS_STATS_KIND)
         if self.config.enable_text_search:
             blob, attrs = serialize_lex(self.engine.lex)
+            # every frame below this count has been considered for lex indexing —
+            # lets the next open start its catch-up scan here (cold-open fast path)
+            attrs["scanned_frames"] = str(self.store.frame_count())
             self.store.stage_index("lex", blob, attrs)
         if self.config.enable_vector_search:
             blob, attrs = serialize_vector_engine(

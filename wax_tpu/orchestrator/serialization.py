@@ -3,9 +3,11 @@
 The TPU analogue of the reference's index-image serialization: FTS5 serializes the
 whole SQLite image into the lex segment (reference: FTS5SearchEngine.swift:486-543) and
 the vector engines serialize a raw f32 matrix / USearch buffer wrapped in a "MV2V"
-header (VectorSerializer.swift:5-220). Here both become array serialization: the dense
-index as an .npz of its live arrays, the lex index as JSON-structured postings (small,
-host-side state) — each wrapped in the store's checksummed segment manifest.
+header (VectorSerializer.swift:5-220). Here both become array serialization: a raw
+zero-copy array container (save_arrays/load_arrays) holding the dense index's live
+arrays and the lex index's columnar token/postings arrays — each wrapped in the
+store's checksummed segment manifest. Legacy round-2 formats (npz dense/hnsw, JSON
+lex) remain readable.
 """
 from __future__ import annotations
 
@@ -26,34 +28,71 @@ __all__ = [
     "deserialize_vector_engine",
 ]
 
-DENSE_FORMAT = "wxs-dense-npz-v1"
-LEX_FORMAT = "wxs-lex-json-v1"
-HNSW_FORMAT = "wxs-hnsw-npz-v1"
+def save_arrays(arrays: dict) -> bytes:
+    """Raw array container: one JSON header {name, dtype, shape, offset} + packed
+    array bytes.
+
+    Chosen over npz/npy: np.savez costs ~70 ms to re-read a 7.5 MB segment (zip
+    chunked reads + crc32) and even np.load on plain .npy blocks pays a chunked
+    fp.read copy loop (~80 ms measured on the throttled host) — both cold-open
+    hotspots. load_arrays returns ZERO-COPY np.frombuffer views over the blob
+    (read-only; builders copy into their own mutable state as needed)."""
+    metas = []
+    parts = []
+    off = 0
+    for name, a in arrays.items():
+        a = np.ascontiguousarray(a)
+        raw = a.tobytes()
+        metas.append({"n": name, "d": a.dtype.str, "s": list(a.shape), "o": off})
+        parts.append(raw)
+        off += len(raw)
+    header = json.dumps(metas, separators=(",", ":")).encode("utf-8")
+    return len(header).to_bytes(4, "little") + header + b"".join(parts)
+
+
+def load_arrays(blob: bytes) -> dict:
+    n = int.from_bytes(blob[:4], "little")
+    metas = json.loads(blob[4 : 4 + n].decode("utf-8"))
+    base = 4 + n
+    out = {}
+    for m in metas:
+        dt = np.dtype(m["d"])
+        count = int(np.prod(m["s"], dtype=np.int64)) if m["s"] else 1
+        out[m["n"]] = np.frombuffer(blob, dt, count=count, offset=base + m["o"]).reshape(m["s"])
+    return out
+
+
+DENSE_FORMAT = "wxs-dense-npz-v1"  # read-compat only (round-2 stores)
+DENSE_FORMAT_V2 = "wxs-dense-raw-v2"  # written: sequential .npy container
+LEX_FORMAT = "wxs-lex-json-v1"  # read-compat only (round-2 stores)
+LEX_FORMAT_V2 = "wxs-lex-cols-v2"  # written format: columnar arrays, frozen fast load
+HNSW_FORMAT = "wxs-hnsw-npz-v1"  # read-compat only
+HNSW_FORMAT_V2 = "wxs-hnsw-raw-v2"
 
 
 def serialize_dense(builder: DenseIndexBuilder) -> tuple[bytes, dict[str, str]]:
     arrays = builder.state_arrays()
-    buf = io.BytesIO()
-    np.savez(
-        buf,
-        emb=arrays["emb"].astype(np.float32),
-        frame_ids=arrays["frame_ids"],
-        active=arrays["active"],
+    blob = save_arrays(
+        {
+            "emb": arrays["emb"].astype(np.float32),
+            "frame_ids": arrays["frame_ids"],
+            "active": arrays["active"],
+        }
     )
     attrs = {
-        "format": DENSE_FORMAT,
+        "format": DENSE_FORMAT_V2,
         "dim": str(builder.dim),
         "similarity": builder.similarity,
         "count": str(builder.count),
         "live": str(len(builder)),
     }
-    return buf.getvalue(), attrs
+    return blob, attrs
 
 
 def deserialize_dense(blob: bytes, attrs: dict[str, str]) -> DenseIndexBuilder:
-    if attrs.get("format") != DENSE_FORMAT:
+    if attrs.get("format") not in (DENSE_FORMAT, DENSE_FORMAT_V2):
         raise ValueError(f"unsupported dense segment format {attrs.get('format')!r}")
-    data = np.load(io.BytesIO(blob))
+    data = np.load(io.BytesIO(blob)) if blob[:2] == b"PK" else load_arrays(blob)
     return DenseIndexBuilder.from_state_arrays(
         {"emb": data["emb"], "frame_ids": data["frame_ids"], "active": data["active"]},
         dim=int(attrs["dim"]),
@@ -82,16 +121,14 @@ def _serialize_vector_engine(engine) -> tuple[bytes, dict[str, str]]:
         return blob, attrs
     if engine.kind == "hnsw":
         arrays = engine.builder.state_arrays()
-        buf = io.BytesIO()
-        np.savez(buf, **arrays)
         attrs = {
-            "format": HNSW_FORMAT,
+            "format": HNSW_FORMAT_V2,
             "engine": "hnsw",
             "dim": str(engine.dim),
             "count": str(len(engine)),
             "ef_search": str(engine.ef_search),
         }
-        return buf.getvalue(), attrs
+        return save_arrays(dict(arrays)), attrs
     if engine.kind == "ivf":
         # the raw vectors are the source of truth; buckets rebuild deterministically
         blob, attrs = serialize_dense(engine.builder)
@@ -118,8 +155,11 @@ def deserialize_vector_engine(blob: bytes, attrs: dict[str, str]):
         eng.builder = builder
         return eng
     if kind == "hnsw":
-        data = np.load(io.BytesIO(blob))
-        arrays = {k: data[k] for k in data.files}
+        if blob[:2] == b"PK":  # legacy npz (v1)
+            data = np.load(io.BytesIO(blob))
+            arrays = {k: data[k] for k in data.files}
+        else:
+            arrays = load_arrays(blob)
         eng = HNSWVectorEngine(dim=int(attrs["dim"]))
         eng.builder = type(eng.builder).from_state_arrays(arrays, dim=int(attrs["dim"]))
         eng.ef_search = int(attrs.get("ef_search", "64"))
@@ -140,22 +180,50 @@ def deserialize_vector_engine(blob: bytes, attrs: dict[str, str]):
 
 
 def serialize_lex(builder: LexIndexBuilder) -> tuple[bytes, dict[str, str]]:
-    state = builder.state()
-    payload = {
-        "vocab": state["vocab"],
-        "doc_terms": state["doc_terms"],
-        "doc_len": state["doc_len"],
-        "frame_ids": state["frame_ids"],
-        "active": state["active"],
-    }
-    blob = json.dumps(payload, ensure_ascii=False, separators=(",", ":")).encode("utf-8")
-    attrs = {"format": LEX_FORMAT, "docs": str(len(builder)), "terms": str(len(state["vocab"]))}
+    """v2 columnar lex segment: token-id sequences + postings CSR as npz arrays.
+
+    Replaced the v1 JSON payload (round 3): JSON + a per-doc Python rebuild loop was
+    the cold-open hotspot (28 ms at 1K docs, scaling linearly); the npz arrays load
+    into a FROZEN builder (LexIndexBuilder.from_frozen_arrays) whose snapshot() is
+    vectorized padding, deferring dict materialization to the first mutation.
+    Vocab terms are newline-joined (analyze() never emits whitespace in a term).
+    """
+    vocab_list, arrays = builder.frozen_or_built_arrays()
+    vocab_blob = "\n".join(vocab_list).encode("utf-8")
+    blob = save_arrays(
+        {
+            "vocab": np.frombuffer(vocab_blob, np.uint8),
+            "doc_tids": arrays["doc_tids"].astype(np.int32),
+            "doc_offsets": arrays["doc_offsets"].astype(np.int64),
+            "frame_ids": arrays["frame_ids"].astype(np.int64),
+            "active": arrays["active"].astype(bool),
+            "doc_rows": arrays["doc_rows"].astype(np.int32),
+            "tfs": arrays["tfs"].astype(np.int32),
+            "post_offsets": arrays["post_offsets"].astype(np.int64),
+        }
+    )
+    attrs = {"format": LEX_FORMAT_V2, "docs": str(len(builder)), "terms": str(len(vocab_list))}
     return blob, attrs
 
 
 def deserialize_lex(blob: bytes, attrs: dict[str, str]) -> LexIndexBuilder:
-    if attrs.get("format") != LEX_FORMAT:
-        raise ValueError(f"unsupported lex segment format {attrs.get('format')!r}")
+    fmt = attrs.get("format")
+    if fmt == LEX_FORMAT_V2:
+        data = load_arrays(blob)
+        vocab_bytes = bytes(data["vocab"])
+        vocab_list = vocab_bytes.decode("utf-8").split("\n") if vocab_bytes else []
+        return LexIndexBuilder.from_frozen_arrays(
+            vocab_list,
+            {
+                k: data[k]
+                for k in (
+                    "doc_tids", "doc_offsets", "frame_ids", "active",
+                    "doc_rows", "tfs", "post_offsets",
+                )
+            },
+        )
+    if fmt != LEX_FORMAT:
+        raise ValueError(f"unsupported lex segment format {fmt!r}")
     payload = json.loads(blob.decode("utf-8"))
     b = LexIndexBuilder()
     # rebuild postings from stored analyses (no re-tokenization)

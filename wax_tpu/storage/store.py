@@ -35,6 +35,7 @@ from wax_tpu.storage.format import (
     FOOTER_ALIGN,
     FOOTER_SIZE,
     Footer,
+    FrameTable,
     HEADER_REGION,
     HEADER_SIZE,
     HeaderPage,
@@ -211,22 +212,35 @@ class WaxStore:
                 candidates.append((f, header.footer_offset))
             except (CodecError, OSError):
                 pass
-        candidates.extend(scan_all_footers(fd, file_size, self.data_start))
         # newest valid generation whose TOC decodes wins; older generations are
         # legitimate fallbacks when the newest footer's TOC bytes are damaged
         # (reference: Wax.swift:568-593; demo: scripts/demo_recovery.py corrupt-toc)
-        best: tuple[Footer, int, StoreTOC] | None = None
-        for f, off in candidates:
-            if best is not None and f.generation <= best[0].generation:
-                continue
-            try:
-                raw = fd.pread_exact(f.toc_offset, f.toc_len)
-                if sha256(raw)[:16] != f.toc_sha16:
+        def pick_best(cands: list[tuple[Footer, int]]):
+            best: tuple[Footer, int, StoreTOC] | None = None
+            for f, off in cands:
+                if best is not None and f.generation <= best[0].generation:
                     continue
-                toc = StoreTOC.decode(raw)
-                best = (f, off, toc)
-            except (CodecError, OSError):
-                continue
+                try:
+                    raw = fd.pread_exact(f.toc_offset, f.toc_len)
+                    if sha256(raw)[:16] != f.toc_sha16:
+                        continue
+                    toc = StoreTOC.decode(raw)
+                    best = (f, off, toc)
+                except (CodecError, OSError):
+                    continue
+            return best
+
+        # Footers are append-only, so any footer NEWER than the header-pointed one
+        # lives at a HIGHER offset — when the direct probe succeeded, the backward
+        # scan first covers only [probe offset, EOF) (on a cleanly committed store
+        # that region is one footer, making open I/O O(1) instead of a 32 MiB read).
+        # If nothing in that region yields a decodable TOC (corrupt-TOC salvage),
+        # fall back to the full bounded scan for older generations.
+        scan_floor = max(self.data_start, candidates[0][1]) if candidates else self.data_start
+        candidates.extend(scan_all_footers(fd, file_size, scan_floor))
+        best = pick_best(candidates)
+        if best is None and scan_floor > self.data_start:
+            best = pick_best(scan_all_footers(fd, file_size, self.data_start))
 
         if best is not None:
             footer, footer_off, toc = best
@@ -352,6 +366,17 @@ class WaxStore:
         if 0 <= frame_id < len(self.toc.frames):
             return self.toc.frames[frame_id]
         return None
+
+    def frame_ids_of_kind(self, kind: str) -> list[int]:
+        """Ascending frame ids with the given kind (committed via the TOC's kind
+        column when available — no meta materialization — plus pending frames)."""
+        ft = self.toc.frames
+        if isinstance(ft, FrameTable):
+            ids = ft.ids_of_kind(kind)
+        else:
+            ids = [i for i, (m, *_rest) in enumerate(ft) if m.kind == kind]
+        ids += [fid for fid, pf in sorted(self._pending.items()) if pf.meta.kind == kind]
+        return ids
 
     def frame_meta(self, frame_id: int) -> FrameMeta | None:
         rec = self._frame_record(frame_id)
@@ -716,6 +741,11 @@ class WaxStore:
             ).merkle_root()
             if len(actual_shas) == len(self.toc.frames) and rebuilt != self.toc.merkle_root():
                 report["errors"].append("merkle root does not match file contents")
+            if (
+                self.toc.stored_merkle is not None
+                and self.toc.stored_merkle != self.toc.merkle_root()
+            ):
+                report["errors"].append("stored merkle root does not match TOC columns")
         report["ok"] = not report["errors"]
         return report
 

@@ -677,8 +677,57 @@ def build_server(store_path: str | Path | None = None) -> McpServer:
     except Exception:  # noqa: BLE001 — cache setup is best-effort
         pass
     cfg = OrchestratorConfig(enable_structured_memory=structured, enable_access_stats=access)
-    orch = MemoryOrchestrator(path, config=cfg)
+    orch = MemoryOrchestrator(path, _select_embedder(), config=cfg)
     return McpServer(orch, structured_enabled=structured)
+
+
+def _select_embedder():
+    """MCP embedder selection with loud provenance logging (stderr — stdout is the
+    JSON-RPC channel). Env WAX_TPU_EMBEDDER: "auto" (default; real-weights MiniLM
+    when fetched, else the deterministic hash embedder), "minilm" (force — warns
+    LOUDLY if weights are missing and it would serve random-init embeddings), or
+    "hash". The reference ships its MiniLM weights in-package; this environment has
+    no egress, so the fetch step is explicit (scripts/fetch_minilm.py)."""
+    import sys
+
+    choice = os.environ.get("WAX_TPU_EMBEDDER", "auto").lower()
+    log = lambda msg: print(f"[wax-tpu] {msg}", file=sys.stderr, flush=True)
+
+    def minilm_dir():
+        env = os.environ.get("WAX_TPU_MINILM_DIR")
+        if env and Path(env).exists():
+            return Path(env)
+        default = Path.home() / ".wax-tpu" / "models" / "all-MiniLM-L6-v2"
+        return default if default.exists() else None
+
+    if choice == "hash":
+        from wax_tpu.embed.hash_embedder import HashEmbedder
+
+        log("embedder: deterministic hash (WAX_TPU_EMBEDDER=hash)")
+        return HashEmbedder(384)
+    ckpt = minilm_dir()
+    if choice == "minilm" or (choice == "auto" and ckpt is not None):
+        from wax_tpu.embed.minilm import MiniLMEmbedder
+
+        emb = MiniLMEmbedder()
+        if emb._loaded_from is None:
+            log(
+                "WARNING: embedder: MiniLM with RANDOM-INIT weights — semantic search "
+                "quality will be garbage. Fetch real weights with "
+                "`python scripts/fetch_minilm.py` (or set WAX_TPU_MINILM_DIR), or set "
+                "WAX_TPU_EMBEDDER=hash for the deterministic fallback."
+            )
+        else:
+            log(f"embedder: MiniLM-L6 (weights: {emb._loaded_from})")
+        return emb
+    from wax_tpu.embed.hash_embedder import HashEmbedder
+
+    log(
+        "embedder: deterministic hash (no MiniLM weights found — run "
+        "`python scripts/fetch_minilm.py` to enable real semantic embeddings, "
+        "then restart; set WAX_TPU_EMBEDDER=minilm to force)"
+    )
+    return HashEmbedder(384)
 
 
 def main() -> None:

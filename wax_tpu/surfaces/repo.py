@@ -165,6 +165,12 @@ def add_repo_commands(sub) -> None:
     p.add_argument("--store", default=None)
     p.set_defaults(fn=_cmd_stats)
 
+    p = repo_sub.add_parser("tui", help="interactive search TUI (live query, result list, preview)")
+    p.add_argument("path", nargs="?", default=None, help="git repo to (re)index before launching")
+    p.add_argument("--max-commits", type=int, default=None)
+    p.add_argument("--store", default=None)
+    p.set_defaults(fn=_cmd_tui)
+
 
 def _store_path(args) -> Path:
     if args.store:
@@ -198,6 +204,24 @@ def _cmd_stats(args) -> int:
     idx = RepoIndexer(_store_path(args))
     try:
         print(json.dumps({"commits": idx.stats()["commits"]}))
+    finally:
+        idx.close()
+    return 0
+
+
+def _cmd_tui(args) -> int:
+    """Launch the interactive TUI (reference: SwiftTUI WaxRepo app,
+    Sources/WaxRepo/Views/)."""
+    from wax_tpu.surfaces.repo_tui import run_tui
+
+    path = _store_path(args)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    idx = RepoIndexer(path)
+    try:
+        if args.path:
+            added = idx.index(args.path, args.max_commits)
+            print(f"indexed {added} new commits", flush=True)
+        run_tui(idx)
     finally:
         idx.close()
     return 0
