@@ -248,24 +248,30 @@ def build_ivf(
     ids[slot_index] = frame_ids.astype(np.int32)
 
     spilled = False
+    spill_rows = spill_slots = None
     if spill and n_clusters > 1:
         spill_rows, spill_slots = _plan_spill(
             vecs_dev, centroids, assign, bucket_fill, bucket_size, spill, seed
         )
         if len(spill_rows):
-            emb = _scatter_spill(emb, vecs_dev, jnp.asarray(spill_rows), jnp.asarray(spill_slots))
             ids[spill_slots] = frame_ids[spill_rows].astype(np.int32)
             spilled = True
 
-    emb = emb.reshape(n_clusters, bucket_size, d)
+    # upload the small long-lived arrays BEFORE the multi-GB spill scatter: at the
+    # 5.9M configs corpus + buckets leave only tens of MB of HBM headroom, and a
+    # fragmented arena after the scatter loop can fail even a 31 MB put
     ids = ids.reshape(n_clusters, bucket_size)
-    bias = np.where(ids >= 0, 0.0, NEG_INF).astype(np.float32)
+    ids_dev = jnp.asarray(ids)
+    bias_dev = jnp.asarray(np.where(ids >= 0, 0.0, NEG_INF).astype(np.float32))
+
+    if spilled:
+        emb = _scatter_spill(emb, vecs_dev, jnp.asarray(spill_rows), jnp.asarray(spill_slots))
 
     return IVFIndex(
         centroids=centroids,
-        emb=emb,
-        ids=jnp.asarray(ids),
-        bias=jnp.asarray(bias),
+        emb=emb.reshape(n_clusters, bucket_size, d),
+        ids=ids_dev,
+        bias=bias_dev,
         spilled=spilled,
     )
 

@@ -564,23 +564,51 @@ class MemoryOrchestrator:
         self.session_id = None
 
     @_synchronized
-    def handoff(self, content: str, metadata: Mapping[str, str] | None = None) -> int:
-        """Persist a handoff record (reference: MemoryOrchestrator.swift:684-776)."""
+    def handoff(
+        self,
+        content: str,
+        metadata: Mapping[str, str] | None = None,
+        session_id: str | None = None,
+        project: str | None = None,
+        pending_tasks: Sequence[str] = (),
+    ) -> int:
+        """Persist a handoff record (reference: MemoryOrchestrator.swift:684-776;
+        scoping fields per ToolSchemas.swift waxHandoff — explicit session_id,
+        optional project scope, optional pending-task list)."""
+        meta = dict(metadata or {})
+        sid = session_id or self.session_id
+        if sid:
+            meta.setdefault("session_id", sid)
+        if project:
+            meta.setdefault("project", project)
+        if pending_tasks:
+            import json as _json
+
+            meta.setdefault("pending_tasks", _json.dumps(list(pending_tasks)))
         return self.store.put(
             content,
             kind=HANDOFF_KIND,
             timestamp_ms=self._now(),
-            metadata=dict(metadata or {}),
-            tags=(f"session:{self.session_id}",) if self.session_id else (),
+            metadata=meta,
+            tags=(f"session:{sid}",) if sid else (),
         )
 
     @_synchronized
-    def handoff_latest(self) -> tuple[FrameMeta, str] | None:
-        for fid in range(self.store.frame_count() - 1, -1, -1):
+    def handoff_latest(
+        self, session_id: str | None = None, project: str | None = None
+    ) -> tuple[FrameMeta, str] | None:
+        """Newest active handoff, optionally scoped by session and/or project
+        (reference: waxHandoffLatest project scope)."""
+        for fid in reversed(self.store.frame_ids_of_kind(HANDOFF_KIND)):
             m = self.store.frame_meta(fid)
-            if m and m.kind == HANDOFF_KIND and m.status == FrameStatus.ACTIVE.value:
-                raw = self.store.frame_content(fid) or b""
-                return m, raw.decode("utf-8", errors="ignore")
+            if m is None or m.status != FrameStatus.ACTIVE.value:
+                continue
+            if session_id is not None and m.metadata.get("session_id") != session_id:
+                continue
+            if project is not None and m.metadata.get("project") != project:
+                continue
+            raw = self.store.frame_content(fid) or b""
+            return m, raw.decode("utf-8", errors="ignore")
         return None
 
     # -------------------------------------------------------- structured passthrough ----

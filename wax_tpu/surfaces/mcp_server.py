@@ -110,14 +110,29 @@ _TOOLS: list[dict] = [
     {"name": "wax_session_end", "description": "End the current session.", "inputSchema": {"type": "object", "properties": {}}},
     {
         "name": "wax_handoff",
-        "description": "Persist an agent handoff record.",
+        "description": "Persist an agent handoff record for the next session.",
         "inputSchema": {
             "type": "object",
-            "properties": {"content": {"type": "string"}},
+            "properties": {
+                "content": {"type": "string"},
+                "session_id": {"type": "string", "description": "Optional explicit session scope."},
+                "project": {"type": "string", "description": "Optional project scope."},
+                "pending_tasks": {"type": "array", "items": {"type": "string"}},
+            },
             "required": ["content"],
         },
     },
-    {"name": "wax_handoff_latest", "description": "Fetch the most recent handoff record.", "inputSchema": {"type": "object", "properties": {}}},
+    {
+        "name": "wax_handoff_latest",
+        "description": "Fetch the most recent handoff record, optionally scoped.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "session_id": {"type": "string"},
+                "project": {"type": "string"},
+            },
+        },
+    },
 ]
 
 _MULTIMODAL_TOOLS: list[dict] = [
@@ -336,6 +351,10 @@ class McpServer:
         return tools
 
     def call_tool(self, name: str, args: dict) -> dict:
+        if not self.structured_enabled and any(t["name"] == name for t in _STRUCTURED_TOOLS):
+            # tools hidden from tools/list must also refuse dispatch with a clear
+            # reason, not fail deep inside on orch.structured being None
+            raise ValueError(f"tool {name} is disabled (structured memory feature off)")
         handler = getattr(self, f"_tool_{name}", None)
         if handler is None:
             raise ValueError(f"unknown tool {name}")
@@ -422,10 +441,19 @@ class McpServer:
         return {"ok": True}
 
     def _tool_wax_handoff(self, a):
-        return {"frame_id": self.orch.handoff(a["content"])}
+        return {
+            "frame_id": self.orch.handoff(
+                a["content"],
+                session_id=a.get("session_id"),
+                project=a.get("project"),
+                pending_tasks=tuple(a.get("pending_tasks", ())),
+            )
+        }
 
     def _tool_wax_handoff_latest(self, a):
-        got = self.orch.handoff_latest()
+        got = self.orch.handoff_latest(
+            session_id=a.get("session_id"), project=a.get("project")
+        )
         if got is None:
             return {"found": False}
         meta, content = got
@@ -653,6 +681,7 @@ def default_store_path() -> Path:
 
 
 def build_server(store_path: str | Path | None = None) -> McpServer:
+    _check_license()
     structured = os.environ.get("WAX_TPU_FEATURE_STRUCTURED_MEMORY", "1") != "0"
     access = os.environ.get("WAX_TPU_FEATURE_ACCESS_STATS", "1") != "0"
     path = Path(store_path) if store_path else default_store_path()
@@ -679,6 +708,23 @@ def build_server(store_path: str | Path | None = None) -> McpServer:
     cfg = OrchestratorConfig(enable_structured_memory=structured, enable_access_stats=access)
     orch = MemoryOrchestrator(path, _select_embedder(), config=cfg)
     return McpServer(orch, structured_enabled=structured)
+
+
+def _check_license() -> None:
+    """Offline HMAC license gate (reference: WaxMCPServer/LicenseValidator.swift:52;
+    DISABLED by default per the reference's docs). When WAX_TPU_FEATURE_LICENSE=1,
+    the token in WAX_TPU_LICENSE must validate against WAX_TPU_LICENSE_SECRET or the
+    server refuses to build."""
+    from wax_tpu.surfaces.license import license_required, validate_license
+
+    if not license_required():
+        return
+    token = os.environ.get("WAX_TPU_LICENSE", "")
+    secret = os.environ.get("WAX_TPU_LICENSE_SECRET", "")
+    info = validate_license(token, secret)
+    if not info.valid:
+        raise PermissionError(f"license check failed: {info.reason or 'missing token'}")
+    print(f"[wax-tpu] licensed to {info.licensee}", file=sys.stderr, flush=True)
 
 
 def _select_embedder():

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import unicodedata
 from pathlib import Path
 
 import numpy as np
@@ -18,6 +19,23 @@ import numpy as np
 __all__ = ["WordPieceTokenizer"]
 
 _BASIC_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]", re.IGNORECASE)
+
+
+def _basic_normalize(text: str) -> str:
+    """HF-BERT-uncased basic normalization: lowercase, NFD accent stripping, and
+    control-char removal (tab/newline/CR count as whitespace, as in
+    BasicTokenizer._clean_text). CJK chars then fall out of _BASIC_RE one char at a
+    time — the same per-character treatment BERT's CJK spacing produces."""
+    text = unicodedata.normalize("NFD", text.lower())
+    out = []
+    for c in text:
+        cat = unicodedata.category(c)
+        if cat == "Mn":  # combining accent
+            continue
+        if cat.startswith("C") and c not in ("\t", "\n", "\r"):
+            continue
+        out.append(c)
+    return "".join(out)
 
 CLS_ID = 101
 SEP_ID = 102
@@ -85,7 +103,7 @@ class WordPieceTokenizer:
     def encode(self, text: str, max_len: int | None = None) -> list[int]:
         max_len = max_len or self.max_len
         toks: list[int] = [CLS_ID]
-        for w in _BASIC_RE.findall(text.lower()):
+        for w in _BASIC_RE.findall(_basic_normalize(text)):
             toks.extend(self._wordpiece(w))
             if len(toks) >= max_len - 1:
                 break
