@@ -45,10 +45,11 @@ from wax_tpu.ops.ivf_kernel import ivf_search_topk_pallas
 # so the scatter peak stays ~10.6 GiB. The 25% slack (avg fill 480 of 640) is the
 # spill budget for boundary replication.
 SPILL = os.environ.get("WAX_IVF_SPILL", "auto")
-# S=576 leaves 16.7% bucket slack for spill while keeping build peak (corpus
-# 4.5 GiB + buckets 5.4 GiB) clear of the ~12 GiB tunnel HBM ceiling (S=640's
-# 6.04 GiB buckets left too little headroom — the ids/bias uploads OOMed).
-C, S, D, B, K = 12288, (576 if SPILL != "0" else 512), 384, 256, 10
+# S=640 gives 25% bucket slack for spill (bucket size must be 128-aligned for the
+# Pallas probe kernel). Build peak = corpus 4.5 GiB + buckets 6.04 GiB + a ~200 MB
+# chunked-scatter gather; the small ids/bias uploads happen BEFORE the scatter so
+# a fragmented arena cannot fail them (both round-3 OOM lessons).
+C, S, D, B, K = 12288, (640 if SPILL != "0" else 512), 384, 256, 10
 N = 12288 * 480  # 5,898,240 — avg fill 480/bucket
 
 T0 = time.perf_counter()

@@ -340,7 +340,15 @@ class McpServer:
                 def embed_image(self, image):
                     return self._h.embed(f"image:{image}")
 
-            self._photo = PhotoRAGOrchestrator(self._photo_store, embedder=_TextSpaceEmbedder())
+            from wax_tpu.multimodal.ocr import CommandOCRProvider
+
+            # tesseract-backed OCR when the binary is on PATH (the Linux-host
+            # analogue of the reference's in-OS VisionOCRProvider); hosts usually
+            # pass ocr_texts explicitly over MCP, this covers raw-image ingest
+            ocr = CommandOCRProvider() if CommandOCRProvider.available() else None
+            self._photo = PhotoRAGOrchestrator(
+                self._photo_store, embedder=_TextSpaceEmbedder(), ocr_provider=ocr
+            )
         return self._photo
 
     # ------------------------------------------------------------------ dispatch ----
