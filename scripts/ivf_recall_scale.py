@@ -50,7 +50,7 @@ SPILL = os.environ.get("WAX_IVF_SPILL", "auto")
 # chunked-scatter gather; the small ids/bias uploads happen BEFORE the scatter so
 # a fragmented arena cannot fail them (both round-3 OOM lessons).
 C, S, D, B, K = 12288, (640 if SPILL != "0" else 512), 384, 256, 10
-N = 12288 * 480  # 5,898,240 — avg fill 480/bucket
+N = 12288 * 448  # 5,505,024 (>=5M target) — avg fill 448/bucket, 30% slack at S=640
 
 T0 = time.perf_counter()
 
@@ -129,8 +129,13 @@ def main() -> None:
         train_rows=2_097_152,  # bound the k-means training set (HBM: see build_ivf)
         spill=("auto" if SPILL != "0" else 0.0),
     )
+    float(idx.emb[0, 0, 0])  # force the scatter chain to completion
     del vecs
-    n_copies = int(np.sum(np.asarray(jnp.sum(idx.ids >= 0, axis=1)))) - N
+    import gc
+
+    gc.collect()  # drop the corpus buffer before any further device work
+    ids_host = np.asarray(idx.ids)  # device->host read, no device allocation
+    n_copies = int((ids_host >= 0).sum()) - N
     mark(
         f"IVF built: {C} clusters x {S} bf16 bucket slots ({C*S*D*2/2**30:.1f} GiB), "
         f"{n_copies} spill copies ({n_copies/N:.1%})"

@@ -65,3 +65,36 @@ class TestShardedIVF:
         v1, _ = ivf_search_topk(q, idx, k=20, nprobe=8)
         v2, _ = sharded_ivf_search_topk(q, sharded, 20, mesh, nprobe=8)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5, atol=1e-5)
+
+
+class TestShardedSpill:
+    def test_sharded_spilled_dedup_and_parity(self):
+        import numpy as np
+        import jax.numpy as jnp
+
+        from wax_tpu.index.ivf import build_ivf, ivf_search_topk
+        from wax_tpu.parallel.mesh import data_mesh
+        from wax_tpu.parallel.sharded_ivf import shard_ivf_index, sharded_ivf_search_topk
+
+        rng = np.random.default_rng(3)
+        centers = rng.standard_normal((40, 64)).astype(np.float32) * 3.0
+        vecs = centers[rng.integers(0, 40, 8192)] + rng.standard_normal((8192, 64)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        q = centers[rng.integers(0, 40, 16)] + rng.standard_normal((16, 64)).astype(np.float32)
+        q = jnp.asarray(q / np.linalg.norm(q, axis=1, keepdims=True))
+        idx = build_ivf(vecs, np.arange(8192), n_clusters=64, bucket_size=256, iters=4, spill="auto")
+        assert idx.spilled
+        mesh = data_mesh()
+        sharded = shard_ivf_index(idx, mesh)
+        assert sharded.spilled
+        v, f = sharded_ivf_search_topk(q, sharded, 10, mesh, nprobe=4)
+        got = np.asarray(f)
+        for row in got:  # no duplicate frame ids
+            live = row[row >= 0]
+            assert len(live) == len(set(live.tolist()))
+        # same result SET as the single-chip spilled search
+        v1, f1 = ivf_search_topk(q, idx, 10, nprobe=4)
+        for r in range(got.shape[0]):
+            assert set(got[r][got[r] >= 0].tolist()) == set(
+                np.asarray(f1)[r][np.asarray(f1)[r] >= 0].tolist()
+            )

@@ -19,7 +19,7 @@ can differ from the single-chip `ivf_search_topk` order (which merges probe-by-p
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,9 @@ class ShardedIVFIndex:
     emb: jax.Array
     ids: jax.Array
     bias: jax.Array
+    # True when built from a spilled IVFIndex (boundary replication): the merge
+    # then fetches a 2k window and collapses duplicate frame ids
+    spilled: bool = field(metadata=dict(static=True), default=False)
 
     @property
     def n_clusters(self) -> int:
@@ -78,6 +81,7 @@ def shard_ivf_index(index: IVFIndex, mesh: Mesh) -> ShardedIVFIndex:
         emb=jax.device_put(emb, NamedSharding(mesh, P(None, DATA_AXIS, None))),
         ids=jax.device_put(ids, slot_sharded),
         bias=jax.device_put(bias, slot_sharded),
+        spilled=index.spilled,
     )
 
 
@@ -102,6 +106,9 @@ def sharded_ivf_search_topk(
     """
     n_shards = mesh.shape[DATA_AXIS]
     nprobe = min(nprobe, index.n_clusters)
+    # spilled indexes: a replicated row can surface through two probed buckets
+    # (and, slot-sharded, through two shards) — fetch a 2k window, dedup at the end
+    kfetch = 2 * k if index.spilled else k
 
     @functools.partial(
         shard_map,
@@ -125,7 +132,7 @@ def sharded_ivf_search_topk(
             qf, centroids, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         _, probes = jax.lax.top_k(cscores, nprobe)  # [B, P] identical on every shard
-        kk = min(k, s_loc * nprobe)
+        kk = min(kfetch, s_loc * nprobe)
 
         def step(carry, probe_col):  # probe_col: [B] bucket ids at this probe rank
             best_v, best_f = carry
@@ -150,13 +157,20 @@ def sharded_ivf_search_topk(
         af = jax.lax.all_gather(fids, DATA_AXIS)
         av = jnp.transpose(av, (1, 0, 2)).reshape(b, n_shards * kk)
         af = jnp.transpose(af, (1, 0, 2)).reshape(b, n_shards * kk)
-        kk_g = min(k, n_shards * kk)
+        kk_g = min(kfetch, n_shards * kk)
         mvals, pos = jax.lax.top_k(av, kk_g)
         mfids = jnp.take_along_axis(af, pos, axis=-1)
         mfids = jnp.where(mvals > NEG_INF * 0.5, mfids, -1)
-        if kk_g < k:
-            mvals = jnp.pad(mvals, ((0, 0), (0, k - kk_g)), constant_values=NEG_INF)
-            mfids = jnp.pad(mfids, ((0, 0), (0, k - kk_g)), constant_values=-1)
+        if index.spilled:
+            from wax_tpu.index.ivf import dedup_topk
+
+            mvals, mfids = dedup_topk(mvals, mfids.astype(jnp.int32), min(k, kk_g))
+        else:
+            mvals, mfids = mvals[:, :k], mfids[:, :k]
+        if mvals.shape[1] < k:
+            pad_k = k - mvals.shape[1]
+            mvals = jnp.pad(mvals, ((0, 0), (0, pad_k)), constant_values=NEG_INF)
+            mfids = jnp.pad(mfids, ((0, 0), (0, pad_k)), constant_values=-1)
         return mvals, mfids.astype(jnp.int32)
 
     return search(queries, index.centroids, index.emb, index.ids, index.bias)
