@@ -11,7 +11,12 @@ README = Path(__file__).parent.parent / "README.md"
 
 def test_readme_python_examples(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
-    blocks = re.findall(r"```python\n(.*?)```", README.read_text(), re.DOTALL)
+    text = README.read_text()
+    # blockquoted fences (> ```python) carry a "> " prefix on every line — strip it
+    blocks = [
+        re.sub(r"(?m)^> ?", "", b)
+        for b in re.findall(r"```python\n(.*?)```", text, re.DOTALL)
+    ]
     assert blocks, "README must contain python examples"
     ns: dict = {}
     for i, block in enumerate(blocks):
