@@ -102,3 +102,22 @@ def test_all_episodes_raises():
     with pytest.raises(SlopeError) as ei:
         _run(t, max_attempts=4)
     assert ei.value.info["attempts"] == 4
+
+
+def test_main_emits_degraded_json_on_total_episode(monkeypatch, capsys):
+    """A fully-bad tunnel window must still produce ONE parseable JSON line."""
+    import json
+
+    import bench
+
+    def bad_headline(*a, **k):
+        err = bench.SlopeError("all episodes")
+        err.info = {"attempts": 6, "rejects": [("tunnel_episode", 2.4)] * 6}
+        raise err
+
+    monkeypatch.setattr(bench, "bench_headline", bad_headline)
+    monkeypatch.setattr("sys.argv", ["bench.py", "--fast"])
+    bench.main()
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["value"] is None and "error" in rec and rec["timing"]["attempts"] == 6

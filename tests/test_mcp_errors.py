@@ -225,3 +225,45 @@ class TestMultimodalToolErrors:
     def test_video_forget_unknown_id(self, server):
         resp = _call_raw(server, "wax_video_forget", {"video_id": "nope"})
         assert ("error" in resp) or ("result" in resp)
+
+
+class TestEmbedderAutoSelection:
+    def test_existing_hash_store_not_bricked_by_fetched_weights(self, tmp_path, monkeypatch):
+        """Round-3 regression: fetching MiniLM weights must not make the server
+        refuse to boot on a store built with the hash embedder — auto keeps the
+        store's provider and logs the migration path instead."""
+        monkeypatch.setenv("WAX_TPU_EMBEDDER", "auto")
+        monkeypatch.delenv("WAX_TPU_MINILM_DIR", raising=False)
+        p = tmp_path / "auto.wxs"
+        srv = build_server(p)
+        _call_raw(srv, "wax_remember", {"content": "built under hash"})
+        _call_raw(srv, "wax_flush", {})
+        srv.close()
+        # "weights appear" (the dir existing is what flips auto's preference)
+        fake_ckpt = tmp_path / "minilm"
+        fake_ckpt.mkdir()
+        monkeypatch.setenv("WAX_TPU_MINILM_DIR", str(fake_ckpt))
+        srv2 = build_server(p)  # must NOT raise the embedder-mismatch StoreError
+        try:
+            resp = _call_raw(srv2, "wax_search", {"query": "built under hash"})
+            assert "error" not in resp
+        finally:
+            srv2.close()
+
+    def test_mismatch_env_policy_reindex(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("WAX_TPU_EMBEDDER", "hash")
+        p = tmp_path / "mig.wxs"
+        srv = build_server(p)
+        _call_raw(srv, "wax_remember", {"content": "reindex me please"})
+        _call_raw(srv, "wax_flush", {})
+        srv.close()
+        # force a different provider identity + reindex migration policy
+        monkeypatch.setenv("WAX_TPU_EMBEDDER", "minilm")
+        monkeypatch.setenv("WAX_TPU_EMBEDDER_MISMATCH", "reindex")
+        monkeypatch.delenv("WAX_TPU_MINILM_DIR", raising=False)
+        srv2 = build_server(p)  # random-init MiniLM + reindex: boots and re-embeds
+        try:
+            resp = _call_raw(srv2, "wax_search", {"query": "reindex me please"})
+            assert "error" not in resp
+        finally:
+            srv2.close()

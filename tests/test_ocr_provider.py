@@ -119,3 +119,21 @@ class TestCommandOCR:
             assert res.ocr_block_frames  # tesseract-adapter blocks became frames
             hits = p.recall("Hello world")
             assert hits and hits[0].asset_id == "shot"
+
+
+TSV_MANY_LINES = "level\tpage_num\tblock_num\tpar_num\tline_num\tword_num\tleft\ttop\twidth\theight\tconf\ttext\n" + "".join(
+    f"5\t1\t1\t1\t{ln}\t1\t10\t{ln*10}\t50\t8\t90.0\tline{ln}\n" for ln in range(1, 13)
+)
+
+
+class TestLineOrdering:
+    def test_numeric_line_order_not_lexicographic(self, tmp_path, monkeypatch):
+        import stat as stat_mod
+
+        exe = tmp_path / "tesseract"
+        exe.write_text("#!/bin/sh\n" f"cat <<'EOF'\n{TSV_MANY_LINES}EOF\n")
+        exe.chmod(exe.stat().st_mode | stat_mod.S_IEXEC)
+        monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+        blocks = CommandOCRProvider().ocr(np.zeros((200, 100), np.uint8))
+        texts = [b.text for b in blocks]
+        assert texts == [f"line{i}" for i in range(1, 13)]  # 2 before 10, not after

@@ -321,3 +321,46 @@ class TestPdfFuzz:
     def test_deep_recursion_bounded(self):
         pdf = b"%PDF-1.4\n1 0 obj\n" + b"<< /K " * 100 + b"1" + b" >>" * 100 + b"\nendobj\n"
         assert isinstance(extract_pdf_text(pdf), str)
+
+
+class TestPageOrder:
+    def test_pages_follow_tree_order_not_object_numbers(self):
+        """Page 1 deliberately has a HIGHER object number than page 2."""
+        pdf = (
+            b"%PDF-1.5\n"
+            + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+            + _obj(2, b"<< /Type /Pages /Kids [90 0 R 40 0 R] /Count 2 >>")
+            + _obj(90, b"<< /Type /Page /Parent 2 0 R /Contents 91 0 R >>")
+            + _stream_obj(91, b"", b"BT (FIRST page text) Tj ET")
+            + _obj(40, b"<< /Type /Page /Parent 2 0 R /Contents 41 0 R >>")
+            + _stream_obj(41, b"", b"BT (SECOND page text) Tj ET")
+            + b"%%EOF\n"
+        )
+        text = extract_pdf_text(pdf)
+        assert text.index("FIRST") < text.index("SECOND")
+
+    def test_nested_pages_tree(self):
+        pdf = (
+            b"%PDF-1.5\n"
+            + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+            + _obj(2, b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>")
+            + _obj(3, b"<< /Type /Pages /Kids [4 0 R] /Count 1 /Parent 2 0 R >>")
+            + _obj(4, b"<< /Type /Page /Parent 3 0 R /Contents 5 0 R >>")
+            + _stream_obj(5, b"", b"BT (nested alpha) Tj ET")
+            + _obj(6, b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>")
+            + _stream_obj(7, b"", b"BT (nested beta) Tj ET")
+            + b"%%EOF\n"
+        )
+        text = extract_pdf_text(pdf)
+        assert text.index("nested alpha") < text.index("nested beta")
+
+    def test_cyclic_pages_tree_bounded(self):
+        pdf = (
+            b"%PDF-1.5\n"
+            + _obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+            + _obj(2, b"<< /Type /Pages /Kids [2 0 R 3 0 R] /Count 1 >>")  # self-cycle
+            + _obj(3, b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+            + _stream_obj(4, b"", b"BT (survives cycle) Tj ET")
+            + b"%%EOF\n"
+        )
+        assert "survives cycle" in extract_pdf_text(pdf)

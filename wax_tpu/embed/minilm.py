@@ -171,9 +171,11 @@ class MiniLMEmbedder:
         self.tokenizer = WordPieceTokenizer(vocab_path, vocab_size=self.cfg.vocab_size)
         self._batch_size = batch_size
         self._loaded_from = None
+        self._weights_tag = f"random-init-seed{seed}"
         if checkpoint_dir and Path(checkpoint_dir).exists():
             self.params = load_hf_checkpoint(Path(checkpoint_dir), self.cfg)
             self._loaded_from = str(checkpoint_dir)
+            self._weights_tag = _weights_fingerprint(Path(checkpoint_dir))
         else:
             ids = jnp.zeros((1, 8), jnp.int32)
             self.params = self.model.init(jax.random.PRNGKey(seed), ids, jnp.ones_like(ids))[
@@ -192,8 +194,12 @@ class MiniLMEmbedder:
 
     @property
     def identity(self) -> str:
-        src = self._loaded_from or "random-init"
-        return f"minilm-l6-jax/{src}"
+        """Content-stable identity: a fingerprint of the WEIGHTS (not the checkpoint
+        path — moving the directory must not trip the store's embedder-mismatch
+        guard) plus a tokenizer-normalization version ('t2' = the round-3 HF-BERT
+        accent/control normalization; bumping it correctly invalidates stores whose
+        vectors were embedded under the old tokenization)."""
+        return f"minilm-l6-jax-t2/{self._weights_tag}"
 
     @property
     def normalized(self) -> bool:
@@ -219,6 +225,23 @@ class MiniLMEmbedder:
             ids, mask = self.tokenizer.encode_batch(chunk)
             out.append(np.asarray(self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))))
         return np.concatenate(out, axis=0)
+
+
+def _weights_fingerprint(path: Path) -> str:
+    """Cheap content fingerprint of a checkpoint dir: sha256 over (name, size,
+    first 1 MiB) of each weight file. Stable across moves/copies; changes when the
+    weights themselves change."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in ("model.safetensors", "pytorch_model.bin"):
+        f = path / name
+        if f.exists():
+            h.update(name.encode())
+            h.update(str(f.stat().st_size).encode())
+            with open(f, "rb") as fh:
+                h.update(fh.read(1 << 20))
+    return h.hexdigest()[:16]
 
 
 def load_hf_checkpoint(path: Path, cfg: MiniLMConfig):

@@ -251,7 +251,7 @@ def build_ivf(
     spill_rows = spill_slots = None
     if spill and n_clusters > 1:
         spill_rows, spill_slots = _plan_spill(
-            vecs_dev, centroids, assign, bucket_fill, bucket_size, spill, seed
+            vecs_dev, centroids, slot_cluster, bucket_fill, bucket_size, spill
         )
         if len(spill_rows):
             ids[spill_slots] = frame_ids[spill_rows].astype(np.int32)
@@ -276,13 +276,15 @@ def build_ivf(
     )
 
 
-def _plan_spill(vecs_dev, centroids, assign, bucket_fill, bucket_size: int, spill, seed: int):
+def _plan_spill(vecs_dev, centroids, placed_cluster, bucket_fill, bucket_size: int, spill):
     """Pick boundary rows + target slots for 2nd-best-cluster replication.
 
     Device computes per-row (2nd-best cluster, top1-top2 margin) in blocks; the host
     then selects, per target cluster, its free-slot count of candidates in ascending
     margin order (closest to the boundary first — those are the rows whose true
-    nearest neighbors most often live across the boundary). Returns (rows, flat
+    nearest neighbors most often live across the boundary). Rows whose PLACED bucket
+    already equals their 2nd-best cluster (overflow placements) are excluded — a
+    copy into the same bucket would burn a slot on a duplicate. Returns (rows, flat
     slots) as int64 arrays.
     """
     n = vecs_dev.shape[0]
@@ -300,8 +302,9 @@ def _plan_spill(vecs_dev, centroids, assign, bucket_fill, bucket_size: int, spil
     budget = n if spill == "auto" else int(float(spill) * n)
     if budget <= 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
-    # global cap first: only the `budget` most-boundary rows are candidates
-    cand = np.argsort(margin, kind="stable")[:budget]
+    eligible = np.nonzero(sec != placed_cluster)[0]
+    # global cap first: only the `budget` most-boundary eligible rows are candidates
+    cand = eligible[np.argsort(margin[eligible], kind="stable")[:budget]]
     # per-cluster packing: rank candidates within their target cluster by margin,
     # keep those that fit in the free slots
     order = np.lexsort((margin[cand], sec[cand]))

@@ -132,7 +132,15 @@ class CommandOCRProvider:
                 width, height = int(cols[idx["width"]]), int(cols[idx["height"]])
             except (ValueError, KeyError):
                 continue
-            key = (cols[idx["block_num"]], cols[idx["par_num"]], cols[idx["line_num"]])
+            try:
+                # int keys: string keys would order line 10 before line 2
+                key = (
+                    int(cols[idx["block_num"]]),
+                    int(cols[idx["par_num"]]),
+                    int(cols[idx["line_num"]]),
+                )
+            except ValueError:
+                continue
             entry = lines.setdefault(
                 key, {"words": [], "confs": [], "x0": left, "y0": top, "x1": left, "y1": top}
             )

@@ -179,6 +179,13 @@ def ivf_search_topk_pallas(
     b, d = queries.shape
     if index.bucket_size % 128:
         raise ValueError("pallas IVF kernel requires a 128-aligned bucket size")
+    if index.spilled and 2 * k > _KPAD:
+        # the kernel extracts into a 128-lane block, so a spilled index's 2k dedup
+        # window does not fit for k > 64 — the XLA path has no such cap and returns
+        # the full k (keeping the two backends result-identical)
+        from wax_tpu.index.ivf import ivf_search_topk
+
+        return ivf_search_topk(queries, index, k, nprobe)
     nprobe = min(nprobe, index.n_clusters)
     b_pad = ((b + _QB - 1) // _QB) * _QB
     q = queries.astype(jnp.float32)

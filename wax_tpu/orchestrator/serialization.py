@@ -41,9 +41,11 @@ def save_arrays(arrays: dict) -> bytes:
     parts = []
     off = 0
     for name, a in arrays.items():
+        a = np.asarray(a)
+        shape = list(a.shape)  # BEFORE ascontiguousarray: it promotes 0-d to 1-d
         a = np.ascontiguousarray(a)
         raw = a.tobytes()
-        metas.append({"n": name, "d": a.dtype.str, "s": list(a.shape), "o": off})
+        metas.append({"n": name, "d": a.dtype.str, "s": shape, "o": off})
         parts.append(raw)
         off += len(raw)
     header = json.dumps(metas, separators=(",", ":")).encode("utf-8")

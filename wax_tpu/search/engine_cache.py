@@ -73,10 +73,11 @@ def reclaim(path, lex_sha, vec_sha):
 
     try:
         copied = copy.deepcopy(entry)
-    except (TypeError, ValueError):
+    except Exception:  # noqa: BLE001
         # engines holding uncopyable state (a sharded engine's Mesh/Device handles,
-        # the C++ HNSW builder's ctypes pointer): EXCLUSIVE handover of the popped
-        # entry — it is no longer in the cache, so no other thread can alias it
+        # the C++ HNSW builder's ctypes pointer — which may raise any exception
+        # class from deepcopy): EXCLUSIVE handover of the popped entry — it is no
+        # longer in the cache, so no other thread can alias it
         return entry
     with _lock:
         # restore the original for future openers unless a newer park replaced it

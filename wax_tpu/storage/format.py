@@ -576,8 +576,9 @@ class StoreTOC:
             or len(md_counts) != n
             or len(tg_counts) != n
             or (len(cols["kind_vocab"]) == 0 and n > 0)
-            or any(cols["kind_code"] >= max(len(cols["kind_vocab"]), 1))
-            or any(cols["status_code"] >= max(len(cols["status_vocab"]), 1))
+            # numpy-vectorized bound checks: builtin any() would iterate per element
+            or bool((cols["kind_code"] >= max(len(cols["kind_vocab"]), 1)).any())
+            or bool((cols["status_code"] >= max(len(cols["status_vocab"]), 1)).any())
         ):
             raise CodecError("TOC column inconsistency")
         manifests = {}

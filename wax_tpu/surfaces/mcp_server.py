@@ -713,8 +713,14 @@ def build_server(store_path: str | Path | None = None) -> McpServer:
             )
     except Exception:  # noqa: BLE001 — cache setup is best-effort
         pass
-    cfg = OrchestratorConfig(enable_structured_memory=structured, enable_access_stats=access)
-    orch = MemoryOrchestrator(path, _select_embedder(), config=cfg)
+    cfg = OrchestratorConfig(
+        enable_structured_memory=structured,
+        enable_access_stats=access,
+        # migration escape hatch for an intentional embedder change on an existing
+        # store: WAX_TPU_EMBEDDER_MISMATCH=reindex re-embeds, =ignore keeps stale
+        embedder_mismatch=os.environ.get("WAX_TPU_EMBEDDER_MISMATCH", "error"),
+    )
+    orch = MemoryOrchestrator(path, _select_embedder(path), config=cfg)
     return McpServer(orch, structured_enabled=structured)
 
 
@@ -735,13 +741,34 @@ def _check_license() -> None:
     print(f"[wax-tpu] licensed to {info.licensee}", file=sys.stderr, flush=True)
 
 
-def _select_embedder():
+def _stored_embedder_identity(path: Path) -> str | None:
+    """Peek at an existing store's committed vec-segment embedder identity without
+    taking the writer lease (readonly shared open, closed immediately)."""
+    try:
+        from wax_tpu.storage.store import WaxStore
+
+        if not path.exists() or path.stat().st_size == 0:
+            return None
+        store = WaxStore.open(path, readonly=True)
+        try:
+            man = store.toc.manifests.get("vec")
+            return (man.attrs or {}).get("embedder") if man is not None else None
+        finally:
+            store.close()
+    except Exception:  # noqa: BLE001 — peek is best-effort
+        return None
+
+
+def _select_embedder(store_path: Path | None = None):
     """MCP embedder selection with loud provenance logging (stderr — stdout is the
-    JSON-RPC channel). Env WAX_TPU_EMBEDDER: "auto" (default; real-weights MiniLM
-    when fetched, else the deterministic hash embedder), "minilm" (force — warns
-    LOUDLY if weights are missing and it would serve random-init embeddings), or
-    "hash". The reference ships its MiniLM weights in-package; this environment has
-    no egress, so the fetch step is explicit (scripts/fetch_minilm.py)."""
+    JSON-RPC channel). Env WAX_TPU_EMBEDDER: "auto" (default), "minilm" (force —
+    warns LOUDLY if weights are missing and it would serve random-init embeddings),
+    or "hash". "auto" respects an EXISTING store's embedder first — a store built
+    with the hash embedder keeps working after the user fetches MiniLM weights
+    (switching providers on existing vectors trips the embedder-mismatch guard and
+    would otherwise brick the server at startup); it logs the migration path
+    instead. The reference ships its MiniLM weights in-package; this environment
+    has no egress, so the fetch step is explicit (scripts/fetch_minilm.py)."""
     import sys
 
     choice = os.environ.get("WAX_TPU_EMBEDDER", "auto").lower()
@@ -760,6 +787,20 @@ def _select_embedder():
         log("embedder: deterministic hash (WAX_TPU_EMBEDDER=hash)")
         return HashEmbedder(384)
     ckpt = minilm_dir()
+    if choice == "auto" and store_path is not None:
+        stored = _stored_embedder_identity(Path(store_path))
+        if stored and stored.startswith("hash-embedder"):
+            from wax_tpu.embed.hash_embedder import HashEmbedder
+
+            extra = (
+                " MiniLM weights are available — to migrate this store set "
+                "WAX_TPU_EMBEDDER=minilm WAX_TPU_EMBEDDER_MISMATCH=reindex once "
+                "(re-embeds all content)."
+                if ckpt is not None
+                else ""
+            )
+            log(f"embedder: deterministic hash (matching the existing store).{extra}")
+            return HashEmbedder(384)
     if choice == "minilm" or (choice == "auto" and ckpt is not None):
         from wax_tpu.embed.minilm import MiniLMEmbedder
 

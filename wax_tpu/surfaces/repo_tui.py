@@ -119,7 +119,17 @@ def _render(screen, model: RepoTuiModel) -> None:
 
     screen.erase()
     h, w = screen.getmaxyx()
-    safe = lambda y, x, s, *a: (0 <= y < h) and screen.addnstr(y, x, s, max(0, w - x - 1), *a)
+
+    def safe(y, x, s, *a):
+        # guard BOTH axes and swallow curses errors (addnstr at the last cell of
+        # some terminals raises even in-bounds) — a tiny window must degrade, not
+        # crash the loop
+        if not (0 <= y < h and 0 <= x < w - 1):
+            return
+        try:
+            screen.addnstr(y, x, s, max(0, w - x - 1), *a)
+        except curses.error:
+            pass
     safe(0, 0, f"sift> {model.query}")
     safe(1, 0, "-" * max(0, w - 1))
     list_w = max(20, w // 2)

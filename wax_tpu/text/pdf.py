@@ -522,11 +522,34 @@ class _Doc:
         )
 
     def pages(self) -> list[dict]:
+        """Page dicts in DOCUMENT order: walk the catalog's /Pages /Kids tree
+        (generators emit page objects in arbitrary object-number order, so a plain
+        object scan can concatenate page text out of order); fall back to
+        object-number order when no catalog/tree resolves."""
+        for _num, (d, _raw) in sorted(self.objects.items()):
+            if isinstance(d, dict) and str(d.get("Type", "")) == "Catalog":
+                walked: list[dict] = []
+                self._walk_pages(self.resolve(d.get("Pages")), walked, 0)
+                if walked:
+                    return walked
+                break
         out = []
-        for num, (d, _raw) in sorted(self.objects.items()):
+        for _num, (d, _raw) in sorted(self.objects.items()):
             if isinstance(d, dict) and str(d.get("Type", "")) == "Page":
                 out.append(d)
         return out
+
+    def _walk_pages(self, node, out: list, depth: int) -> None:
+        if not isinstance(node, dict) or depth > 64 or len(out) > 100_000:
+            return
+        t = str(node.get("Type", ""))
+        if t == "Page":
+            out.append(node)
+            return
+        kids = self.resolve(node.get("Kids"))
+        if isinstance(kids, list):
+            for kid in kids:
+                self._walk_pages(self.resolve(kid), out, depth + 1)
 
 
 # ---------------------------------------------------------------------------------
