@@ -23,6 +23,11 @@ class EmbeddingMemoizer:
         self.capacity = capacity
         self._cache: OrderedDict[bytes, np.ndarray] = OrderedDict()
         self.stats = {"hits": 0, "misses": 0}
+        import threading
+
+        # the cache mutates on LOOKUPS (LRU move_to_end); concurrent read-phase
+        # searches need it internally consistent
+        self._lock = threading.Lock()
 
     def _key(self, text: str) -> bytes:
         h = hashlib.sha256()
@@ -34,19 +39,27 @@ class EmbeddingMemoizer:
         return h.digest()
 
     def _put(self, key: bytes, vec: np.ndarray) -> None:
-        self._cache[key] = vec
-        self._cache.move_to_end(key)
-        if len(self._cache) > self.capacity:
-            self._cache.popitem(last=False)
+        with self._lock:
+            self._cache[key] = vec
+            self._cache.move_to_end(key)
+            if len(self._cache) > self.capacity:
+                self._cache.popitem(last=False)
+
+    def _get(self, key: bytes):
+        with self._lock:
+            v = self._cache.get(key)
+            if v is not None:
+                self._cache.move_to_end(key)
+                self.stats["hits"] += 1
+            else:
+                self.stats["misses"] += 1
+            return v
 
     def embed(self, text: str) -> np.ndarray:
         key = self._key(text)
-        v = self._cache.get(key)
+        v = self._get(key)
         if v is not None:
-            self._cache.move_to_end(key)
-            self.stats["hits"] += 1
             return v
-        self.stats["misses"] += 1
         v = np.asarray(self.provider.embed(text), np.float32)
         self._put(key, v)
         return v
@@ -56,13 +69,10 @@ class EmbeddingMemoizer:
         out: list[np.ndarray | None] = []
         missing_idx, missing_texts = [], []
         for i, k in enumerate(keys):
-            v = self._cache.get(k)
+            v = self._get(k)
             if v is not None:
-                self._cache.move_to_end(k)
-                self.stats["hits"] += 1
                 out.append(v)
             else:
-                self.stats["misses"] += 1
                 out.append(None)
                 missing_idx.append(i)
                 missing_texts.append(texts[i])

@@ -59,14 +59,30 @@ _INTERNAL_PREFIX = "wax.internal."
 
 
 def _synchronized(method):
-    """Serialize public entry points — the host-side analogue of the reference's
-    actor isolation (the Wax/engines/orchestrator actors, SURVEY.md §5 race
-    detection). Device work inside stays parallel; only mutable host state is
-    serialized."""
+    """WRITE-phase entry point — exclusive against all readers and writers.
+
+    The host-side analogue of the reference's actor isolation plus its
+    AsyncReadWriteLock read/write phases (SURVEY.md §5 race detection;
+    ReadWriteLock.swift:79-156): mutations are exclusive, while `_synchronized_read`
+    entry points (search/recall/stats) run CONCURRENTLY with each other. Mutable
+    substructures touched on the read path (access stats, embedding memoizer,
+    token-counter LRU, engine snapshot caches) carry their own internal locks."""
 
     @functools.wraps(method)
     def wrapper(self, *args, **kwargs):
-        with self._lock:
+        with self._lock.write():
+            return method(self, *args, **kwargs)
+
+    return wrapper
+
+
+def _synchronized_read(method):
+    """READ-phase entry point — concurrent with other readers, excluded by writers
+    (writer-preferring, so a stream of searches cannot starve a flush)."""
+
+    @functools.wraps(method)
+    def wrapper(self, *args, **kwargs):
+        with self._lock.read():
             return method(self, *args, **kwargs)
 
     return wrapper
@@ -143,7 +159,9 @@ class MemoryOrchestrator:
                     )
             except Exception:  # noqa: BLE001 — cache setup is best-effort
                 pass
-        self._lock = threading.RLock()
+        from wax_tpu.utils.concurrency import RWLock
+
+        self._lock = RWLock()
         self._now = config.clock_ms if config.clock_ms is not None else now_ms
         embedder = embedder if embedder is not None else HashEmbedder()
         validate_on_device(embedder, config.require_on_device_providers)
@@ -424,7 +442,7 @@ class MemoryOrchestrator:
         """Bulk ingest: one embedding forward per batch across documents and one WAL
         batch per store write (reference: the batched-ingest path exercised by
         RAGBenchmarks' batched profiles)."""
-        with self._lock:
+        with self._lock.write():
             self._check_writable()
             ts = timestamp_ms if timestamp_ms is not None else self._now()
             metadatas = metadatas or [{}] * len(contents)
@@ -534,7 +552,7 @@ class MemoryOrchestrator:
         return True
 
     # ----------------------------------------------------------------------- recall ----
-    @_synchronized
+    @_synchronized_read
     def recall(self, query: str, top_k: int | None = None) -> RAGContext:
         with span("orchestrator.recall"):
             ctx = self.rag_builder.build(query, top_k)
@@ -542,7 +560,7 @@ class MemoryOrchestrator:
             self.access_stats.record_batch([i.frame_id for i in ctx.items], self._now())
         return ctx
 
-    @_synchronized
+    @_synchronized_read
     def search(self, request: SearchRequest | str, top_k: int = 10) -> SearchResponse:
         if isinstance(request, str):
             request = SearchRequest(query=request, top_k=top_k)
@@ -551,7 +569,7 @@ class MemoryOrchestrator:
             self.access_stats.record_batch([h.frame_id for h in resp.hits], self._now())
         return resp
 
-    @_synchronized
+    @_synchronized_read
     def timeline(self, time_range: TimeRange | None = None, limit: int | None = None):
         return self.engine.frames.timeline(time_range, limit=limit)
 
@@ -593,7 +611,7 @@ class MemoryOrchestrator:
             tags=(f"session:{sid}",) if sid else (),
         )
 
-    @_synchronized
+    @_synchronized_read
     def handoff_latest(
         self, session_id: str | None = None, project: str | None = None
     ) -> tuple[FrameMeta, str] | None:
@@ -618,7 +636,7 @@ class MemoryOrchestrator:
         self._require_structured()
         return self.structured.entity_upsert(name, kind, aliases)
 
-    @_synchronized
+    @_synchronized_read
     def entity_resolve(self, name_or_alias: str) -> int | None:
         self._require_structured()
         return self.structured.entity_resolve(name_or_alias)
@@ -637,7 +655,7 @@ class MemoryOrchestrator:
         self._require_structured()
         return self.structured.fact_retract(fact_id, valid_to_ms)
 
-    @_synchronized
+    @_synchronized_read
     def facts_query(self, subject=None, predicate=None, as_of_ms=None):
         self._require_structured()
         return self.structured.facts_query(subject, predicate, as_of_ms)
@@ -705,7 +723,7 @@ class MemoryOrchestrator:
         self.close()
 
     # ----------------------------------------------------------------------- stats ----
-    @_synchronized
+    @_synchronized_read
     def runtime_stats(self) -> dict:
         """Operator-facing counters (reference: runtimeStats :608-674)."""
         return {

@@ -17,11 +17,18 @@ class AccessStats:
     def __init__(self):
         self._counts: dict[int, int] = {}
         self._last_ms: dict[int, int] = {}
+        # internal lock: access recording happens on the orchestrator's READ path
+        # (concurrent searches share one RWLock read phase), so the counter
+        # read-modify-write must be atomic on its own
+        import threading
+
+        self._lock = threading.Lock()
 
     def record(self, frame_id: int, now_ms: int) -> None:
         fid = int(frame_id)
-        self._counts[fid] = self._counts.get(fid, 0) + 1
-        self._last_ms[fid] = now_ms
+        with self._lock:
+            self._counts[fid] = self._counts.get(fid, 0) + 1
+            self._last_ms[fid] = now_ms
 
     def record_batch(self, frame_ids, now_ms: int) -> None:
         for fid in frame_ids:

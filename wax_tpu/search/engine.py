@@ -71,6 +71,12 @@ class HybridSearchEngine:
         self._lex_sharded_snap = None
         self._lex_sharded_gen = -1
         self.stats = {"lex_snapshots": 0}
+        import threading
+
+        # snapshot builds are read-triggered cache fills; under the orchestrator's
+        # RW lock multiple readers can race here, and a frozen lex builder's first
+        # snapshot is itself a multi-step construction — serialize just the build
+        self._snap_lock = threading.Lock()
 
     # -- ingest ------------------------------------------------------------------------
     def index_text(self, frame_id: int, text: str) -> None:
@@ -89,20 +95,24 @@ class HybridSearchEngine:
     # -- snapshots ------------------------------------------------------------------------
     def lex_snapshot(self) -> LexIndex:
         if self._lex_snap is None or self._lex_gen != self.lex.generation:
-            self._lex_snap = self.lex.snapshot()
-            self._lex_gen = self.lex.generation
-            self.stats["lex_snapshots"] += 1
+            with self._snap_lock:
+                if self._lex_snap is None or self._lex_gen != self.lex.generation:
+                    self._lex_snap = self.lex.snapshot()
+                    self._lex_gen = self.lex.generation
+                    self.stats["lex_snapshots"] += 1
         return self._lex_snap
 
     def lex_sharded_snapshot(self):
         """Mesh-sharded CSR snapshot, cached per builder generation (like lex_snapshot)."""
         if self._lex_sharded_snap is None or self._lex_sharded_gen != self.lex.generation:
-            from wax_tpu.parallel.sharded_hybrid import shard_lex_index
+            with self._snap_lock:
+                if self._lex_sharded_snap is None or self._lex_sharded_gen != self.lex.generation:
+                    from wax_tpu.parallel.sharded_hybrid import shard_lex_index
 
-            n_rows = int(self.lex_snapshot().doc_len.shape[0])
-            self._lex_sharded_snap = shard_lex_index(self.lex, self.mesh, n_rows)
-            self._lex_sharded_gen = self.lex.generation
-            self.stats["lex_snapshots"] += 1
+                    n_rows = int(self.lex.snapshot().doc_len.shape[0])
+                    self._lex_sharded_snap = shard_lex_index(self.lex, self.mesh, n_rows)
+                    self._lex_sharded_gen = self.lex.generation
+                    self.stats["lex_snapshots"] += 1
         return self._lex_sharded_snap
 
     def embed_query(self, text: str) -> np.ndarray | None:

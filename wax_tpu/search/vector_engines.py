@@ -11,6 +11,8 @@ Top-k clamp: the reference clamps topK <= 10,000 (MetalVectorEngine.swift:18).
 """
 from __future__ import annotations
 
+import threading
+
 from typing import Protocol, runtime_checkable
 
 import jax
@@ -18,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from wax_tpu.index.dense import DenseIndexBuilder, Similarity
+from wax_tpu.utils.concurrency import FreshLockOnCopyMixin
 from wax_tpu.ops.beam_search import hnsw_search
 from wax_tpu.ops.flat_scan import flat_scan_topk
 
@@ -51,7 +54,7 @@ class VectorEngine(Protocol):
     def __contains__(self, frame_id: int) -> bool: ...
 
 
-class FlatVectorEngine:
+class FlatVectorEngine(FreshLockOnCopyMixin):
     """Exact brute-force engine over the fused Pallas scan (snapshot cached per
     builder generation — the analogue of UnifiedSearchEngineCache catch-up)."""
 
@@ -61,6 +64,8 @@ class FlatVectorEngine:
         """`device_dtype`: None keeps f32; `jnp.bfloat16` halves HBM residency (the
         10M x 768 configs); "auto" (default) is f32 until BF16_AUTO_ROWS rows, then
         bf16. Scores always accumulate in f32 on the MXU."""
+        # read-triggered snapshot builds can race under the orchestrator RW lock
+        self._snap_lock = threading.Lock()
         self.builder = DenseIndexBuilder(dim=dim, similarity=similarity)
         self.device_dtype = device_dtype
         self._snap = None
@@ -89,10 +94,16 @@ class FlatVectorEngine:
     def snapshot(self):
         dtype = self._resolve_dtype()
         if self._snap is None or self._snap_gen != self.builder.generation or self._snap_dtype != dtype:
-            self._snap = self.builder.snapshot(device_dtype=dtype)
-            self._snap_gen = self.builder.generation
-            self._snap_dtype = dtype
-            self.snapshot_count += 1
+            with self._snap_lock:
+                if (
+                    self._snap is None
+                    or self._snap_gen != self.builder.generation
+                    or self._snap_dtype != dtype
+                ):
+                    self._snap = self.builder.snapshot(device_dtype=dtype)
+                    self._snap_gen = self.builder.generation
+                    self._snap_dtype = dtype
+                    self.snapshot_count += 1
         return self._snap
 
     def search(self, queries: np.ndarray, k: int):
@@ -117,7 +128,7 @@ class FlatVectorEngine:
         return fid in self.builder
 
 
-class HNSWVectorEngine:
+class HNSWVectorEngine(FreshLockOnCopyMixin):
     """Approximate graph engine (M=16 default, matching USearchVectorEngine.swift:7).
     Uses the native C++ builder when the toolchain is available (6x+ faster host-side
     construction), falling back to the pure-Python builder transparently."""
@@ -125,6 +136,7 @@ class HNSWVectorEngine:
     kind = "hnsw"
 
     def __init__(self, dim: int, m: int = 16, ef_construction: int = 100, ef_search: int = 64):
+        self._snap_lock = threading.Lock()
         from wax_tpu.index.graph_cpp import best_hnsw_builder
 
         self.builder = best_hnsw_builder(dim, m=m, ef_construction=ef_construction)
@@ -148,9 +160,11 @@ class HNSWVectorEngine:
 
     def snapshot(self):
         if self._snap is None or self._snap_gen != self.builder.generation:
-            self._snap = self.builder.snapshot()
-            self._snap_gen = self.builder.generation
-            self.snapshot_count += 1
+            with self._snap_lock:
+                if self._snap is None or self._snap_gen != self.builder.generation:
+                    self._snap = self.builder.snapshot()
+                    self._snap_gen = self.builder.generation
+                    self.snapshot_count += 1
         return self._snap
 
     def search(self, queries: np.ndarray, k: int):
@@ -176,7 +190,7 @@ class HNSWVectorEngine:
         return fid in self.builder
 
 
-class IVFVectorEngine:
+class IVFVectorEngine(FreshLockOnCopyMixin):
     """Approximate bucketed engine — the TPU-idiomatic ANN (see index/ivf.py).
 
     Incremental adds accumulate in a dense builder; the IVF snapshot re-packs lazily.
@@ -194,6 +208,7 @@ class IVFVectorEngine:
         seed: int = 0,
         bucket_dtype=None,
     ):
+        self._snap_lock = threading.Lock()
         self.builder = DenseIndexBuilder(dim=dim, similarity=Similarity.COSINE)
         self.n_clusters = n_clusters
         self.nprobe = nprobe
@@ -285,6 +300,14 @@ class IVFVectorEngine:
     def snapshot(self):
         from wax_tpu.index.ivf import build_ivf
 
+        if self._snap is None or self._snap_gen != self.builder.generation:
+            with self._snap_lock:
+                return self._snapshot_locked(build_ivf)
+        return self._snap
+
+    def _snapshot_locked(self, build_ivf):
+        # IVF snapshot MUTATES engine state (consumes _pending_adds) — unlike the
+        # flat/HNSW cache fills it must be exclusive under concurrent readers
         if self._snap is None or self._snap_gen != self.builder.generation:
             incremental = None
             if (

@@ -21,6 +21,9 @@ class TokenCounter:
     _shared: "TokenCounter | None" = None
 
     def __init__(self, encoder: BpeEncoder | None = None, cache_capacity: int = 4096):
+        import threading
+
+        self._lock = threading.Lock()
         self._encoder = encoder or load_cl100k()
         self._cache: OrderedDict[str, int] = OrderedDict()
         self._capacity = cache_capacity
@@ -54,16 +57,21 @@ class TokenCounter:
 
     def count(self, text: str) -> int:
         self._check(text)
-        cached = self._cache.get(text)
-        if cached is not None:
-            self._cache.move_to_end(text)
-            self.stats["hits"] += 1
-            return cached
-        self.stats["misses"] += 1
+        # the shared counter is hit from concurrent read-phase searches; the LRU
+        # mutates on lookups, so both sides go through the lock (the BPE encode
+        # itself runs outside it)
+        with self._lock:
+            cached = self._cache.get(text)
+            if cached is not None:
+                self._cache.move_to_end(text)
+                self.stats["hits"] += 1
+                return cached
+            self.stats["misses"] += 1
         n = len(self._encoder.encode(text))
-        self._cache[text] = n
-        if len(self._cache) > self._capacity:
-            self._cache.popitem(last=False)
+        with self._lock:
+            self._cache[text] = n
+            if len(self._cache) > self._capacity:
+                self._cache.popitem(last=False)
         return n
 
     def count_batch(self, texts: list[str]) -> list[int]:
