@@ -146,11 +146,22 @@ class DenseIndexBuilder:
     def add(self, frame_id: int, vec: np.ndarray) -> None:
         self.add_batch(np.asarray([frame_id], dtype=np.int64), self._prep(vec))
 
+    def _thaw(self) -> None:
+        """Copy adopted read-only arrays (zero-copy segment loads) before the first
+        in-place mutation; no-op on ordinary writable state."""
+        if not self._emb.flags.writeable:
+            self._emb = self._emb.copy()
+        if not self._frame_ids.flags.writeable:
+            self._frame_ids = self._frame_ids.copy()
+        if not self._active.flags.writeable:
+            self._active = self._active.copy()
+
     def add_batch(self, frame_ids: np.ndarray, vecs: np.ndarray) -> None:
         vecs = self._prep(vecs)
         frame_ids = np.asarray(frame_ids, dtype=np.int64)
         if frame_ids.shape[0] != vecs.shape[0]:
             raise ValueError("frame_ids and vectors length mismatch")
+        self._thaw()
         self._ensure_capacity(vecs.shape[0])
         for fid, v in zip(frame_ids.tolist(), vecs):
             old = self._row_of.pop(fid, None)
@@ -169,6 +180,7 @@ class DenseIndexBuilder:
         row = self._row_of.pop(int(frame_id), None)
         if row is None:
             return False
+        self._thaw()
         self._active[row] = False
         self._frame_ids[row] = -1
         self._emb[row] = 0
@@ -191,8 +203,13 @@ class DenseIndexBuilder:
         )
 
     # -- (de)serialization hooks used by the snapshot store ------------------------
-    def state_arrays(self) -> dict[str, np.ndarray]:
+    def state_arrays(self, *, aligned: bool = False) -> dict[str, np.ndarray]:
+        """Live-prefix views. `aligned=True` pads the row count up to ROW_ALIGN
+        (bounded by capacity, whose allocation is always aligned) so a serialized
+        segment can be ADOPTED zero-copy on load without re-padding."""
         n = self._count
+        if aligned:
+            n = min(self._emb.shape[0], _round_up(max(n, 1), self.ROW_ALIGN))
         return {
             "emb": self._emb[:n],
             "frame_ids": self._frame_ids[:n],
@@ -201,13 +218,38 @@ class DenseIndexBuilder:
 
     @classmethod
     def from_state_arrays(
-        cls, arrays: dict[str, np.ndarray], dim: int, similarity: str = Similarity.COSINE
+        cls,
+        arrays: dict[str, np.ndarray],
+        dim: int,
+        similarity: str = Similarity.COSINE,
+        count: int | None = None,
     ) -> "DenseIndexBuilder":
-        b = cls(dim=dim, similarity=similarity, capacity=max(1, arrays["emb"].shape[0]))
-        n = arrays["emb"].shape[0]
-        b._emb[:n] = arrays["emb"]
-        b._frame_ids[:n] = arrays["frame_ids"]
-        b._active[:n] = arrays["active"]
+        """Rebuild from serialized arrays. When the stored row count is already
+        ROW_ALIGN-aligned (segments written with state_arrays(aligned=True)), the
+        arrays are ADOPTED as-is — zero copies on the cold-open path; the first
+        mutation copies them (_thaw). Unaligned (legacy) inputs copy into a fresh
+        aligned allocation as before. `count` gives the live-prefix length when the
+        arrays carry alignment padding."""
+        rows = arrays["emb"].shape[0]
+        n = rows if count is None else min(int(count), rows)
+        emb = np.asarray(arrays["emb"])
+        fids = np.asarray(arrays["frame_ids"], np.int32)
+        active = np.asarray(arrays["active"], bool)
+        b = cls(dim=dim, similarity=similarity, capacity=1)
+        if rows >= cls.MIN_CAPACITY and rows % cls.ROW_ALIGN == 0 and emb.dtype == b.dtype:
+            b._emb, b._frame_ids, b._active = emb, fids, active
+        else:
+            cap = max(cls.MIN_CAPACITY, _round_up(max(rows, 1), cls.ROW_ALIGN))
+            b._emb = np.zeros((cap, int(dim)), b.dtype)
+            b._frame_ids = np.full((cap,), -1, np.int32)
+            b._active = np.zeros((cap,), bool)
+            b._emb[:rows] = emb
+            b._frame_ids[:rows] = fids
+            b._active[:rows] = active
         b._count = n
-        b._row_of = {int(fid): i for i, fid in enumerate(arrays["frame_ids"]) if fid >= 0 and arrays["active"][i]}
+        b._row_of = {
+            int(fid): i
+            for i, fid in enumerate(np.asarray(arrays["frame_ids"])[:n])
+            if fid >= 0 and arrays["active"][i]
+        }
         return b

@@ -73,7 +73,10 @@ HNSW_FORMAT_V2 = "wxs-hnsw-raw-v2"
 
 
 def serialize_dense(builder: DenseIndexBuilder) -> tuple[bytes, dict[str, str]]:
-    arrays = builder.state_arrays()
+    # aligned=True pads the stored row count to the builder's ROW_ALIGN so the next
+    # open ADOPTS the container views zero-copy (from_state_arrays); the live count
+    # travels in attrs["count"]
+    arrays = builder.state_arrays(aligned=True)
     blob = save_arrays(
         {
             "emb": arrays["emb"].astype(np.float32),
@@ -95,10 +98,12 @@ def deserialize_dense(blob: bytes, attrs: dict[str, str]) -> DenseIndexBuilder:
     if attrs.get("format") not in (DENSE_FORMAT, DENSE_FORMAT_V2):
         raise ValueError(f"unsupported dense segment format {attrs.get('format')!r}")
     data = np.load(io.BytesIO(blob)) if blob[:2] == b"PK" else load_arrays(blob)
+    count = int(attrs["count"]) if attrs.get("count") else None
     return DenseIndexBuilder.from_state_arrays(
         {"emb": data["emb"], "frame_ids": data["frame_ids"], "active": data["active"]},
         dim=int(attrs["dim"]),
         similarity=attrs.get("similarity", "cosine"),
+        count=count,
     )
 
 
