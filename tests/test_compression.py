@@ -72,3 +72,57 @@ class TestLz4:
         # reopen with default (zlib) options: encoding id decodes regardless
         with WaxStore.open(p, StoreOptions(wal_size=256 * 1024)) as s:
             assert s.frame_content(fid) == body
+
+
+class TestCompressionEdges:
+    """Cross-codec interop + adversarial payloads (reference:
+    CompressionInteroperabilityTests breadth)."""
+
+    def test_empty_and_tiny_payloads_stay_raw(self):
+        for data in (b"", b"x", b"short"):
+            payload, enc = compress(data, "zlib")
+            assert enc == ENC_RAW and decompress(payload, enc) == data
+
+    def test_store_written_zlib_read_any_codec_config(self, tmp_path):
+        """The encoding byte travels with the frame: a store written with one
+        codec preference reads fine under another."""
+        from wax_tpu.storage.store import StoreOptions, WaxStore
+
+        p = tmp_path / "x.wxs"
+        s = WaxStore.create(p, StoreOptions(wal_size=256 * 1024, compression="zlib"))
+        fid = s.put(("repeat " * 200).encode())
+        s.commit()
+        s.close()
+        s2 = WaxStore.open(p, StoreOptions(wal_size=256 * 1024, compression="lz4"))
+        assert s2.frame_content(fid) == ("repeat " * 200).encode()
+        s2.close()
+
+    def test_none_codec_never_compresses(self, tmp_path):
+        from wax_tpu.storage.store import StoreOptions, WaxStore
+
+        p = tmp_path / "n.wxs"
+        s = WaxStore.create(p, StoreOptions(wal_size=256 * 1024, compression="none"))
+        fid = s.put(("abc " * 500).encode())
+        s.commit()
+        rec = s.toc.frames[fid]
+        assert rec[4] == ENC_RAW  # stored encoding byte
+        s.close()
+
+    def test_high_entropy_roundtrip(self):
+        import os as _os
+
+        data = _os.urandom(4096)
+        payload, enc = compress(data, "zlib")
+        assert decompress(payload, enc) == data
+        assert enc == ENC_RAW  # store-smaller-only policy on incompressible data
+
+    def test_unknown_encoding_byte_raises(self):
+        with pytest.raises(Exception):
+            decompress(b"whatever", 99)
+
+    def test_decompress_corrupted_zlib_raises(self):
+        payload, enc = compress(b"A" * 10_000, "zlib")
+        assert enc == ENC_ZLIB
+        bad = payload[:-4] + b"\x00\x00\x00\x00"
+        with pytest.raises(Exception):
+            decompress(bad, enc)

@@ -75,3 +75,81 @@ class TestSession:
             resp = s3.search("zanzibar warehouse")
             assert resp.hits and resp.hits[0].frame_id == fid
             assert any(src.value == "bm25" for src in resp.hits[0].sources)
+
+
+class TestSessionMatrix:
+    """Deeper WaxSession flows (reference: WaxSessionTests breadth)."""
+
+    def test_wal_recovered_puts_visible_and_lex_caught_up(self, tmp_path):
+        """Un-committed puts journal in the WAL; a new session must see them in
+        BM25 (the lex catch-up) AND persist them at its own commit."""
+        p = tmp_path / "wal.wxs"
+        s = open_session(p, dim=64, options=OPTS)
+        s.put("uncommitted walrus fact", embedding=EMB.embed("uncommitted walrus fact"))
+        s.store.close()  # close WITHOUT commit: state lives only in the WAL
+        with open_session(p, dim=64, options=OPTS) as s2:
+            assert s2.search("walrus").hits, "WAL-recovered frame invisible to BM25"
+            s2.commit()
+        with open_session(p, dim=64, options=OPTS) as s3:
+            assert s3.search("walrus").hits
+
+    def test_upsert_same_frame_id_via_delete_put(self, tmp_path):
+        with open_session(tmp_path / "u.wxs", dim=64, options=OPTS) as s:
+            fid = s.put("old crocodile info", embedding=EMB.embed("old crocodile info"))
+            s.delete(fid)
+            fid2 = s.put("new crocodile info", embedding=EMB.embed("new crocodile info"))
+            hits = s.search("crocodile info").hits
+            assert [h.frame_id for h in hits] == [fid2]
+
+    def test_binary_content_not_text_indexed(self, tmp_path):
+        with open_session(tmp_path / "bin.wxs", dim=64, options=OPTS) as s:
+            fid = s.put(b"\x00\x01\x02binaryblob", index_text=False)
+            assert s.store.frame_content(fid) == b"\x00\x01\x02binaryblob"
+            resp = s.search("binaryblob")
+            # not lexically indexed: any hit comes from the timeline FALLBACK lane
+            assert resp.lane_counts["bm25"] == 0
+            from wax_tpu.types import LaneSource
+
+            assert all(h.sources == (LaneSource.TEMPORAL,) for h in resp.hits)
+
+    def test_commit_persists_both_engines(self, tmp_path):
+        p = tmp_path / "both.wxs"
+        with open_session(p, dim=64, options=OPTS) as s:
+            s.put("vector and text doc", embedding=EMB.embed("vector and text doc"))
+            s.commit()
+        with open_session(p, dim=64, options=OPTS) as s2:
+            m = s2.store.toc.manifests
+            assert "lex" in m and "vec" in m
+            from wax_tpu.types import SearchMode, SearchRequest
+
+            assert s2.search(SearchRequest(query="vector text", mode=SearchMode.TEXT_ONLY)).hits
+            q = EMB.embed("vector and text doc")
+            assert s2.search(SearchRequest(query="vector and text doc", embedding=q,
+                                           mode=SearchMode.VECTOR_ONLY)).hits
+
+    def test_vector_preference_hnsw(self, tmp_path):
+        with open_session(tmp_path / "h.wxs", dim=64, options=OPTS, vector_preference="hnsw") as s:
+            texts = [f"hnsw doc {i}" for i in range(50)]
+            s.put_batch(texts, embeddings=EMB.embed_batch(texts))
+            assert s.engine.vector.kind == "hnsw"
+            assert s.search("hnsw doc 7").hits
+            s.commit()
+        with open_session(tmp_path / "h.wxs", dim=64, options=OPTS, vector_preference="hnsw") as s2:
+            assert s2.engine.vector.kind == "hnsw"
+            assert s2.search("hnsw doc").hits
+
+    def test_double_commit_stable(self, tmp_path):
+        p = tmp_path / "dc.wxs"
+        with open_session(p, dim=64, options=OPTS) as s:
+            s.put("stable doc", embedding=EMB.embed("stable doc"))
+            g1 = s.commit()
+            g2 = s.commit()
+            assert g2 > g1  # commits are new generations even without new writes
+        with open_session(p, dim=64, options=OPTS) as s2:
+            assert s2.search("stable doc").hits
+
+    def test_put_batch_metadata_rows(self, tmp_path):
+        with open_session(tmp_path / "md.wxs", dim=64, options=OPTS) as s:
+            fids = s.put_batch(["one fish", "two fish"], metadatas=[{"n": "1"}, {"n": "2"}])
+            assert s.store.frame_meta(fids[0]).metadata["n"] == "1"
+            assert s.store.frame_meta(fids[1]).metadata["n"] == "2"
