@@ -150,3 +150,42 @@ class TestFairness:
         for t in readers:
             t.join(timeout=10)
         assert ok, "writer starved by continuous readers"
+
+
+class TestAbandonedTickets:
+    def test_exception_in_wait_does_not_deadlock_later_writers(self, monkeypatch):
+        """Round-3 regression: a KeyboardInterrupt escaping cond.wait() used to
+        leak the FIFO ticket and deadlock every future writer."""
+        lock = RWLock()
+        boom = {"armed": True}
+        orig_wait = lock._cond.wait
+
+        def flaky_wait(timeout=None):
+            if boom["armed"]:
+                boom["armed"] = False
+                raise KeyboardInterrupt
+            return orig_wait(timeout)
+
+        failed = threading.Event()
+        acquired = threading.Event()
+
+        def doomed_writer():
+            try:
+                lock.acquire_write()
+            except KeyboardInterrupt:
+                failed.set()
+
+        def later_writer():
+            with lock.write():
+                acquired.set()
+
+        with lock.read():  # forces the doomed writer into wait()
+            monkeypatch.setattr(lock._cond, "wait", flaky_wait)
+            t1 = threading.Thread(target=doomed_writer)
+            t1.start()
+            assert failed.wait(timeout=10), "doomed writer did not raise"
+            t1.join(timeout=10)
+        t2 = threading.Thread(target=later_writer)
+        t2.start()
+        assert acquired.wait(timeout=10), "later writer deadlocked on leaked ticket"
+        t2.join(timeout=10)

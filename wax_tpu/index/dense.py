@@ -235,7 +235,13 @@ class DenseIndexBuilder:
         emb = np.asarray(arrays["emb"])
         fids = np.asarray(arrays["frame_ids"], np.int32)
         active = np.asarray(arrays["active"], bool)
-        b = cls(dim=dim, similarity=similarity, capacity=1)
+        # bypass __init__: it would allocate MIN_CAPACITY arrays that both branches
+        # below immediately replace (wasted MBs on the cold-open path)
+        b = cls.__new__(cls)
+        b.dim = int(dim)
+        b.similarity = similarity
+        b.dtype = np.dtype(np.float32)
+        b._generation = 0
         if rows >= cls.MIN_CAPACITY and rows % cls.ROW_ALIGN == 0 and emb.dtype == b.dtype:
             b._emb, b._frame_ids, b._active = emb, fids, active
         else:

@@ -186,6 +186,12 @@ class LexIndexBuilder:
     def query_term_ids(self, query: str) -> list[int]:
         return self.term_ids(analyze(query))
 
+    def row_space(self) -> int:
+        """Padded row-space size a snapshot of the current state will use (without
+        building one) — n_cap in LexIndex terms."""
+        n = len(self._frozen["frame_ids"]) if self._frozen is not None else len(self._doc_len)
+        return max(128, _round_up(max(n, 1), 128))
+
     def df(self, tid: int) -> int:
         """Document frequency of a term id (for idf-head selection of very long
         queries — ops/bm25.py pad_term_ids)."""

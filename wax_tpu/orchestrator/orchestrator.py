@@ -442,80 +442,79 @@ class MemoryOrchestrator:
         """Bulk ingest: one embedding forward per batch across documents and one WAL
         batch per store write (reference: the batched-ingest path exercised by
         RAGBenchmarks' batched profiles)."""
-        with self._lock.write():
-            self._check_writable()
-            ts = timestamp_ms if timestamp_ms is not None else self._now()
-            metadatas = metadatas or [{}] * len(contents)
-            tags = (f"session:{self.session_id}",) if self.session_id else ()
+        self._check_writable()
+        ts = timestamp_ms if timestamp_ms is not None else self._now()
+        metadatas = metadatas or [{}] * len(contents)
+        tags = (f"session:{self.session_id}",) if self.session_id else ()
 
-            # plan all frames first (frame ids are assigned densely, so document and
-            # chunk ids are known up front), then issue ONE store batch — a single
-            # WAL append covers the whole ingest
-            next_id = self.store.next_frame_id
-            items: list[tuple[str, dict]] = []
-            plan: list[tuple[int, tuple[int, ...]]] = []  # (doc_id, chunk_ids)
-            texts: list[str] = []
-            targets: list[int] = []
-            for content, metadata in zip(contents, metadatas):
-                chunks = chunk_text(content, self.config.chunking, self.counter)
-                doc_id = next_id
-                items.append(
-                    (
-                        content,
-                        dict(
-                            kind=FrameKind.DOCUMENT.value,
-                            timestamp_ms=ts,
-                            metadata=dict(metadata),
-                            tags=tags,
-                            search_text=content if len(chunks) <= 1 else None,
-                            chunk_count=len(chunks) if len(chunks) > 1 else None,
-                        ),
-                    )
+        # plan all frames first (frame ids are assigned densely, so document and
+        # chunk ids are known up front), then issue ONE store batch — a single
+        # WAL append covers the whole ingest
+        next_id = self.store.next_frame_id
+        items: list[tuple[str, dict]] = []
+        plan: list[tuple[int, tuple[int, ...]]] = []  # (doc_id, chunk_ids)
+        texts: list[str] = []
+        targets: list[int] = []
+        for content, metadata in zip(contents, metadatas):
+            chunks = chunk_text(content, self.config.chunking, self.counter)
+            doc_id = next_id
+            items.append(
+                (
+                    content,
+                    dict(
+                        kind=FrameKind.DOCUMENT.value,
+                        timestamp_ms=ts,
+                        metadata=dict(metadata),
+                        tags=tags,
+                        search_text=content if len(chunks) <= 1 else None,
+                        chunk_count=len(chunks) if len(chunks) > 1 else None,
+                    ),
                 )
-                next_id += 1
-                chunk_ids: list[int] = []
-                if len(chunks) <= 1:
-                    texts.append(content)
-                    targets.append(doc_id)
-                else:
-                    for c in chunks:
-                        items.append(
-                            (
-                                c.text,
-                                dict(
-                                    kind=FrameKind.CHUNK.value,
-                                    timestamp_ms=ts,
-                                    parent_id=doc_id,
-                                    chunk_index=c.index,
-                                    chunk_count=len(chunks),
-                                    tags=tags,
-                                    search_text=c.text,
-                                ),
-                            )
+            )
+            next_id += 1
+            chunk_ids: list[int] = []
+            if len(chunks) <= 1:
+                texts.append(content)
+                targets.append(doc_id)
+            else:
+                for c in chunks:
+                    items.append(
+                        (
+                            c.text,
+                            dict(
+                                kind=FrameKind.CHUNK.value,
+                                timestamp_ms=ts,
+                                parent_id=doc_id,
+                                chunk_index=c.index,
+                                chunk_count=len(chunks),
+                                tags=tags,
+                                search_text=c.text,
+                            ),
                         )
-                        chunk_ids.append(next_id)
-                        next_id += 1
-                        texts.append(c.text)
-                    targets.extend(chunk_ids)
-                plan.append((doc_id, tuple(chunk_ids)))
+                    )
+                    chunk_ids.append(next_id)
+                    next_id += 1
+                    texts.append(c.text)
+                targets.extend(chunk_ids)
+            plan.append((doc_id, tuple(chunk_ids)))
 
-            # store sub-batches of bounded size: one WAL append must always fit the
-            # ring (an append larger than the whole ring cannot be journaled)
-            assigned: list[int] = []
-            for i in range(0, len(items), 1024):
-                assigned.extend(self.store.put_batch(items[i : i + 1024]))
-            assert assigned[0] == plan[0][0] if plan else True
-            if self.config.enable_text_search:
-                for fid, text in zip(targets, texts):
-                    self.engine.index_text(fid, text)
-            if self.config.enable_vector_search and texts:
-                bs = self.config.embed_batch_size
-                for i in range(0, len(texts), bs):
-                    vecs = self.memoizer.embed_batch(texts[i : i + bs])
-                    batch_targets = targets[i : i + bs]
-                    self.store.put_embedding_batch(list(batch_targets), vecs)
-                    self.engine.index_embedding_batch(batch_targets, vecs)
-            return [RememberResult(d, c) for d, c in plan]
+        # store sub-batches of bounded size: one WAL append must always fit the
+        # ring (an append larger than the whole ring cannot be journaled)
+        assigned: list[int] = []
+        for i in range(0, len(items), 1024):
+            assigned.extend(self.store.put_batch(items[i : i + 1024]))
+        assert assigned[0] == plan[0][0] if plan else True
+        if self.config.enable_text_search:
+            for fid, text in zip(targets, texts):
+                self.engine.index_text(fid, text)
+        if self.config.enable_vector_search and texts:
+            bs = self.config.embed_batch_size
+            for i in range(0, len(texts), bs):
+                vecs = self.memoizer.embed_batch(texts[i : i + bs])
+                batch_targets = targets[i : i + bs]
+                self.store.put_embedding_batch(list(batch_targets), vecs)
+                self.engine.index_embedding_batch(batch_targets, vecs)
+        return [RememberResult(d, c) for d, c in plan]
 
     @_synchronized
     def remember_file(self, path: str | Path, **kwargs) -> RememberResult:

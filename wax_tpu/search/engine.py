@@ -109,7 +109,7 @@ class HybridSearchEngine:
                 if self._lex_sharded_snap is None or self._lex_sharded_gen != self.lex.generation:
                     from wax_tpu.parallel.sharded_hybrid import shard_lex_index
 
-                    n_rows = int(self.lex.snapshot().doc_len.shape[0])
+                    n_rows = self.lex.row_space()
                     self._lex_sharded_snap = shard_lex_index(self.lex, self.mesh, n_rows)
                     self._lex_sharded_gen = self.lex.generation
                     self.stats["lex_snapshots"] += 1

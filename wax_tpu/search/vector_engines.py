@@ -381,11 +381,17 @@ class ShardedFlatVectorEngine(FlatVectorEngine):
 
         dtype = self._resolve_dtype()
         if self._snap is None or self._snap_gen != self.builder.generation or self._snap_dtype != dtype:
-            self._snap = self.builder.snapshot(device_dtype=dtype)
-            self._sharded = shard_dense_index(self._snap, self.mesh)
-            self._snap_gen = self.builder.generation
-            self._snap_dtype = dtype
-            self.snapshot_count += 1
+            with self._snap_lock:  # concurrent readers must not double-build/shard
+                if (
+                    self._snap is None
+                    or self._snap_gen != self.builder.generation
+                    or self._snap_dtype != dtype
+                ):
+                    self._snap = self.builder.snapshot(device_dtype=dtype)
+                    self._sharded = shard_dense_index(self._snap, self.mesh)
+                    self._snap_gen = self.builder.generation
+                    self._snap_dtype = dtype
+                    self.snapshot_count += 1
         return self._sharded
 
     def search(self, queries: np.ndarray, k: int):

@@ -144,15 +144,84 @@ def _span_hash(fact_hash: str, valid_from: int, valid_to: int | None) -> str:
     return hashlib.sha256(f"{fact_hash}\x00{valid_from}\x00{valid_to}".encode()).hexdigest()
 
 
+class _EagerCursor:
+    """Fully-fetched result of one locked execute (safe to consume lock-free)."""
+
+    __slots__ = ("_rows", "lastrowid", "rowcount", "_i")
+
+    def __init__(self, rows, lastrowid, rowcount=-1):
+        self._rows = rows
+        self.lastrowid = lastrowid
+        self.rowcount = rowcount
+        self._i = 0
+
+    def fetchone(self):
+        if self._i >= len(self._rows):
+            return None
+        row = self._rows[self._i]
+        self._i += 1
+        return row
+
+    def fetchall(self):
+        rows = self._rows[self._i :]
+        self._i = len(self._rows)
+        return rows
+
+    def __iter__(self):
+        while True:
+            row = self.fetchone()
+            if row is None:
+                return
+            yield row
+
+
+class _LockedConn:
+    """Thread-safe facade over one sqlite3 connection: every statement executes and
+    fetches under an RLock, returning eager cursors."""
+
+    def __init__(self, conn: sqlite3.Connection):
+        import threading
+
+        self._conn = conn
+        self._lock = threading.RLock()
+
+    def execute(self, sql, params=()):
+        with self._lock:
+            cur = self._conn.execute(sql, params)
+            rows = cur.fetchall() if cur.description is not None else []
+            return _EagerCursor(rows, cur.lastrowid, cur.rowcount)
+
+    def executescript(self, script):
+        with self._lock:
+            self._conn.executescript(script)
+
+    def commit(self):
+        with self._lock:
+            self._conn.commit()
+
+    def serialize(self):
+        with self._lock:
+            return self._conn.serialize()
+
+    def close(self):
+        with self._lock:
+            self._conn.close()
+
+
 class StructuredMemory:
     def __init__(
         self,
         conn: sqlite3.Connection | None = None,
         now: Callable[[], int] | None = None,
     ):
-        # check_same_thread=False: access is serialized by the orchestrator's
-        # entry-point lock (sqlite3 builds with SQLITE_THREADSAFE are fine with this)
-        self.conn = conn if conn is not None else sqlite3.connect(":memory:", check_same_thread=False)
+        # check_same_thread=False + an internal lock: since round 3 the
+        # orchestrator's READ phase runs concurrently (facts_query/entity_resolve
+        # and the evidence lane inside every hybrid search), and a shared sqlite3
+        # connection must not execute statements from two threads at once on
+        # SQLITE_THREADSAFE=2 builds. _LockedConn serializes execution AND row
+        # fetching (cursors re-enter the connection on iteration).
+        raw = conn if conn is not None else sqlite3.connect(":memory:", check_same_thread=False)
+        self.conn = raw if isinstance(raw, _LockedConn) else _LockedConn(raw)
         self.conn.executescript(_SCHEMA)
         # injectable clock for deterministic bitemporal replay (reference:
         # TimestampOverrideTests / deterministicNowMs)

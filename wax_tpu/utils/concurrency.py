@@ -60,6 +60,9 @@ class RWLock:
         # — and starve other writers indefinitely
         self._w_next_ticket = 0
         self._w_serving = 0
+        # tickets abandoned by waiters that raised out of wait() (KeyboardInterrupt
+        # etc.) — the serving counter must skip them or every later writer deadlocks
+        self._w_abandoned: set[int] = set()
         self._local = threading.local()
 
     def _rdepth(self) -> int:
@@ -103,6 +106,7 @@ class RWLock:
             ticket = self._w_next_ticket
             self._w_next_ticket += 1
             self._writers_waiting += 1
+            acquired = False
             try:
                 while (
                     self._w_serving != ticket
@@ -110,10 +114,25 @@ class RWLock:
                     or self._active_readers > 0
                 ):
                     self._cond.wait()
+                self._writer = me
+                self._writer_depth = 1
+                acquired = True
             finally:
                 self._writers_waiting -= 1
-            self._writer = me
-            self._writer_depth = 1
+                if not acquired:
+                    # an exception escaped wait(): retire this ticket so the FIFO
+                    # never stalls on it
+                    if self._w_serving == ticket:
+                        self._advance_serving()
+                    else:
+                        self._w_abandoned.add(ticket)
+                    self._cond.notify_all()
+
+    def _advance_serving(self) -> None:
+        self._w_serving += 1
+        while self._w_serving in self._w_abandoned:
+            self._w_abandoned.discard(self._w_serving)
+            self._w_serving += 1
 
     def release_write(self) -> None:
         with self._cond:
@@ -122,7 +141,7 @@ class RWLock:
             self._writer_depth -= 1
             if self._writer_depth == 0:
                 self._writer = None
-                self._w_serving += 1
+                self._advance_serving()
                 self._cond.notify_all()
 
     # ------------------------------------------------------------- contextmgrs ----

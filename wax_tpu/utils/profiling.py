@@ -8,12 +8,16 @@ runtime stats) and adds the TPU-native piece: `device_trace` wraps
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 
 __all__ = ["device_trace", "span", "span_stats", "reset_spans"]
 
 _spans: dict[str, list[float]] = defaultdict(list)
+# spans record from the orchestrator's CONCURRENT read phase; snapshotting under
+# the same lock keeps span_stats() from iterating a dict being resized
+_spans_lock = threading.Lock()
 
 
 @contextlib.contextmanager
@@ -32,12 +36,16 @@ def span(name: str):
     try:
         yield
     finally:
-        _spans[name].append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        with _spans_lock:
+            _spans[name].append(dt)
 
 
 def span_stats() -> dict[str, dict]:
     out = {}
-    for name, times in _spans.items():
+    with _spans_lock:
+        snapshot = {name: list(times) for name, times in _spans.items()}
+    for name, times in snapshot.items():
         s = sorted(times)
         n = len(s)
         out[name] = {
@@ -50,4 +58,5 @@ def span_stats() -> dict[str, dict]:
 
 
 def reset_spans() -> None:
-    _spans.clear()
+    with _spans_lock:
+        _spans.clear()
