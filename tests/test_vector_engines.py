@@ -271,3 +271,55 @@ class TestIVFIncrementalAdds:
                 oracle = ids[np.argsort(-(qn @ mat.T), axis=1)[:, :k]]
                 for r in range(2):
                     assert set(fids[r, :k].tolist()) == set(oracle[r].tolist()), step
+
+
+class TestIVFEngineSpill:
+    def test_spilled_engine_builds_and_searches(self, tmp_path):
+        import numpy as np
+
+        from wax_tpu.search.vector_engines import IVFVectorEngine
+
+        rng = np.random.default_rng(4)
+        centers = rng.standard_normal((16, 32)).astype(np.float32) * 3
+        vecs = centers[rng.integers(0, 16, 4096)] + rng.standard_normal((4096, 32)).astype(np.float32)
+        eng = IVFVectorEngine(dim=32, n_clusters=16, spill="auto")
+        eng.add_batch(np.arange(4096), vecs)
+        vals, fids = eng.search(vecs[:4], k=5)
+        assert eng._snap.spilled
+        for r in range(4):
+            assert fids[r][0] == r  # self-match survives dedup
+            live = fids[r][fids[r] >= 0]
+            assert len(live) == len(set(live.tolist()))
+
+    def test_spilled_engine_adds_force_full_repack(self):
+        import numpy as np
+
+        from wax_tpu.search.vector_engines import IVFVectorEngine
+
+        rng = np.random.default_rng(5)
+        eng = IVFVectorEngine(dim=16, n_clusters=8, spill="auto")
+        eng.add_batch(np.arange(512), rng.standard_normal((512, 16)).astype(np.float32))
+        eng.search(rng.standard_normal((1, 16)).astype(np.float32), k=3)
+        eng.add_batch(np.arange(512, 520), rng.standard_normal((8, 16)).astype(np.float32))
+        eng.search(rng.standard_normal((1, 16)).astype(np.float32), k=3)
+        assert eng.incremental_count == 0  # spill disables in-place slotting
+        assert eng._snap.spilled
+
+    def test_spill_survives_serialization(self):
+        import numpy as np
+
+        from wax_tpu.orchestrator.serialization import (
+            deserialize_vector_engine,
+            serialize_vector_engine,
+        )
+        from wax_tpu.search.vector_engines import IVFVectorEngine
+
+        rng = np.random.default_rng(6)
+        eng = IVFVectorEngine(dim=16, n_clusters=8, spill="auto")
+        eng.add_batch(np.arange(256), rng.standard_normal((256, 16)).astype(np.float32))
+        blob, attrs = serialize_vector_engine(eng)
+        assert attrs["spill"] == "auto"
+        eng2 = deserialize_vector_engine(blob, attrs)
+        assert eng2.spill == "auto"
+        eng2.search(rng.standard_normal((1, 16)).astype(np.float32), k=3)
+        assert eng2._snap.spilled

@@ -144,6 +144,7 @@ def _serialize_vector_engine(engine) -> tuple[bytes, dict[str, str]]:
             nprobe=str(engine.nprobe),
             seed=str(engine.seed),
             n_clusters="" if engine.n_clusters is None else str(engine.n_clusters),
+            spill=str(engine.spill),
         )
         return blob, attrs
     raise ValueError(f"unknown vector engine kind {engine.kind!r}")
@@ -175,11 +176,14 @@ def deserialize_vector_engine(blob: bytes, attrs: dict[str, str]):
         from wax_tpu.search.vector_engines import IVFVectorEngine
 
         builder = deserialize_dense(blob, attrs)
+        spill_raw = attrs.get("spill", "0.0")
+        spill = spill_raw if spill_raw == "auto" else float(spill_raw or 0.0)
         eng = IVFVectorEngine(
             dim=builder.dim,
             n_clusters=int(attrs["n_clusters"]) if attrs.get("n_clusters") else None,
             nprobe=int(attrs.get("nprobe", "8")),
             seed=int(attrs.get("seed", "0")),
+            spill=spill,
         )
         eng.builder = builder
         return eng

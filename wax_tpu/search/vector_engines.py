@@ -207,13 +207,19 @@ class IVFVectorEngine(FreshLockOnCopyMixin):
         nprobe: int = 8,
         seed: int = 0,
         bucket_dtype=None,
+        spill: float | str = 0.0,
     ):
+        """`spill` enables boundary replication at FULL rebuilds (build_ivf(spill=...)
+        — the recall lever at serving scale). It consumes the bucket slack that
+        incremental adds would otherwise use, so a spilled engine always re-packs on
+        new adds instead of slotting them in place."""
         self._snap_lock = threading.Lock()
         self.builder = DenseIndexBuilder(dim=dim, similarity=Similarity.COSINE)
         self.n_clusters = n_clusters
         self.nprobe = nprobe
         self.seed = seed
         self.bucket_dtype = bucket_dtype
+        self.spill = spill
         self._snap = None
         self._snap_gen = -1
         self._trained_count = 0
@@ -313,6 +319,7 @@ class IVFVectorEngine(FreshLockOnCopyMixin):
             if (
                 self._snap is not None
                 and not self._needs_full
+                and not self.spill  # spill consumed the slack incremental adds need
                 and self._pending_adds
                 and len(self.builder) <= 2 * max(self._trained_count, 1)
             ):
@@ -327,7 +334,7 @@ class IVFVectorEngine(FreshLockOnCopyMixin):
                 fids = state["frame_ids"][live]
                 self._snap = build_ivf(
                     vecs, fids, n_clusters=self.n_clusters, seed=self.seed,
-                    bucket_dtype=self.bucket_dtype,
+                    bucket_dtype=self.bucket_dtype, spill=self.spill,
                 )
                 self._trained_count = len(vecs)
                 self._needs_full = False
