@@ -46,29 +46,43 @@ _MONTH_DAY_RE = re.compile(
 )
 
 
+_ISO_DATE_RE = re.compile(r"\b(\d{4})-(\d{1,2})-(\d{1,2})\b")
+
+
 def date_keys(text: str) -> tuple[str, ...]:
-    """Canonical date keys ("MM-DD" / "YYYY-MM-DD") from date literals, so "March 14"
-    and "3/14" compare equal during reranking (reference: QueryAnalyzer
-    normalizedDateKeys, QueryAnalyzer.swift)."""
+    """Canonical date keys ("MM-DD" / "YYYY-MM-DD") from date literals, so "March 14",
+    "3/14" and "2024-03-14" compare equal during reranking (reference: QueryAnalyzer
+    normalizedDateKeys, QueryAnalyzer.swift). Year-qualified literals emit BOTH the
+    full key and the bare MM-DD key, so a year-less mention still anchors to them.
+    """
     keys: list[str] = []
-    for m, d, y in _NUM_DATE_RE.findall(text):
-        mo, day = int(m), int(d)
+
+    def emit(mo: int, day: int, year: int | None) -> None:
         if not (1 <= mo <= 12 and 1 <= day <= 31):
-            continue
-        key = f"{mo:02d}-{day:02d}"
+            return
+        bare = f"{mo:02d}-{day:02d}"
+        if year is not None:
+            keys.append(f"{year:04d}-{bare}")
+        keys.append(bare)
+
+    iso_spans = []
+    for m in _ISO_DATE_RE.finditer(text):
+        emit(int(m.group(2)), int(m.group(3)), int(m.group(1)))
+        iso_spans.append(m.span())
+    # mask ISO matches so the M/D[/Y] pass cannot re-parse their "MM-DD" tail
+    masked = text
+    for a, b in reversed(iso_spans):
+        masked = masked[:a] + " " * (b - a) + masked[b:]
+    for m, d, y in _NUM_DATE_RE.findall(masked):
+        year = None
         if y:
             yy = int(y)
-            if yy < 100:
-                yy += 2000 if yy < 70 else 1900
-            key = f"{yy:04d}-{key}"
-        keys.append(key)
+            year = yy + (2000 if yy < 70 else 1900) if yy < 100 else yy
+        emit(int(m), int(d), year)
     for name, d, y in _MONTH_DAY_RE.findall(text):
         if not d:
             continue
-        key = f"{_MONTHS[name.lower()]:02d}-{int(d):02d}"
-        if y:
-            key = f"{int(y):04d}-{key}"
-        keys.append(key)
+        emit(_MONTHS[name.lower()], int(d), int(y) if y else None)
     return tuple(dict.fromkeys(keys))
 
 
