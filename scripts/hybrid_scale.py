@@ -63,6 +63,7 @@ def main() -> None:
         emb=emb,
         frame_ids=jnp.asarray(np.arange(N, dtype=np.int32)),
         bias=jnp.zeros((N,), jnp.float32),
+        contiguous=True,  # fully-live synthetic corpus: enables the chunkmax lane
     )
     tids0 = jnp.asarray(rng.integers(0, T, (B, QT)).astype(np.int32))
 
@@ -70,7 +71,7 @@ def main() -> None:
 
         @jax.jit
         def chained(q, iters, tids, demb, dfid, dbias, ldr, ltf, loff, lidf, ldl, llive, lfid, lbase):
-            dn = ShardedDenseIndex(emb=demb, frame_ids=dfid, bias=dbias)
+            dn = ShardedDenseIndex(emb=demb, frame_ids=dfid, bias=dbias, contiguous=True)
             lx = ShardedLexIndex(
                 doc_rows=ldr, tfs=ltf, offsets=loff, idf=lidf, doc_len=ldl,
                 frame_ids=lfid, live=llive, row_base=lbase, avgdl=lex.avgdl, max_df=max_df,

@@ -145,3 +145,70 @@ class TestOrchestratorShardedLanes:
                     for q in ("quantum detail", "river note", "market domain detail")
                 ]
         assert results["sharded"] == results["default"]
+
+
+class TestChunkmaxDenseLane:
+    def test_chunkmax_lane_matches_blockmax_lane(self, monkeypatch):
+        """The large-shard dense backend (chunkmax) must return the same hybrid
+        results as the default blockmax lane (threshold lowered to exercise it on
+        the CPU mesh; 2048-row shard, 1 device keeps alignment)."""
+        import wax_tpu.parallel.sharded_hybrid as sh
+        from wax_tpu.embed.hash_embedder import HashEmbedder
+
+        rng = np.random.default_rng(11)
+        n = 2048
+        docs = [(i, f"chunky doc {i} about {TOPICS[i % len(TOPICS)]}") for i in range(n)]
+        emb = HashEmbedder(64)
+        vecs = emb.embed_batch([t for _, t in docs])
+        dense_b = DenseIndexBuilder(dim=64)
+        dense_b.add_batch(np.asarray([fid for fid, _ in docs]), vecs)
+        lex_b = LexIndexBuilder()
+        lex_b.add_batch(docs)
+        mesh = data_mesh(1)
+        snap = dense_b.snapshot()
+        assert snap.contiguous and snap.capacity % 2048 == 0
+        sharded_d = shard_dense_index(snap, mesh)
+        assert sharded_d.contiguous
+        sharded_l = shard_lex_index(lex_b, mesh, n_rows_global=int(sharded_d.emb.shape[0]))
+        q = normalize_rows(jnp.asarray(emb.embed_batch(["quantum domain doc"])))
+        from wax_tpu.ops.bm25 import pad_term_ids
+
+        tids = jnp.asarray(pad_term_ids(lex_b.query_term_ids("quantum domain"))[None, :])
+
+        v_block, f_block = sharded_hybrid_topk(q, tids, sharded_d, sharded_l, 10, mesh)
+        monkeypatch.setattr(sh, "_CHUNKMAX_MIN_LOCAL_ROWS", 1024)
+        v_chunk, f_chunk = sharded_hybrid_topk(q, tids, sharded_d, sharded_l, 10, mesh)
+        np.testing.assert_array_equal(np.asarray(f_block), np.asarray(f_chunk))
+        np.testing.assert_allclose(np.asarray(v_block), np.asarray(v_chunk), rtol=1e-5)
+
+    def test_tombstoned_shard_stays_on_blockmax(self, monkeypatch):
+        """A non-contiguous (tombstoned) index must NOT take the chunkmax lane
+        (its rescore assumes prefix liveness) — and results stay correct."""
+        import wax_tpu.parallel.sharded_hybrid as sh
+        from wax_tpu.embed.hash_embedder import HashEmbedder
+
+        n = 2048
+        docs = [(i, f"tomb doc {i} about {TOPICS[i % len(TOPICS)]}") for i in range(n)]
+        emb = HashEmbedder(64)
+        vecs = emb.embed_batch([t for _, t in docs])
+        dense_b = DenseIndexBuilder(dim=64)
+        dense_b.add_batch(np.asarray([fid for fid, _ in docs]), vecs)
+        for fid in range(0, 100, 3):
+            dense_b.remove(fid)
+        lex_b = LexIndexBuilder()
+        lex_b.add_batch(docs)
+        for fid in range(0, 100, 3):
+            lex_b.remove(fid)
+        mesh = data_mesh(1)
+        snap = dense_b.snapshot()
+        assert not snap.contiguous
+        sharded_d = shard_dense_index(snap, mesh)
+        sharded_l = shard_lex_index(lex_b, mesh, n_rows_global=int(sharded_d.emb.shape[0]))
+        q = normalize_rows(jnp.asarray(emb.embed_batch(["market domain doc"])))
+        from wax_tpu.ops.bm25 import pad_term_ids
+
+        tids = jnp.asarray(pad_term_ids(lex_b.query_term_ids("market domain"))[None, :])
+        monkeypatch.setattr(sh, "_CHUNKMAX_MIN_LOCAL_ROWS", 1024)
+        v, f = sharded_hybrid_topk(q, tids, sharded_d, sharded_l, 10, mesh)
+        removed = set(range(0, 100, 3))
+        assert removed.isdisjoint(set(int(x) for x in np.asarray(f)[0] if x >= 0))

@@ -96,16 +96,18 @@ def chunkmax_scan_topk(queries: jax.Array, emb: jax.Array, bias: jax.Array, k: i
 
     c_tile = _TN // 128
     nn = n // _TN
+    n_chunks = n // 128
     cm_padded = _chunk_maxima(q, emb, bias, tb, _TN, interpret)[:b_pad]
     cm = cm_padded.reshape(b_pad, nn, 128)[:, :, :c_tile].reshape(b_pad, nn * c_tile)
-    _, chunks = blockmax_topk(cm, k)  # [b_pad, k] winning 128-row chunks
+    # small corpora can have fewer 128-row chunks than k: rescore every chunk then
+    kc = min(k, n_chunks)
+    _, chunks = blockmax_topk(cm, kc)  # [b_pad, kc] winning 128-row chunks
 
     # rescore winning chunks exactly via the IVF DMA kernel: buckets = 128-row chunks
-    n_chunks = n // 128
     emb3 = emb.reshape(n_chunks, 128, d)
     ids2 = jnp.arange(n, dtype=jnp.int32).reshape(n_chunks, 128)
     counts = jnp.sum(bias.reshape(n_chunks, 128) > NEG_INF * 0.5, axis=1).astype(jnp.int32)
     vals, rows = _ivf_rescore(
-        q.astype(jnp.float32), chunks.astype(jnp.int32), counts, emb3, ids2, k, k, interpret
+        q.astype(jnp.float32), chunks.astype(jnp.int32), counts, emb3, ids2, k, kc, interpret
     )
     return vals[:b], rows[:b]

@@ -28,6 +28,11 @@ from wax_tpu.parallel.sharded_scan import ShardedDenseIndex
 
 __all__ = ["ShardedLexIndex", "shard_lex_index", "sharded_hybrid_topk", "sharded_bm25_topk"]
 
+# local-shard row count above which the hybrid's dense lane switches from blockmax
+# to the chunkmax DMA kernel (tests lower this to exercise the path on tiny CPU
+# corpora)
+_CHUNKMAX_MIN_LOCAL_ROWS = 524_288
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -219,6 +224,15 @@ def sharded_hybrid_topk(
     n_shards = mesh.shape[DATA_AXIS]
     w = lex.max_df
     fetch = max(2 * k, 16)
+    # static dense-lane backend choice: chunkmax needs a prefix-live (contiguous)
+    # shard, 2048-aligned local rows, and a rescore-friendly fetch size
+    local_rows = dense.emb.shape[0] // n_shards
+    use_chunkmax = (
+        dense.contiguous
+        and local_rows % 2048 == 0
+        and local_rows >= _CHUNKMAX_MIN_LOCAL_ROWS
+        and min(fetch, local_rows) <= 100
+    )
 
     @functools.partial(
         shard_map,
@@ -233,12 +247,21 @@ def sharded_hybrid_topk(
     )
     def run(q, tids, emb, d_fids, d_bias, doc_rows, tfs, offsets, idf, doc_len, live, l_fids):
         b = q.shape[0]
-        # dense lane
-        scores_d = jax.lax.dot_general(
-            q.astype(emb.dtype), emb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) + d_bias[None, :]
+        # dense lane: chunkmax (DMA rescore, never materializes [B, N_local] in
+        # HBM) once the local shard is large enough for its rescore traffic to
+        # win — 6.1 vs 9.1 ms at 1M f32 (docs/benchmarks.md); below the threshold
+        # blockmax's single materialized pass is faster
         kk_d = min(fetch, emb.shape[0])
-        dv, drows = blockmax_topk(scores_d, kk_d)
+        if use_chunkmax:
+            from wax_tpu.ops.chunkmax_scan import chunkmax_scan_topk
+
+            dv, drows = chunkmax_scan_topk(q.astype(jnp.float32), emb, d_bias[None, :], kk_d)
+        else:
+            scores_d = jax.lax.dot_general(
+                q.astype(emb.dtype), emb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + d_bias[None, :]
+            dv, drows = blockmax_topk(scores_d, kk_d)
         dfid = jnp.where(dv > NEG_INF * 0.5, jnp.take(d_fids, jnp.maximum(drows, 0)), -1)
         dv_g, dfid_g = _gather_merge(dv, dfid, fetch, n_shards, DATA_AXIS)
         # bm25 lane

@@ -15,7 +15,7 @@ shape with the same global row order.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,9 @@ class ShardedDenseIndex:
     emb: jax.Array  # [N_pad, d] sharded over data axis
     frame_ids: jax.Array  # [N_pad] sharded
     bias: jax.Array  # [N_pad] sharded; 0 live, NEG_INF dead
+    # live rows form a dense prefix (tombstone-free source index): each shard's
+    # local rows are then ALSO a prefix, which the chunkmax dense lane requires
+    contiguous: bool = field(metadata=dict(static=True), default=False)
 
 
 def shard_dense_index(index: DenseIndex, mesh: Mesh) -> ShardedDenseIndex:
@@ -64,6 +67,7 @@ def shard_dense_index(index: DenseIndex, mesh: Mesh) -> ShardedDenseIndex:
         emb=shard_rows(mesh, emb),
         frame_ids=shard_rows(mesh, fids),
         bias=shard_rows(mesh, bias),
+        contiguous=index.contiguous,
     )
 
 
