@@ -34,7 +34,9 @@ def _oracle_scores(docs, query_terms):
             df = sum(1 for t in corpus.values() if term in t)
             if df == 0:
                 continue
-            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            idf = math.log((n - df + 0.5) / (df + 0.5))
+            if idf <= 0.0:
+                idf = 1e-6  # FTS5 clamp (fts5_aux.c)
             tf = toks.count(term)
             denom = tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avgdl)
             s += idf * (tf * 2.2) / denom
@@ -127,8 +129,12 @@ class TestScoring:
         assert got == {1, 4}
 
     def test_score_from_rank_mapping(self):
-        assert score_from_rank(-2.0) == pytest.approx(1.0 / 3.0)
-        assert score_from_rank(0.0) == 1.0
+        # reference scoreFromBM25Rank (FTS5SearchEngine.swift:966-970): -rank,
+        # non-finite -> 0
+        assert score_from_rank(-2.0) == pytest.approx(2.0)
+        assert score_from_rank(0.0) == 0.0
+        assert score_from_rank(float("nan")) == 0.0
+        assert score_from_rank(float("inf")) == 0.0
 
 
 class TestLongQueries:

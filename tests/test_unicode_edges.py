@@ -111,7 +111,9 @@ class TestAnalyzerUnicode:
         assert analyze("foo_bar42") == ["foo", "bar42"]
 
     def test_case_fold_unicode(self):
-        assert analyze("STRASSE Straße") == ["strasse", "strasse"]
+        # unicode61 simple fold: ß is NOT expanded to ss (FTS5 ground truth,
+        # tests/test_fts5_parity.py), unlike Python casefold
+        assert analyze("STRASSE Straße") == ["strasse", "straße"]
 
 
 class TestTokenCounterUnicode:

@@ -30,21 +30,54 @@ __all__ = ["LexIndex", "LexIndexBuilder", "analyze", "BM25_K1", "BM25_B"]
 BM25_K1 = 1.2
 BM25_B = 0.75
 
-_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+def _build_tokenizer():
+    """Compile the probed unicode61 tables (text/unicode61_tables.py) into a
+    run-finding regex + a per-char translate map.
+
+    A token is a maximal run of token/internal chars; internal chars (the 25
+    combining diacritics unicode61 strips) delete within a run, token chars map
+    through the simple-fold table. Exactness vs the real FTS5 engine is enforced
+    differentially in tests/test_fts5_parity.py."""
+    from wax_tpu.text.unicode61_tables import (
+        INTERNAL_RANGES,
+        TOKEN_FOLD,
+        TOKEN_RANGES,
+    )
+
+    cls = "".join(
+        f"{chr(a)}-{chr(b)}" if b > a else re.escape(chr(a))
+        for a, b in sorted(TOKEN_RANGES + INTERNAL_RANGES)
+    )
+    run_re = re.compile(f"[{cls}]+")
+    trans: dict[int, str | None] = dict(TOKEN_FOLD)
+    for a, b in INTERNAL_RANGES:
+        for cp in range(a, b + 1):
+            trans[cp] = None
+    return run_re, trans
+
+
+_TOKEN_RUN_RE, _FOLD_TRANS = _build_tokenizer()
 
 
 def analyze(text: str) -> list[str]:
-    """unicode61-style analysis: NFKD case-fold, strip diacritics, split on
-    non-alphanumerics."""
-    text = unicodedata.normalize("NFKD", text).casefold()
-    text = "".join(c for c in text if not unicodedata.combining(c))
-    return _TOKEN_RE.findall(text)
+    """Exact SQLite unicode61 analysis (the reference's tokenizer — FTS5
+    `tokenize='unicode61'`): simple per-char case folding, Latin diacritic
+    removal, split on unicode61 separators. Tables probed from the real engine
+    (scripts/gen_unicode61_tables.py); no NFKC compatibility folding — fullwidth
+    forms, ligatures and ß survive, exactly as FTS5 keeps them."""
+    return [
+        t for m in _TOKEN_RUN_RE.finditer(text) if (t := m.group().translate(_FOLD_TRANS))
+    ]
 
 
 def score_from_rank(rank: float) -> float:
-    """Map an FTS5-style negative-better rank to a positive score in (0, 1],
-    mirroring the reference's scoreFromBM25Rank (FTS5SearchEngine.swift:966)."""
-    return 1.0 / (1.0 + max(0.0, -rank)) if rank <= 0 else 1.0 / (1.0 + rank)
+    """Map an FTS5 negative-better rank to a higher-is-better score, mirroring the
+    reference's scoreFromBM25Rank exactly (FTS5SearchEngine.swift:966-970:
+    non-finite -> 0, else -rank). Our device scorer produces the positive BM25 sum
+    directly, which equals -bm25() — so score_from_rank(fts5_rank) == device score."""
+    import math
+
+    return 0.0 if not math.isfinite(rank) else -rank
 
 
 @jax.tree_util.register_dataclass
@@ -306,7 +339,11 @@ class LexIndexBuilder:
             df = cs[po[1:]] - cs[po[:-1]]
         else:
             df = np.zeros(max(t, 0), np.int64)
-        idf = np.log((live - df + 0.5) / (df + 0.5) + 1.0).astype(np.float32)
+        # SQLite FTS5's exact idf: ln((N - df + 0.5)/(df + 0.5)) clamped to 1e-6
+        # when non-positive (fts5_aux.c bm25; rank-order parity is enforced
+        # differentially against a real FTS5 table in tests/test_fts5_parity.py)
+        idf = np.log((live - df + 0.5) / (df + 0.5)).astype(np.float32)
+        idf = np.where(idf > 0.0, idf, np.float32(1e-6))
         if t == 0:
             idf = np.zeros(1, np.float32)
         sizes = np.diff(po)
@@ -383,8 +420,10 @@ class LexIndexBuilder:
             # idf from the FULL document frequency (truncation changes which postings
             # are scored, never the statistics they are scored with)
             df = sum(1 for r in plist if self._active[r])
-            # BM25+ idf (Lucene/FTS5-style, always positive)
-            idf[tid] = np.log((n_live - df + 0.5) / (df + 0.5) + 1.0)
+            # SQLite FTS5's exact idf (fts5_aux.c bm25): ln((N-df+0.5)/(df+0.5)),
+            # clamped to 1e-6 when non-positive
+            v = np.log((n_live - df + 0.5) / (df + 0.5))
+            idf[tid] = v if v > 0.0 else 1e-6
         max_df = int(max(sizes)) if sizes else 0
 
         return LexIndex(
