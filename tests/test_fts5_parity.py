@@ -347,3 +347,88 @@ class TestMatchEngineParity:
         hits = match_search(b, '"red bicycle"', 5)
         assert hits[0].frame_id == 1
         assert hits[0].instances[0] == ((1, 2),)
+
+
+# ---------------------------------------------------------------------------------
+# 4. snippet() differential (exact string equality incl. window selection)
+# ---------------------------------------------------------------------------------
+
+
+class TestSnippetParity:
+    def _check(self, docs, queries):
+        from wax_tpu.search.snippet import snippet_for_query
+
+        c = make_fts(docs)
+        for q in queries:
+            rows = c.execute(
+                "select rowid, snippet(t,0,'[',']','...',10) from t where t match ?",
+                (q,),
+            ).fetchall()
+            assert rows or all(
+                snippet_for_query(d, q) is not None for d in docs
+            )  # parse at least agrees
+            for rowid, want in rows:
+                got = snippet_for_query(docs[rowid - 1], q)
+                assert got == want, (q, rowid)
+
+    def test_positional_sweep(self):
+        """Window start for a single match at every position (the sweep that
+        pinned down the BOL-window rule and the re-centering formula)."""
+        docs = []
+        for p in range(22):
+            toks = [f"w{i}" for i in range(30)]
+            toks[p] = "zzq"
+            docs.append(" ".join(toks))
+        self._check(docs, ["zzq"])
+
+    def test_probed_cases(self):
+        docs = [
+            "the quick brown fox jumps over the lazy dog while another fox watches",
+            "Hello, World! This is a test. With punctuation; and the target word appears here, near the end.",
+            "short doc",
+            "a b c d e f g target h i j k l m n o p q r s t",
+            "red fox and a fox red herring with red fox again later on and more red fox here",
+            # instance clusters vs singles (the shared-seen / re-centering cases)
+            " ".join("target" if i in (12, 30, 32) else f"w{i}" for i in range(40)),
+            " ".join({5: "alpha", 25: "beta", 27: "gamma"}.get(i, f"w{i}") for i in range(40)),
+            " ".join({2: "alpha", 4: "alpha", 25: "alpha", 27: "beta"}.get(i, f"w{i}") for i in range(45)),
+            " ".join("target" if i in (3, 20, 23) else f"w{i}" for i in range(40)),
+            " ".join(f"w{i}" if i != 12 else "target" for i in range(14)),
+        ]
+        self._check(
+            docs,
+            [
+                "fox", "target", "quick dog", '"brown fox"', "doc",
+                "hello test", '"red fox" OR herring', "fo*",
+                "NEAR(red fox, 2)", "alpha OR beta", "alpha OR beta OR gamma",
+                "^red", "red + fox",
+            ],
+        )
+
+    def test_fuzzed_snippets(self):
+        rng = random.Random(7)
+        docs = _zipf_docs(9, 120, VOCAB)
+        t = lambda: rng.choice(VOCAB)  # noqa: E731
+        queries = []
+        for _ in range(30):
+            kind = rng.randint(0, 4)
+            if kind == 0:
+                queries.append(t())
+            elif kind == 1:
+                queries.append(f'"{t()} {t()}"')
+            elif kind == 2:
+                queries.append(f"{t()} OR {t()} {t()}")
+            elif kind == 3:
+                queries.append(f"{t()[:3]}*")
+            else:
+                queries.append(f"NEAR({t()} {t()}, {rng.randint(1, 6)})")
+        self._check(docs, queries)
+
+    def test_unicode_offsets(self):
+        """Marker placement must use char offsets that agree with FTS5's byte
+        mapping on multibyte text."""
+        docs = [
+            "crème brûlée target après café entrée naïve coöp one two three four",
+            "日本語 テキスト target 混在 text with ünïcödé and more words here",
+        ]
+        self._check(docs, ["target", "creme", "naive"])

@@ -51,7 +51,8 @@ class TestRepoIndexer:
             added = idx.index(git_repo)
             assert added == 3
             hits = idx.search("race condition connection pool")
-            assert hits and "race condition" in hits[0]["preview"]
+            # text-lane previews now carry FTS5-style [..] highlight markers
+            assert hits and "[race] [condition]" in hits[0]["preview"]
             assert len(hits[0]["sha"]) == 40
             # incremental: second index adds nothing
             assert idx.index(git_repo) == 0

@@ -143,3 +143,102 @@ class TestRRFProperties:
         out = rrf_fuse(lanes, {"a": 1.0})
         assert out[0].frame_id == 1 and out[0].lane_ranks["a"] == 1
         assert out[1].lane_ranks["a"] == 2  # rank 2 assigned to next distinct id
+
+
+class TestMatchQueryWiring:
+    """FTS5 MATCH syntax flows through the primary lane (phrases/prefix/NEAR shape
+    RETRIEVAL, not just rerank) with the reference's sanitize-then-fallback flow
+    (UnifiedSearch.swift:98-138) and snippet-highlighted previews (:196-198)."""
+
+    def test_quoted_phrase_narrows_retrieval(self, engine):
+        resp = unified_search(
+            engine, SearchRequest(query='"fox den"', mode=SearchMode.TEXT_ONLY, top_k=8)
+        )
+        # primary lane: only the phrase doc; fallback then broadens with OR hits
+        assert resp.hits[0].frame_id == 4
+        resp2 = unified_search(
+            engine, SearchRequest(query='"brown fox jumps"', mode=SearchMode.TEXT_ONLY, top_k=8)
+        )
+        assert resp2.hits[0].frame_id == 0
+
+    def test_prefix_sanitized_in_unified_raw_in_engine(self, engine):
+        # Reference parity: `*` is ASCII punctuation, so the unified sanitizer
+        # rewrites `quan* comp*` to '"quan" "comp"' BEFORE it reaches MATCH — the
+        # prefix is lost there (the real pipeline does the same). Raw prefix power
+        # lives on the direct text-engine surface, like FTS5SearchEngine.search.
+        resp = unified_search(
+            engine, SearchRequest(query="quan* comp*", mode=SearchMode.TEXT_ONLY, top_k=4)
+        )
+        assert not resp.hits or resp.hits[0].frame_id != 1  # sanitized: no prefix
+        from wax_tpu.search.match import match_search
+
+        hits = match_search(engine.lex, "quan* comp*", 4)
+        assert hits and hits[0].frame_id == 1
+
+    def test_near_query(self, engine):
+        # NEAR(...) contains punctuation -> sanitized to bag-of-terms by the
+        # reference pipeline; raw NEAR works on the direct engine surface
+        resp = unified_search(
+            engine, SearchRequest(query="NEAR(rover samples, 6)", mode=SearchMode.TEXT_ONLY, top_k=4)
+        )
+        assert resp.hits and resp.hits[0].frame_id == 6  # via OR fallback
+        from wax_tpu.search.match import match_search
+
+        hits = match_search(engine.lex, "NEAR(rover samples, 6)", 4)
+        assert hits and hits[0].frame_id == 6
+
+    def test_boolean_or_raw_passthrough(self, engine):
+        # no ASCII punctuation -> raw MATCH semantics incl. OR
+        resp = unified_search(
+            engine, SearchRequest(query="sourdough OR windowsill", mode=SearchMode.TEXT_ONLY, top_k=4)
+        )
+        got = {h.frame_id for h in resp.hits}
+        assert {2, 5} <= got
+
+    def test_not_operator(self, engine):
+        resp = unified_search(
+            engine, SearchRequest(query="fox NOT meadow", mode=SearchMode.TEXT_ONLY, top_k=8)
+        )
+        # primary: doc 4 only (doc 0 has meadow); doc 0 may reappear via OR fallback
+        assert resp.hits[0].frame_id == 4
+
+    def test_punctuation_sanitized_like_reference(self, engine):
+        # "what's" would be an FTS5 syntax error raw; the sanitizer quotes tokens
+        resp = unified_search(
+            engine, SearchRequest(query="what's the dog park?", mode=SearchMode.TEXT_ONLY, top_k=4)
+        )
+        assert resp.hits and resp.hits[0].frame_id == 7
+
+    def test_snippet_markers_in_preview(self, engine):
+        resp = unified_search(
+            engine, SearchRequest(query="sourdough bread", mode=SearchMode.TEXT_ONLY, top_k=1)
+        )
+        assert "[sourdough]" in resp.hits[0].preview and "[bread]" in resp.hits[0].preview
+
+    def test_phrase_snippet_single_span(self, engine):
+        resp = unified_search(
+            engine, SearchRequest(query='"fox den"', mode=SearchMode.TEXT_ONLY, top_k=1)
+        )
+        assert "[fox den]" in resp.hits[0].preview
+
+    def test_vector_only_preview_unmarked(self, engine):
+        resp = unified_search(
+            engine,
+            SearchRequest(query="feline pet sleeping window", mode=SearchMode.VECTOR_ONLY, top_k=3),
+        )
+        assert all("[" not in h.preview for h in resp.hits)
+
+    def test_garbage_query_raises_like_reference(self, engine):
+        # reference :132-137: primary errors and no fallback exists -> error surfaces
+        from wax_tpu.search.match import MatchSyntaxError
+
+        with pytest.raises(MatchSyntaxError):
+            unified_search(engine, SearchRequest(query="???", mode=SearchMode.TEXT_ONLY))
+
+    def test_deterministic_repeat(self, engine):
+        q = SearchRequest(query='"fox den" OR meadow', mode=SearchMode.TEXT_ONLY, top_k=5)
+        a = unified_search(engine, q)
+        b = unified_search(engine, q)
+        assert [(h.frame_id, h.score, h.preview) for h in a.hits] == [
+            (h.frame_id, h.score, h.preview) for h in b.hits
+        ]

@@ -54,6 +54,47 @@ class FastRAGContextBuilder:
             vector_influenced=vector_influenced,
         )
 
+    def _expand_second_hop(self, signals, hits, request):
+        """Bridge-entity second hop: for intent queries ("where does the owner of
+        the blue tandem bike live"), entities the top hits introduce that the query
+        never mentioned (the bridge: Sofia, the Chen family) seed one secondary
+        search; its novel hits append to the candidate pool so BOTH hops land in
+        the assembled context. Deterministic: bridge order is (hit rank, first
+        occurrence); one extra search, bounded by config.second_hop_hits."""
+        cfg = self.config
+        if not cfg.second_hop_hits or not hits:
+            return hits
+        if not (
+            signals.asks_location
+            or signals.asks_date
+            or signals.asks_ownership
+            or signals.multi_hop
+        ):
+            return hits
+        known = {t for t in signals.content_terms} | {e.lower() for e in signals.entity_terms}
+        bridges: list[str] = []
+        for h in hits[:3]:
+            content = self.engine.frames.content(h.frame_id) or ""
+            for e in analyze_query(content[:2000]).entity_terms:
+                el = e.lower()
+                if el in known or any(el == b.lower() for b in bridges):
+                    continue
+                bridges.append(e)
+        if not bridges:
+            return hits
+        resp2 = unified_search(
+            self.engine,
+            SearchRequest(
+                query=" ".join(bridges[:4]),
+                top_k=cfg.second_hop_hits,
+                rrf_k=cfg.rrf_k,
+                preview_max_bytes=cfg.expansion_max_bytes,
+            ),
+        )
+        seen = {h.frame_id for h in hits}
+        extra = [h for h in resp2.hits if h.frame_id not in seen]
+        return hits + extra[: cfg.second_hop_hits]
+
     def build(self, query: str, top_k: int | None = None) -> RAGContext:
         cfg = self.config
         signals = analyze_query(query)
@@ -65,6 +106,7 @@ class FastRAGContextBuilder:
         )
         response = unified_search(self.engine, request)
         hits = self._rerank_for_answer(list(response.hits), signals)
+        hits = self._expand_second_hop(signals, hits, request)
 
         now = cfg.deterministic_now_ms if cfg.deterministic_now_ms is not None else now_ms()
         items: list[RAGItem] = []

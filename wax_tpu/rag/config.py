@@ -29,5 +29,12 @@ class FastRAGConfig:
     # "fast" skips surrogate items; "dense_cached" includes tier-selected surrogates
     mode: Literal["fast", "dense_cached"] = "fast"
     include_expansion: bool = True
+    # bridge-entity second-hop expansion for indirection queries ("where does the
+    # owner of X live"): entities surfaced by the top hits but absent from the
+    # query seed ONE secondary search whose novel hits join the candidate pool.
+    # Capability beyond the reference: its QueryAnalyzer defines a multiHop intent
+    # but nothing consumes it (QueryAnalyzer.swift:240) — joining the second hop
+    # there relies on ranking luck. 0 disables.
+    second_hop_hits: int = 4
     # injected clock for byte-identical builds in tests (reference deterministicNowMs)
     deterministic_now_ms: int | None = None

@@ -76,29 +76,99 @@ def _bm25_run(engine: HybridSearchEngine, padded, fetch_k: int, mode: str):
     return vals, fids
 
 
-def _bm25_lane(engine: HybridSearchEngine, query: str, fetch_k: int) -> list[tuple[int, float]]:
-    """Implicit-AND primary query + OR-expanded fallback, primary hits first
-    (reference: UnifiedSearch.swift:98-138)."""
-    tids = engine.lex.query_term_ids(query)
-    if not tids:
-        return []
-    padded = jnp.asarray(pad_term_ids(tids, dfs=engine.lex.df)[None, :])
-    vals_a, fids_a = _bm25_run(engine, padded, fetch_k, "all")
-    primary = [
-        (int(f), float(v))
-        for f, v in zip(np.asarray(fids_a)[0], np.asarray(vals_a)[0])
-        if f >= 0
-    ]
-    if len(primary) >= fetch_k or len(tids) <= 1:
-        return primary
-    vals_o, fids_o = _bm25_run(engine, padded, fetch_k, "any")
+def _device_expressible(node) -> tuple[str, list[str]] | None:
+    """("all"|"any", terms) when a parsed MATCH query is a pure AND / pure OR of
+    distinct single bare terms — the cases the device bag-of-terms kernel scores
+    with FTS5-exact semantics. Anything positional (phrases, prefix, NEAR, caret),
+    NOT, mixed operators, or repeated terms (FTS5 double-counts repeats) routes to
+    the host MATCH engine."""
+    from wax_tpu.text.match_query import BoolNode, Near, Phrase
+
+    terms: list[str] = []
+    ops: set[str] = set()
+
+    def walk(n) -> bool:
+        if isinstance(n, Phrase):
+            if len(n.terms) != 1 or n.prefix or n.first:
+                return False
+            terms.append(n.terms[0])
+            return True
+        if isinstance(n, Near):
+            return False
+        if isinstance(n, BoolNode):
+            if n.op == "not":
+                return False
+            ops.add(n.op)
+            return walk(n.left) and walk(n.right)
+        return False
+
+    if not walk(node) or len(set(terms)) != len(terms):
+        return None
+    if ops <= {"and"}:
+        return "all", terms
+    if ops <= {"or"}:
+        return "any", terms
+    return None
+
+
+def _run_fts_query(engine: HybridSearchEngine, match_q: str, fetch_k: int) -> list[tuple[int, float]]:
+    """Evaluate one FTS5 MATCH string: device kernel for pure AND/OR bags, host
+    MATCH engine for positional/boolean queries. Raises MatchSyntaxError exactly
+    where SQLite would (the caller falls back, reference UnifiedSearch.swift:132-137)."""
+    from wax_tpu.search.match import match_search
+    from wax_tpu.text.match_query import parse_match_query
+
+    node = parse_match_query(match_q)
+    dev = _device_expressible(node)
+    if dev is not None:
+        mode, terms = dev
+        tids = engine.lex.term_ids(terms)
+        if mode == "all" and len(tids) < len(terms):
+            return []  # an unindexed term makes the conjunction empty (FTS5)
+        if not tids:
+            return []
+        padded = jnp.asarray(pad_term_ids(tids, dfs=engine.lex.df)[None, :])
+        vals, fids = _bm25_run(engine, padded, fetch_k, mode)
+        return [
+            (int(f), float(v))
+            for f, v in zip(np.asarray(fids)[0], np.asarray(vals)[0])
+            if f >= 0
+        ]
+    hits = match_search(engine.lex, match_q, fetch_k)
+    return [(h.frame_id, h.score) for h in hits]
+
+
+def _bm25_lane(
+    engine: HybridSearchEngine, query: str, fetch_k: int
+) -> tuple[list[tuple[int, float]], dict[int, str]]:
+    """Primary MATCH query + OR-expanded fallback, primary hits first (reference:
+    UnifiedSearch.swift:98-138). Returns (hits, {frame_id: match query that
+    retrieved it}) — the latter drives FTS5-style snippet highlighting."""
+    from wax_tpu.search.fts_preprocess import or_expanded_query, primary_fts_query
+    from wax_tpu.search.match import MatchSyntaxError
+
+    trimmed = query.strip()
+    if not trimmed:
+        return [], {}
+    primary_q = primary_fts_query(trimmed) or trimmed
+    fallback_q = or_expanded_query(trimmed)
+
+    try:
+        primary = _run_fts_query(engine, primary_q, fetch_k)
+    except MatchSyntaxError:
+        if fallback_q is None:
+            raise  # reference :133-135: no fallback -> the error surfaces
+        hits = _run_fts_query(engine, fallback_q, fetch_k)
+        return hits, {f: fallback_q for f, _ in hits}
+
+    queries = {f: primary_q for f, _ in primary}
+    if fallback_q is None or fallback_q == primary_q or len(primary) >= fetch_k:
+        return primary[:fetch_k], queries
+    fallback = _run_fts_query(engine, fallback_q, fetch_k)
     seen = {f for f, _ in primary}
-    fallback = [
-        (int(f), float(v))
-        for f, v in zip(np.asarray(fids_o)[0], np.asarray(vals_o)[0])
-        if f >= 0 and int(f) not in seen
-    ]
-    return (primary + fallback)[:fetch_k]
+    extra = [(f, v) for f, v in fallback if f not in seen]
+    queries.update({f: fallback_q for f, _ in extra})
+    return (primary + extra)[:fetch_k], queries
 
 
 def _vector_lane(
@@ -145,8 +215,9 @@ def unified_search(engine: HybridSearchEngine, request: SearchRequest) -> Search
     fetch_k = max(request.top_k * 2, 24)
 
     lanes: dict[str, list[tuple[int, float]]] = {}
+    snippet_queries: dict[int, str] = {}
     if request.mode in (SearchMode.HYBRID, SearchMode.TEXT_ONLY):
-        lanes["bm25"] = _bm25_lane(engine, request.query, fetch_k)
+        lanes["bm25"], snippet_queries = _bm25_lane(engine, request.query, fetch_k)
     if request.mode in (SearchMode.HYBRID, SearchMode.VECTOR_ONLY):
         lanes["vector"] = _vector_lane(engine, request, fetch_k)
     if (
@@ -167,10 +238,25 @@ def unified_search(engine: HybridSearchEngine, request: SearchRequest) -> Search
     fused = rrf_fuse(lanes, weights, rrf_k=request.rrf_k)
     fused = [h for h in fused if _passes_filters(engine, request, h.frame_id)]
 
-    # preview hydration
-    previews = {
-        h.frame_id: engine.frames.preview(h.frame_id, request.preview_max_bytes) for h in fused
-    }
+    # preview hydration: text-lane hits get the FTS5-style highlighted snippet
+    # (reference UnifiedSearch.swift:196-198, :444-459 — previewText = snippet
+    # when the text engine produced one, raw frame preview otherwise)
+    from wax_tpu.search.snippet import snippet_for_query
+
+    previews = {}
+    for h in fused:
+        snip = None
+        sq = snippet_queries.get(h.frame_id)
+        if sq is not None:
+            content = engine.frames.content(h.frame_id)
+            if content:
+                snip = snippet_for_query(content, sq)
+                # FTS5 itself never trims a snippet, but preview_max_bytes is this
+                # API's transport cap — enforce it byte-safely (pathological giant
+                # tokens can blow the 10-token window past any sane preview)
+                if snip is not None and len(snip.encode()) > request.preview_max_bytes:
+                    snip = snip.encode()[: request.preview_max_bytes].decode(errors="ignore")
+        previews[h.frame_id] = snip or engine.frames.preview(h.frame_id, request.preview_max_bytes)
 
     # intent-aware rerank over the head window
     from wax_tpu.search.rerank import intent_aware_rerank
@@ -197,8 +283,11 @@ def unified_search(engine: HybridSearchEngine, request: SearchRequest) -> Search
 
     hits = []
     for i, h in enumerate(fused[: request.top_k]):
-        content = engine.frames.content(h.frame_id) or ""
-        snippet = make_snippet(content, signals.content_terms or tuple(analyze(request.query)))
+        if h.frame_id in snippet_queries and h.frame_id in previews:
+            snippet = previews[h.frame_id]  # FTS5-marked snippet from hydration
+        else:
+            content = engine.frames.content(h.frame_id) or ""
+            snippet = make_snippet(content, signals.content_terms or tuple(analyze(request.query)))
         diag = None
         if request.include_diagnostics:
             # which criterion separated this hit from its neighbor (reference:
