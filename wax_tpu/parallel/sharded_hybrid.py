@@ -23,7 +23,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from wax_tpu.index.lex import BM25_B, BM25_K1, LexIndex, LexIndexBuilder
 from wax_tpu.ops.topk import NEG_INF, blockmax_topk
-from wax_tpu.parallel.mesh import DATA_AXIS, shard_rows
+from wax_tpu.parallel.merge import merge_topk_across_mesh
+from wax_tpu.parallel.mesh import corpus_axes, corpus_shards, shard_rows
 from wax_tpu.parallel.sharded_scan import ShardedDenseIndex
 
 __all__ = ["ShardedLexIndex", "shard_lex_index", "sharded_hybrid_topk", "sharded_bm25_topk"]
@@ -61,7 +62,7 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
     Row space must match the dense index (global rows 0..n_rows_global-1 map to the
     same frames in both indexes).
     """
-    s = mesh.shape[DATA_AXIS]
+    s = corpus_shards(mesh)
     per = -(-n_rows_global // s)
     full = builder.snapshot()
     # host-side numpy views of the global CSR
@@ -168,30 +169,19 @@ def _local_bm25(term_ids, lex_shard, avgdl, w, mode="any"):
     return jnp.where(live[None, :], scores, 0.0)
 
 
-def _gather_merge(vals, fids, k, n_shards, axis):
-    av = jax.lax.all_gather(vals, axis)
-    af = jax.lax.all_gather(fids, axis)
-    b = vals.shape[0]
-    av = jnp.transpose(av, (1, 0, 2)).reshape(b, n_shards * vals.shape[1])
-    af = jnp.transpose(af, (1, 0, 2)).reshape(b, n_shards * vals.shape[1])
-    mv, pos = jax.lax.top_k(av, k)
-    mf = jnp.take_along_axis(af, pos, axis=-1)
-    return mv, jnp.where(mv > NEG_INF * 0.5, mf, -1)
-
-
 def sharded_bm25_topk(term_ids, lex: ShardedLexIndex, k: int, mesh: Mesh, mode: str = "any"):
     """Distributed BM25 top-k: per-shard scatter-add scoring + ICI merge.
 
     mode: "any" (OR) or "all" (implicit-AND, FTS5 parity) — same semantics as the
     single-chip ops/bm25.py:bm25_topk.
     """
-    n_shards = mesh.shape[DATA_AXIS]
     w = lex.max_df
+    rows_spec = P(corpus_axes(mesh))
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(),) + (rows_spec,) * 7,
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -201,7 +191,7 @@ def sharded_bm25_topk(term_ids, lex: ShardedLexIndex, k: int, mesh: Mesh, mode: 
         kk = min(k, scores.shape[1])
         vals, rows = jax.lax.top_k(jnp.where(scores > 0, scores, NEG_INF), kk)
         gfids = jnp.where(vals > NEG_INF * 0.5, jnp.take(frame_ids[0], jnp.maximum(rows, 0)), -1)
-        return _gather_merge(vals, gfids.astype(jnp.int32), k, n_shards, DATA_AXIS)
+        return merge_topk_across_mesh(vals, gfids.astype(jnp.int32), k, mesh)
 
     return run2(term_ids, lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live, lex.frame_ids)
 
@@ -221,7 +211,7 @@ def sharded_hybrid_topk(
 
     Returns (fused_scores [B, k], frame_ids [B, k]).
     """
-    n_shards = mesh.shape[DATA_AXIS]
+    n_shards = corpus_shards(mesh)
     w = lex.max_df
     fetch = max(2 * k, 16)
     # static dense-lane backend choice: chunkmax needs a prefix-live (contiguous)
@@ -234,14 +224,12 @@ def sharded_hybrid_topk(
         and min(fetch, local_rows) <= 100
     )
 
+    rows_spec = P(corpus_axes(mesh))
+
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(
-            P(), P(),
-            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-        ),
+        in_specs=(P(), P()) + (rows_spec,) * 10,
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -263,14 +251,14 @@ def sharded_hybrid_topk(
             ) + d_bias[None, :]
             dv, drows = blockmax_topk(scores_d, kk_d)
         dfid = jnp.where(dv > NEG_INF * 0.5, jnp.take(d_fids, jnp.maximum(drows, 0)), -1)
-        dv_g, dfid_g = _gather_merge(dv, dfid, fetch, n_shards, DATA_AXIS)
+        dv_g, dfid_g = merge_topk_across_mesh(dv, dfid, fetch, mesh)
         # bm25 lane
         shard = (doc_rows[0], tfs[0], offsets[0], idf[0], doc_len[0], live[0])
         scores_l = _local_bm25(tids, shard, lex.avgdl, w)
         kk_l = min(fetch, scores_l.shape[1])
         lv, lrows = jax.lax.top_k(jnp.where(scores_l > 0, scores_l, NEG_INF), kk_l)
         lfid = jnp.where(lv > NEG_INF * 0.5, jnp.take(l_fids[0], jnp.maximum(lrows, 0)), -1)
-        lv_g, lfid_g = _gather_merge(lv, lfid.astype(jnp.int32), fetch, n_shards, DATA_AXIS)
+        lv_g, lfid_g = merge_topk_across_mesh(lv, lfid.astype(jnp.int32), fetch, mesh)
 
         # on-device weighted RRF over the two global rankings (rank = position + 1)
         ranks = jnp.arange(1, fetch + 1, dtype=jnp.float32)[None, :]

@@ -28,7 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from wax_tpu.index.ivf import IVFIndex
 from wax_tpu.ops.topk import NEG_INF
-from wax_tpu.parallel.mesh import DATA_AXIS
+from wax_tpu.parallel.merge import merge_topk_across_mesh
+from wax_tpu.parallel.mesh import corpus_axes, corpus_shards
 
 __all__ = ["ShardedIVFIndex", "shard_ivf_index", "sharded_ivf_search_topk"]
 
@@ -67,7 +68,7 @@ def shard_ivf_index(index: IVFIndex, mesh: Mesh) -> ShardedIVFIndex:
     Pads the bucket size to a multiple of the shard count; padding slots carry
     NEG_INF bias and id -1, exactly like build-time bucket padding.
     """
-    n_shards = mesh.shape[DATA_AXIS]
+    n_shards = corpus_shards(mesh)
     s = index.bucket_size
     pad = (-s) % n_shards
     emb, ids, bias = index.emb, index.ids, index.bias
@@ -75,10 +76,11 @@ def shard_ivf_index(index: IVFIndex, mesh: Mesh) -> ShardedIVFIndex:
         emb = jnp.pad(emb, ((0, 0), (0, pad), (0, 0)))
         ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
         bias = jnp.pad(bias, ((0, 0), (0, pad)), constant_values=NEG_INF)
-    slot_sharded = NamedSharding(mesh, P(None, DATA_AXIS))
+    ca = corpus_axes(mesh)
+    slot_sharded = NamedSharding(mesh, P(None, ca))
     return ShardedIVFIndex(
         centroids=jax.device_put(index.centroids, NamedSharding(mesh, P())),
-        emb=jax.device_put(emb, NamedSharding(mesh, P(None, DATA_AXIS, None))),
+        emb=jax.device_put(emb, NamedSharding(mesh, P(None, ca, None))),
         ids=jax.device_put(ids, slot_sharded),
         bias=jax.device_put(bias, slot_sharded),
         spilled=index.spilled,
@@ -104,7 +106,7 @@ def sharded_ivf_search_topk(
     Returns:
       (scores [B, k] f32, frame_ids [B, k] int32) replicated; -1 padded.
     """
-    n_shards = mesh.shape[DATA_AXIS]
+    ca = corpus_axes(mesh)
     nprobe = min(nprobe, index.n_clusters)
     # spilled indexes: a replicated row can surface through two probed buckets
     # (and, slot-sharded, through two shards) — fetch a 2k window, dedup at the end
@@ -116,9 +118,9 @@ def sharded_ivf_search_topk(
         in_specs=(
             P(),
             P(),
-            P(None, DATA_AXIS, None),
-            P(None, DATA_AXIS),
-            P(None, DATA_AXIS),
+            P(None, ca, None),
+            P(None, ca),
+            P(None, ca),
         ),
         out_specs=(P(), P()),
         check_vma=False,
@@ -152,19 +154,13 @@ def sharded_ivf_search_topk(
             jnp.full((b, kk), -1, jnp.int32),
         )
         (vals, fids), _ = jax.lax.scan(step, init, jnp.transpose(probes))
-        # merge local candidates across shards: [S, B, kk] -> [B, S*kk]
-        av = jax.lax.all_gather(vals, DATA_AXIS)
-        af = jax.lax.all_gather(fids, DATA_AXIS)
-        av = jnp.transpose(av, (1, 0, 2)).reshape(b, n_shards * kk)
-        af = jnp.transpose(af, (1, 0, 2)).reshape(b, n_shards * kk)
-        kk_g = min(kfetch, n_shards * kk)
-        mvals, pos = jax.lax.top_k(av, kk_g)
-        mfids = jnp.take_along_axis(af, pos, axis=-1)
-        mfids = jnp.where(mvals > NEG_INF * 0.5, mfids, -1)
+        # hierarchical candidate merge: full kfetch lists over ICI inside the
+        # slice, only the merged [B, kfetch] over the slice (DCN) axis
+        mvals, mfids = merge_topk_across_mesh(vals, fids, kfetch, mesh)
         if index.spilled:
             from wax_tpu.index.ivf import dedup_topk
 
-            mvals, mfids = dedup_topk(mvals, mfids.astype(jnp.int32), min(k, kk_g))
+            mvals, mfids = dedup_topk(mvals, mfids.astype(jnp.int32), k)
         else:
             mvals, mfids = mvals[:, :k], mfids[:, :k]
         if mvals.shape[1] < k:

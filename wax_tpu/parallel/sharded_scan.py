@@ -24,7 +24,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from wax_tpu.index.dense import DenseIndex
 from wax_tpu.ops.topk import NEG_INF, blockmax_topk
-from wax_tpu.parallel.mesh import DATA_AXIS, shard_rows
+from wax_tpu.parallel.merge import merge_topk_across_mesh
+from wax_tpu.parallel.mesh import corpus_axes, corpus_shards, shard_rows
 
 __all__ = ["ShardedDenseIndex", "shard_dense_index", "sharded_flat_scan_topk"]
 
@@ -52,7 +53,7 @@ def shard_dense_index(index: DenseIndex, mesh: Mesh) -> ShardedDenseIndex:
     Pads the row count to a multiple of the data-axis size; padding rows carry
     NEG_INF bias and frame id -1.
     """
-    n_shards = mesh.shape[DATA_AXIS]
+    n_shards = corpus_shards(mesh)
     cap = index.capacity
     pad = (-cap) % n_shards
     rows = jnp.arange(cap, dtype=jnp.int32)
@@ -87,12 +88,12 @@ def sharded_flat_scan_topk(
     Returns:
       (scores [B, k] f32, frame_ids [B, k] int32) replicated.
     """
-    n_shards = mesh.shape[DATA_AXIS]
+    rows_spec = P(corpus_axes(mesh))
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), rows_spec, rows_spec, rows_spec),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -104,15 +105,8 @@ def sharded_flat_scan_topk(
         kk = min(k, emb.shape[0])
         vals, rows = blockmax_topk(scores, kk)
         lfids = jnp.where(vals > NEG_INF * 0.5, jnp.take(fids, jnp.maximum(rows, 0)), -1)
-        # gather candidates from every shard: [S, B, kk] -> [B, S*kk]
-        av = jax.lax.all_gather(vals, DATA_AXIS)
-        af = jax.lax.all_gather(lfids, DATA_AXIS)
-        b = q.shape[0]
-        av = jnp.transpose(av, (1, 0, 2)).reshape(b, n_shards * kk)
-        af = jnp.transpose(af, (1, 0, 2)).reshape(b, n_shards * kk)
-        mvals, pos = jax.lax.top_k(av, k)
-        mfids = jnp.take_along_axis(af, pos, axis=-1)
-        mfids = jnp.where(mvals > NEG_INF * 0.5, mfids, -1)
+        # ICI all-gather merge within the slice, thin [B, k] across slices (DCN)
+        mvals, mfids = merge_topk_across_mesh(vals, lfids, k, mesh)
         return mvals, mfids.astype(jnp.int32)
 
     return scan(queries, index.emb, index.frame_ids, index.bias)

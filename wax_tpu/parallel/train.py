@@ -21,7 +21,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from wax_tpu.embed.minilm import MiniLMEncoder, mean_pool, param_partition_spec
-from wax_tpu.parallel.mesh import DATA_AXIS
+from wax_tpu.parallel.mesh import corpus_axes
 
 __all__ = ["TrainState", "Trainer", "contrastive_loss"]
 
@@ -88,7 +88,8 @@ class Trainer:
         return TrainState(placed, opt_state, step)
 
     def shard_batch(self, batch: dict) -> dict:
-        sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        # dp over every corpus axis: (slice, data) on a two-level mesh
+        sh = NamedSharding(self.mesh, P(corpus_axes(self.mesh), None))
         return {k: jax.device_put(jnp.asarray(v), sh) for k, v in batch.items()}
 
     def _step_impl(self, state: TrainState, batch):
