@@ -138,11 +138,15 @@ def run(name, fn, tids0, args, floor, cap):
 
     q0 = jnp.zeros((B, 1), jnp.float32)
     float(chained(q0, 1, tids0, *args))
-    ms, info = robust_slope(
-        _make_timer(chained, q0, tids0, *args), 3, 13, 23, floor_ms=floor, cap_ms=cap
-    )
-    print(f"{name:10s}: {ms:8.3f} ms/batch  attempts={info['attempts']}", flush=True)
-    return ms
+    try:
+        ms, info = robust_slope(
+            _make_timer(chained, q0, tids0, *args), 3, 13, 23, floor_ms=floor, cap_ms=cap
+        )
+        print(f"{name:10s}: {ms:8.3f} ms/batch  attempts={info['attempts']}", flush=True)
+        return ms
+    except Exception as e:
+        print(f"{name:10s}: FAIL {e}", flush=True)
+        return None
 
 
 def main():
@@ -155,13 +159,13 @@ def main():
 
     which = set(sys.argv[1:]) or {"nosort", "sort3"}
     if "nosort" in which:
-        run("nosort", functools.partial(candidates_sort_topk, do_sort=False), tids0, args, 0.05, 200.0)
+        run("nosort", functools.partial(candidates_sort_topk, do_sort=False), tids0, args, 0.05, 3000.0)
     if "sortk" in which:
-        run("sortk", functools.partial(candidates_sort_topk, keys_only=True), tids0, args, 0.05, 400.0)
+        run("sortk", functools.partial(candidates_sort_topk, keys_only=True), tids0, args, 0.05, 3000.0)
     if "sort3" in which:
-        run("sort3", candidates_sort_topk, tids0, args, 0.05, 400.0)
+        run("sort3", candidates_sort_topk, tids0, args, 0.05, 3000.0)
     if "scatter" in which:
-        run("scatter", scatter_topk, tids0, args, 0.05, 400.0)
+        run("scatter", scatter_topk, tids0, args, 0.05, 3000.0)
 
 
 if __name__ == "__main__":

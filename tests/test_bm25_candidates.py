@@ -1,0 +1,155 @@
+"""Candidate-set BM25 (ops/bm25_candidates.py) vs the scatter path: exact parity.
+
+The candidate pipeline must return the same top-k sets, frame ids and scores as
+ops/bm25.py bm25_topk for every mode/budget/shape — it replaces a [B, N] scatter
+plane, not the semantics. Scores may differ only in f32 summation order (≤ few ulp).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wax_tpu.index.lex import LexIndexBuilder
+from wax_tpu.ops.bm25 import bm25_topk, pad_term_ids
+from wax_tpu.ops.bm25_candidates import bm25_candidates_topk
+from wax_tpu.ops.bm25_candidates_pallas import bm25_candidates_topk_pallas
+
+IMPLS = {"xla": bm25_candidates_topk, "pallas": bm25_candidates_topk_pallas}
+
+
+def _corpus(n_docs=400, vocab=60, seed=0, budget=None):
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    b = LexIndexBuilder(postings_budget=budget)
+    zipf = (1.0 / np.arange(1, vocab + 1)) ** 0.9
+    zipf /= zipf.sum()
+    for i in range(n_docs):
+        k = rng.integers(3, 20)
+        doc = rng.choice(words, size=k, p=zipf)
+        b.add(i + 1, " ".join(doc))
+    return b
+
+
+def _assert_parity(builder, tids, k, mode, impl="xla"):
+    idx = builder.snapshot()
+    padded = jnp.asarray(pad_term_ids(tids, dfs=builder.df)[None, :])
+    sv, sr, sf = bm25_topk(padded, idx, k, mode=mode)
+    cv, cr, cf = IMPLS[impl](padded, idx, k, mode=mode)
+    sv, sf = np.asarray(sv)[0], np.asarray(sf)[0]
+    cv, cf = np.asarray(cv)[0], np.asarray(cf)[0]
+    live_s = sf >= 0
+    live_c = cf >= 0
+    assert live_s.sum() == live_c.sum(), (mode, sf, cf)
+    # same ids up to equal-score ties: group by rounded score
+    assert set(sf[live_s]) == set(cf[live_c]) or np.allclose(
+        np.sort(sv[live_s]), np.sort(cv[live_c]), rtol=1e-5
+    ), (mode, list(zip(sf, sv)), list(zip(cf, cv)))
+    np.testing.assert_allclose(cv[live_c], sv[live_s], rtol=1e-5, atol=1e-6)
+    # strict id order where scores are not tied with a neighbor
+    for i in range(int(live_s.sum())):
+        tied = (i > 0 and abs(sv[i] - sv[i - 1]) < 1e-6) or (
+            i + 1 < live_s.sum() and abs(sv[i] - sv[i + 1]) < 1e-6
+        )
+        if not tied:
+            assert sf[i] == cf[i], (mode, i, sf, cf)
+
+
+class TestCandidateParity:
+    @pytest.mark.parametrize("impl", ["xla", "pallas"])
+    @pytest.mark.parametrize("mode", ["any", "all"])
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_queries(self, mode, seed, impl):
+        b = _corpus(seed=seed)
+        rng = np.random.default_rng(100 + seed)
+        for _ in range(10):
+            n_q = rng.integers(1, 9)
+            terms = [f"w{i}" for i in rng.choice(60, size=n_q, replace=False)]
+            tids = b.term_ids(terms)
+            if not tids:
+                continue
+            _assert_parity(b, tids, 10, mode, impl)
+
+    def test_single_term(self):
+        b = _corpus()
+        _assert_parity(b, b.term_ids(["w0"]), 20, "any")
+
+    def test_no_match(self):
+        b = _corpus()
+        idx = b.snapshot()
+        padded = jnp.asarray(pad_term_ids([10**6])[None, :])  # out-of-vocab id
+        cv, cr, cf = bm25_candidates_topk(jnp.minimum(padded, idx.n_terms - 1), idx, 5, mode="all")
+        # a single common term in all mode: parity check instead
+        _assert_parity(b, b.term_ids(["w59"]), 5, "all")
+
+    @pytest.mark.parametrize("budget", [8, 32])
+    def test_budget_parity(self, budget):
+        """Budgeted snapshots: candidate path sees the same truncated lists."""
+        b = _corpus(budget=budget)
+        for terms in (["w0", "w1"], ["w2", "w5", "w9"]):
+            _assert_parity(b, b.term_ids(terms), 10, "any")
+            _assert_parity(b, b.term_ids(terms), 10, "all")
+
+    def test_tombstones_excluded(self):
+        b = _corpus()
+        for fid in range(1, 120):
+            b.remove(fid)
+        _assert_parity(b, b.term_ids(["w0", "w3"]), 15, "any")
+        idx = b.snapshot()
+        padded = jnp.asarray(pad_term_ids(b.term_ids(["w0"]), dfs=b.df)[None, :])
+        _, _, cf = bm25_candidates_topk(padded, idx, 50, mode="any")
+        cf = np.asarray(cf)[0]
+        assert all(f >= 120 or f < 0 for f in cf), cf
+
+    def test_batch_queries(self):
+        b = _corpus()
+        idx = b.snapshot()
+        q = np.stack(
+            [
+                pad_term_ids(b.term_ids(["w0", "w1"]), max_terms=16),
+                pad_term_ids(b.term_ids(["w5"]), max_terms=16),
+                pad_term_ids(b.term_ids(["w2", "w8", "w20"]), max_terms=16),
+            ]
+        )
+        sv, _, sf = bm25_topk(jnp.asarray(q), idx, 8, mode="any")
+        cv, _, cf = bm25_candidates_topk(jnp.asarray(q), idx, 8, mode="any")
+        np.testing.assert_allclose(np.asarray(cv), np.asarray(sv), rtol=1e-5, atol=1e-6)
+
+    def test_more_terms_than_16(self):
+        b = _corpus(vocab=80)
+        terms = [f"w{i}" for i in range(24)]
+        tids = b.term_ids(terms)
+        _assert_parity(b, tids, 10, "any")
+
+
+class TestPallasVariants:
+    @pytest.mark.parametrize("budget", [8, 32])
+    def test_budget_parity(self, budget):
+        b = _corpus(budget=budget)
+        for terms in (["w0", "w1"], ["w2", "w5", "w9"]):
+            _assert_parity(b, b.term_ids(terms), 10, "any", "pallas")
+            _assert_parity(b, b.term_ids(terms), 10, "all", "pallas")
+
+    def test_tombstones_excluded(self):
+        b = _corpus()
+        for fid in range(1, 120):
+            b.remove(fid)
+        _assert_parity(b, b.term_ids(["w0", "w3"]), 15, "any", "pallas")
+
+    def test_batch_and_long_queries(self):
+        b = _corpus(vocab=80)
+        terms = [f"w{i}" for i in range(24)]
+        _assert_parity(b, b.term_ids(terms), 10, "any", "pallas")
+        idx = b.snapshot()
+        q = np.stack(
+            [
+                pad_term_ids(b.term_ids(["w0", "w1"]), max_terms=16),
+                pad_term_ids(b.term_ids(["w5"]), max_terms=16),
+                pad_term_ids(b.term_ids(["w2", "w8", "w20"]), max_terms=16),
+            ]
+        )
+        from wax_tpu.ops.bm25_candidates_pallas import bm25_candidates_topk_pallas
+
+        sv, _, sf = bm25_topk(jnp.asarray(q), idx, 8, mode="any")
+        cv, _, cf = bm25_candidates_topk_pallas(jnp.asarray(q), idx, 8, mode="any")
+        np.testing.assert_allclose(np.asarray(cv), np.asarray(sv), rtol=1e-5, atol=1e-6)

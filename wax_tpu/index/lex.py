@@ -95,6 +95,11 @@ class LexIndex:
       active:    [N_cap] bool.
       count:     scalar int32 — occupied rows.
       avgdl:     scalar float32 — mean doc length over live rows.
+      wnorm:     [P] float32 — precomputed tf-normalized weight per posting
+                 (tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)); 0 for tombstoned rows) so
+                 the candidate-set BM25 kernel (ops/bm25_candidates.py) streams
+                 postings without any doc_len random gather. contribution =
+                 idf[t] · wnorm[p].
       max_df:    static int — longest postings list (device scoring budget W).
     """
 
@@ -107,6 +112,7 @@ class LexIndex:
     active: jax.Array
     count: jax.Array
     avgdl: jax.Array
+    wnorm: jax.Array | None = None
     max_df: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
@@ -120,6 +126,19 @@ class LexIndex:
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def dma_window(max_df: int) -> int:
+    """Static DMA window (flat elements) the candidate-set BM25 kernel streams per
+    query term: pow2 >= max_df + 1024. The +1024 head-room lets every window start
+    on the enclosing 1024-aligned boundary (i32/f32 HBM tile = (8, 128); Mosaic
+    requires provably tile-aligned dynamic slice offsets) with the unaligned head
+    masked in-kernel. Snapshots pad the postings arrays past the last posting by
+    this amount so no window can overrun."""
+    w = 2048
+    while w < max_df + 1024:
+        w *= 2
+    return w
 
 
 class LexIndexBuilder:
@@ -327,7 +346,12 @@ class LexIndexBuilder:
         po = fr["post_offsets"]
         t = len(po) - 1
         p_total = int(po[-1])
-        p_cap = max(128, _round_up(max(p_total, 1), 128))
+        sizes0 = np.diff(po)
+        w2 = dma_window(int(sizes0.max()) if t and len(sizes0) else 1)
+        # pad past the last posting by the candidate kernel's pow2 DMA window so a
+        # window anchored at the final term never reads out of bounds; 1024-align
+        # the total for the kernel's [P/1024, 8, 128] HBM layout
+        p_cap = max(1024, _round_up(max(p_total, 1) + w2, 1024))
         doc_rows = np.zeros(p_cap, np.int32)
         doc_rows[:p_total] = fr["doc_rows"]
         tfs = np.zeros(p_cap, np.float32)
@@ -348,6 +372,13 @@ class LexIndexBuilder:
             idf = np.zeros(1, np.float32)
         sizes = np.diff(po)
         max_df = int(sizes.max()) if t and len(sizes) else 0
+        wnorm = np.zeros(p_cap, np.float32)
+        if p_total:
+            pr = fr["doc_rows"][:p_total]
+            ptf = fr["tfs"][:p_total].astype(np.float32)
+            pdl = doc_len[pr]
+            wn = ptf * (BM25_K1 + 1.0) / (ptf + BM25_K1 * (1.0 - BM25_B + BM25_B * pdl / avgdl))
+            wnorm[:p_total] = np.where(active[pr], wn, 0.0).astype(np.float32)
         return LexIndex(
             doc_rows=jnp.asarray(doc_rows),
             tfs=jnp.asarray(tfs),
@@ -358,6 +389,7 @@ class LexIndexBuilder:
             active=jnp.asarray(active),
             count=jnp.asarray(n, dtype=jnp.int32),
             avgdl=jnp.asarray(avgdl, dtype=jnp.float32),
+            wnorm=jnp.asarray(wnorm),
             max_df=_round_up(max(max_df, 1), 128),
         )
 
@@ -406,7 +438,8 @@ class LexIndexBuilder:
         sizes = [len(rows) for rows in kept]
         offsets[1:] = np.cumsum(sizes, dtype=np.int64).astype(np.int32)
         p_total = int(offsets[-1])
-        p_cap = max(128, _round_up(max(p_total, 1), 128))
+        w2 = dma_window(max(sizes) if sizes else 1)
+        p_cap = max(1024, _round_up(max(p_total, 1) + w2, 1024))
         doc_rows = np.zeros(p_cap, np.int32)
         tfs = np.zeros(p_cap, np.float32)
         idf = np.zeros(max(t, 1), np.float32)
@@ -425,6 +458,13 @@ class LexIndexBuilder:
             v = np.log((n_live - df + 0.5) / (df + 0.5))
             idf[tid] = v if v > 0.0 else 1e-6
         max_df = int(max(sizes)) if sizes else 0
+        wnorm = np.zeros(p_cap, np.float32)
+        if p_total:
+            pr = doc_rows[:p_total]
+            ptf = tfs[:p_total]
+            pdl = doc_len[pr]
+            wn = ptf * (BM25_K1 + 1.0) / (ptf + BM25_K1 * (1.0 - BM25_B + BM25_B * pdl / avgdl))
+            wnorm[:p_total] = np.where(active[pr], wn, 0.0).astype(np.float32)
 
         return LexIndex(
             doc_rows=jnp.asarray(doc_rows),
@@ -436,6 +476,7 @@ class LexIndexBuilder:
             active=jnp.asarray(active),
             count=jnp.asarray(n, dtype=jnp.int32),
             avgdl=jnp.asarray(avgdl, dtype=jnp.float32),
+            wnorm=jnp.asarray(wnorm),
             max_df=_round_up(max(max_df, 1), 128),
         )
 

@@ -21,7 +21,9 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from wax_tpu.index.lex import BM25_B, BM25_K1, LexIndex, LexIndexBuilder
+from wax_tpu.index.lex import BM25_B, BM25_K1, LexIndex, LexIndexBuilder, dma_window
+from wax_tpu.ops.bm25_candidates import candidate_scores_sorted
+from wax_tpu.ops.bm25_candidates_pallas import candidate_scores_pallas
 from wax_tpu.ops.topk import NEG_INF, blockmax_topk
 from wax_tpu.parallel.merge import merge_topk_across_mesh
 from wax_tpu.parallel.mesh import corpus_axes, corpus_shards, shard_rows
@@ -53,6 +55,7 @@ class ShardedLexIndex:
     live: jax.Array  # [S, N_local] bool
     row_base: jax.Array  # [S] int32 global row offset of each shard
     avgdl: jax.Array  # scalar f32
+    wnorm: jax.Array | None = None  # [S, P_max] f32 tf-normalized weights (0 = dead)
     max_df: int = field(metadata=dict(static=True), default=0)
 
 
@@ -97,7 +100,10 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
         max_p = max(max_p, len(rows_cat))
         shard_postings.append((rows_cat, tfs_cat, offs))
 
-    p_pad = ((max_p + 127) // 128) * 128
+    # pad past the last posting by the candidate kernel's DMA window (1024-aligned
+    # total) so a window anchored at the final term never reads out of bounds
+    max_df_pad = ((max_df + 127) // 128) * 128
+    p_pad = ((max_p + dma_window(max_df_pad) + 1023) // 1024) * 1024
     dr = np.zeros((s, p_pad), np.int32)
     tf = np.zeros((s, p_pad), np.float32)
     off = np.zeros((s, t + 1), np.int32)
@@ -105,6 +111,8 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
     fid = np.full((s, per), -1, np.int32)
     live = np.zeros((s, per), bool)
     base = np.zeros(s, np.int32)
+    wn = np.zeros((s, p_pad), np.float32)
+    avgdl_f = float(full.avgdl)
     for si, (rows_cat, tfs_cat, offs) in enumerate(shard_postings):
         dr[si, : len(rows_cat)] = rows_cat
         tf[si, : len(tfs_cat)] = tfs_cat
@@ -117,6 +125,14 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
             fid[si, : src_hi - lo] = frame_ids_g[lo:src_hi]
             live[si, : src_hi - lo] = active_g[lo:src_hi] & (np.arange(lo, src_hi) < count)
         base[si] = lo
+        if len(rows_cat):
+            # per-posting tf-normalized weight (0 for dead rows) so the candidate
+            # lane streams postings without any doc_len gather
+            pdl = dl[si, rows_cat]
+            denom = tfs_cat + BM25_K1 * (1.0 - BM25_B + BM25_B * pdl / max(avgdl_f, 1e-9))
+            wn[si, : len(rows_cat)] = np.where(
+                live[si, rows_cat], tfs_cat * (BM25_K1 + 1.0) / np.maximum(denom, 1e-9), 0.0
+            ).astype(np.float32)
 
     return ShardedLexIndex(
         doc_rows=shard_rows(mesh, jnp.asarray(dr)),
@@ -128,6 +144,7 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
         live=shard_rows(mesh, jnp.asarray(live)),
         row_base=shard_rows(mesh, jnp.asarray(base)),
         avgdl=full.avgdl,
+        wnorm=shard_rows(mesh, jnp.asarray(wn)),
         max_df=((max_df + 127) // 128) * 128,
     )
 
@@ -169,71 +186,114 @@ def _local_bm25(term_ids, lex_shard, avgdl, w, mode="any"):
     return jnp.where(live[None, :], scores, 0.0)
 
 
-def sharded_bm25_topk(term_ids, lex: ShardedLexIndex, k: int, mesh: Mesh, mode: str = "any"):
-    """Distributed BM25 top-k: per-shard scatter-add scoring + ICI merge.
+def _resolve_lex_backend(lex: "ShardedLexIndex", backend: str) -> str:
+    """Static per-trace choice of the local BM25 lane implementation.
 
-    mode: "any" (OR) or "all" (implicit-AND, FTS5 parity) — same semantics as the
-    single-chip ops/bm25.py:bm25_topk.
+    "auto" prefers the candidate-set pipeline (no [B, N_local] score plane, no
+    scatter — measured ~2 orders of magnitude faster at 1M docs, see
+    docs/benchmarks.md): the Pallas VMEM kernel on TPU, its pure-XLA harness
+    elsewhere. Snapshots without precomputed weights fall back to the scatter lane.
     """
-    w = lex.max_df
+    if backend != "auto":
+        return backend
+    if lex.wnorm is None:
+        return "scatter"
+    return "candidates_pallas" if jax.default_backend() == "tpu" else "candidates"
+
+
+def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, kk, w, mode, pallas: bool):
+    """Per-shard candidate-set BM25 local top-k: (vals, local_rows), -1 rows dead."""
+    if pallas:
+        rows, scores = candidate_scores_pallas(
+            tids, doc_rows, wnorm, offsets, idf, max_df=w, mode=mode
+        )
+    else:
+        rows, scores = candidate_scores_sorted(tids, doc_rows, wnorm, offsets, idf, w, mode)
+    vals, pos = jax.lax.top_k(scores, kk)
+    sel = jnp.take_along_axis(rows, pos, axis=-1)
+    ok = vals > NEG_INF * 0.5
+    return jnp.where(ok, vals, NEG_INF), jnp.where(ok, sel, -1)
+
+
+@functools.lru_cache(maxsize=128)
+def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int):
+    """Jitted sharded-BM25 program, memoized per static config.
+
+    Eager shard_map dispatches its body op-by-op — for the candidate-set merge
+    network (~60 vectorized stages) that is ~60 s of per-op round-trips on the CPU
+    mesh vs ~2 s compiled; memoizing here gives every caller (tests, orchestrator,
+    bench) stable jit identity and one compile per (mesh, k, mode, backend, w).
+    """
     rows_spec = P(corpus_axes(mesh))
 
+    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(),) + (rows_spec,) * 7,
+        in_specs=(P(), P()) + (rows_spec,) * 8,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run2(tids, doc_rows, tfs, offsets, idf, doc_len, live, frame_ids):
-        shard = (doc_rows[0], tfs[0], offsets[0], idf[0], doc_len[0], live[0])
-        scores = _local_bm25(tids, shard, lex.avgdl, w, mode=mode)
-        kk = min(k, scores.shape[1])
-        vals, rows = jax.lax.top_k(jnp.where(scores > 0, scores, NEG_INF), kk)
+    def run2(tids, avgdl, doc_rows, tfs, offsets, idf, doc_len, live, frame_ids, wnorm):
+        n_local = doc_len.shape[1]
+        kk = min(k, n_local)
+        if backend == "scatter":
+            shard = (doc_rows[0], tfs[0], offsets[0], idf[0], doc_len[0], live[0])
+            scores = _local_bm25(tids, shard, avgdl, w, mode=mode)
+            vals, rows = jax.lax.top_k(jnp.where(scores > 0, scores, NEG_INF), kk)
+        else:
+            vals, rows = _local_bm25_candidates_topk(
+                tids, doc_rows[0], wnorm[0], offsets[0], idf[0], kk, w, mode,
+                pallas=backend == "candidates_pallas",
+            )
         gfids = jnp.where(vals > NEG_INF * 0.5, jnp.take(frame_ids[0], jnp.maximum(rows, 0)), -1)
         return merge_topk_across_mesh(vals, gfids.astype(jnp.int32), k, mesh)
 
-    return run2(term_ids, lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live, lex.frame_ids)
+    return run2
 
 
-def sharded_hybrid_topk(
-    queries,
-    term_ids,
-    dense: ShardedDenseIndex,
-    lex: ShardedLexIndex,
-    k: int,
-    mesh: Mesh,
-    w_dense: float = 0.5,
-    w_bm25: float = 0.5,
-    rrf_k: float = 60.0,
+def sharded_bm25_topk(
+    term_ids, lex: ShardedLexIndex, k: int, mesh: Mesh, mode: str = "any", backend: str = "auto"
 ):
-    """One-program hybrid search: both lanes + ICI merges + on-device RRF fusion.
+    """Distributed BM25 top-k: per-shard scoring + ICI merge.
 
-    Returns (fused_scores [B, k], frame_ids [B, k]).
+    mode: "any" (OR) or "all" (implicit-AND, FTS5 parity) — same semantics as the
+    single-chip ops/bm25.py:bm25_topk. backend: "auto" | "scatter" | "candidates" |
+    "candidates_pallas" (see _resolve_lex_backend).
     """
-    n_shards = corpus_shards(mesh)
-    w = lex.max_df
-    fetch = max(2 * k, 16)
-    # static dense-lane backend choice: chunkmax needs a prefix-live (contiguous)
-    # shard, 2048-aligned local rows, and a rescore-friendly fetch size
-    local_rows = dense.emb.shape[0] // n_shards
-    use_chunkmax = (
-        dense.contiguous
-        and local_rows % 2048 == 0
-        and local_rows >= _CHUNKMAX_MIN_LOCAL_ROWS
-        and min(fetch, local_rows) <= 100
+    backend = _resolve_lex_backend(lex, backend)
+    run2 = _bm25_program(mesh, int(k), mode, backend, int(lex.max_df))
+    wn = lex.wnorm if lex.wnorm is not None else lex.tfs
+    return run2(
+        term_ids, lex.avgdl, lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len,
+        lex.live, lex.frame_ids, wn,
     )
 
+
+@functools.lru_cache(maxsize=128)
+def _hybrid_program(
+    mesh: Mesh,
+    k: int,
+    fetch: int,
+    w: int,
+    use_chunkmax: bool,
+    lex_backend: str,
+    w_dense: float,
+    w_bm25: float,
+    rrf_k: float,
+):
+    """Jitted one-program hybrid, memoized per static config (see _bm25_program)."""
     rows_spec = P(corpus_axes(mesh))
 
+    @jax.jit
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P()) + (rows_spec,) * 10,
+        in_specs=(P(), P(), P()) + (rows_spec,) * 11,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run(q, tids, emb, d_fids, d_bias, doc_rows, tfs, offsets, idf, doc_len, live, l_fids):
+    def run(q, tids, avgdl, emb, d_fids, d_bias, doc_rows, tfs, offsets, idf, doc_len, live, l_fids, wnorm):
         b = q.shape[0]
         # dense lane: chunkmax (DMA rescore, never materializes [B, N_local] in
         # HBM) once the local shard is large enough for its rescore traffic to
@@ -253,10 +313,16 @@ def sharded_hybrid_topk(
         dfid = jnp.where(dv > NEG_INF * 0.5, jnp.take(d_fids, jnp.maximum(drows, 0)), -1)
         dv_g, dfid_g = merge_topk_across_mesh(dv, dfid, fetch, mesh)
         # bm25 lane
-        shard = (doc_rows[0], tfs[0], offsets[0], idf[0], doc_len[0], live[0])
-        scores_l = _local_bm25(tids, shard, lex.avgdl, w)
-        kk_l = min(fetch, scores_l.shape[1])
-        lv, lrows = jax.lax.top_k(jnp.where(scores_l > 0, scores_l, NEG_INF), kk_l)
+        kk_l = min(fetch, doc_len.shape[1])
+        if lex_backend == "scatter":
+            shard = (doc_rows[0], tfs[0], offsets[0], idf[0], doc_len[0], live[0])
+            scores_l = _local_bm25(tids, shard, avgdl, w)
+            lv, lrows = jax.lax.top_k(jnp.where(scores_l > 0, scores_l, NEG_INF), kk_l)
+        else:
+            lv, lrows = _local_bm25_candidates_topk(
+                tids, doc_rows[0], wnorm[0], offsets[0], idf[0], kk_l, w, "any",
+                pallas=lex_backend == "candidates_pallas",
+            )
         lfid = jnp.where(lv > NEG_INF * 0.5, jnp.take(l_fids[0], jnp.maximum(lrows, 0)), -1)
         lv_g, lfid_g = merge_topk_across_mesh(lv, lfid.astype(jnp.int32), fetch, mesh)
 
@@ -285,8 +351,44 @@ def sharded_hybrid_topk(
         ffid = jnp.where(fv > NEG_INF * 0.5, ffid, -1)
         return fv, ffid
 
+    return run
+
+
+def sharded_hybrid_topk(
+    queries,
+    term_ids,
+    dense: ShardedDenseIndex,
+    lex: ShardedLexIndex,
+    k: int,
+    mesh: Mesh,
+    w_dense: float = 0.5,
+    w_bm25: float = 0.5,
+    rrf_k: float = 60.0,
+    lex_backend: str = "auto",
+):
+    """One-program hybrid search: both lanes + ICI merges + on-device RRF fusion.
+
+    Returns (fused_scores [B, k], frame_ids [B, k]).
+    """
+    n_shards = corpus_shards(mesh)
+    lex_backend = _resolve_lex_backend(lex, lex_backend)
+    fetch = max(2 * k, 16)
+    # static dense-lane backend choice: chunkmax needs a prefix-live (contiguous)
+    # shard, 2048-aligned local rows, and a rescore-friendly fetch size
+    local_rows = dense.emb.shape[0] // n_shards
+    use_chunkmax = (
+        dense.contiguous
+        and local_rows % 2048 == 0
+        and local_rows >= _CHUNKMAX_MIN_LOCAL_ROWS
+        and min(fetch, local_rows) <= 100
+    )
+    run = _hybrid_program(
+        mesh, int(k), fetch, int(lex.max_df), use_chunkmax, lex_backend,
+        float(w_dense), float(w_bm25), float(rrf_k),
+    )
     return run(
-        queries, term_ids,
+        queries, term_ids, lex.avgdl,
         dense.emb, dense.frame_ids, dense.bias,
         lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live, lex.frame_ids,
+        lex.wnorm if lex.wnorm is not None else lex.tfs,
     )
