@@ -79,7 +79,12 @@ def main() -> None:
 
             def body(i, carry):
                 q, acc = carry
-                v, _ = sharded_hybrid_topk(q, tids, dn, lx, K, mesh)
+                # perturb the term ids every iteration: with loop-invariant tids
+                # XLA hoists the ENTIRE BM25 lane out of the loop and the "hybrid"
+                # slope times only the dense lane + fusion (the round-3 numbers
+                # had exactly that hole — see docs/benchmarks.md)
+                t2 = (tids + jnp.int32(i)) % T
+                v, _ = sharded_hybrid_topk(q, t2, dn, lx, K, mesh)
                 return q + v[:, :1] * 1e-9, acc + v[0, 0]
 
             return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
@@ -92,7 +97,7 @@ def main() -> None:
         float(chained(q0, 1, *args))
         # floor: dense lane reads the 1.6 GB f32 corpus once per batch
         ms, info = robust_slope(
-            _make_timer(chained, q0, *args), 5, 35, 65, floor_ms=1.5, cap_ms=40.0
+            _make_timer(chained, q0, *args), 3, 13, 23, floor_ms=1.5, cap_ms=6000.0
         )
     print(
         f"fused hybrid N={N} budget={BUDGET}: {ms:.3f} ms/256-query batch "
