@@ -1,0 +1,133 @@
+"""Measure the postings-budget recall trade at 1M docs (verdict item: a documented
+trade with no number is a guess).
+
+Builds a Zipf synthetic 1M-doc corpus with variable doc lengths, impact-orders each
+term's postings (exact per-posting BM25 contribution, like LexIndexBuilder's
+postings_budget truncation — index/lex.py), then measures top-10 agreement of the
+budgeted device BM25 lane against the UNBUDGETED exact oracle (host scatter over the
+full postings), for budgets {unbounded-oracle, 16384, 4096, 1024} x {OR, AND} on
+multi-term queries.
+
+    python scripts/budget_recall.py [N] [N_QUERIES]
+
+Prints a markdown table row per (budget, mode) for docs/benchmarks.md.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from wax_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
+
+import numpy as np
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_048_576
+NQ = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+T = 16384
+QT = 8  # terms per query
+K = 10
+K1, B_ = 1.2, 0.75
+BUDGETS = [16384, 4096, 1024]
+
+
+def build_corpus(rng):
+    """Returns per-term postings (rows, tfs) impact-ordered, plus doc lengths."""
+    raw = (1.0 / np.arange(1, T + 1)) ** 0.7
+    df = np.minimum((raw / raw.sum() * 48 * N).astype(np.int64) + 1, N)
+    doc_len = rng.integers(16, 129, N).astype(np.float32)
+    avgdl = float(doc_len.mean())
+    idf_full = np.log((N - df + 0.5) / (df + 0.5))
+    idf_full = np.where(idf_full > 0, idf_full, 1e-6).astype(np.float32)
+    postings = []
+    print(f"building {df.sum() / 1e6:.1f}M postings ...", flush=True)
+    for t in range(T):
+        rows = rng.choice(N, size=df[t], replace=False) if df[t] < N // 2 else rng.permutation(N)[: df[t]]
+        tfs = rng.integers(1, 6, df[t]).astype(np.float32)
+        # exact per-posting contribution -> impact order (descending)
+        dl = doc_len[rows]
+        contrib = idf_full[t] * (tfs * (K1 + 1.0)) / (tfs + K1 * (1 - B_ + B_ * dl / avgdl))
+        order = np.argsort(-contrib, kind="stable")
+        postings.append((rows[order].astype(np.int32), tfs[order]))
+    return postings, doc_len, avgdl, idf_full, df
+
+
+def oracle_scores(postings, doc_len, avgdl, idf, tids, mode):
+    """Exact unbudgeted scores for ONE query (host scatter over full postings)."""
+    score = np.zeros(N, np.float32)
+    hits = np.zeros(N, np.int16)
+    for t in tids:
+        rows, tfs = postings[t]
+        dl = doc_len[rows]
+        contrib = idf[t] * (tfs * (K1 + 1.0)) / (tfs + K1 * (1 - B_ + B_ * dl / avgdl))
+        score[rows] += contrib
+        hits[rows] += 1
+    if mode == "all":
+        score = np.where(hits == len(tids), score, 0.0)
+    return score
+
+
+def budget_scores(postings, doc_len, avgdl, idf, tids, mode, budget):
+    score = np.zeros(N, np.float32)
+    hits = np.zeros(N, np.int16)
+    for t in tids:
+        rows, tfs = postings[t]
+        rows, tfs = rows[:budget], tfs[:budget]
+        dl = doc_len[rows]
+        contrib = idf[t] * (tfs * (K1 + 1.0)) / (tfs + K1 * (1 - B_ + B_ * dl / avgdl))
+        score[rows] += contrib
+        hits[rows] += 1
+    if mode == "all":
+        # production semantics: AND masks on FULL df membership (idf/df stats keep
+        # full statistics; only scoring postings are truncated) — a doc matching
+        # all terms but truncated out of one term's head scores the partial sum.
+        # Mirror ops/bm25.py: hit count comes from the BUDGETED lists (the device
+        # kernel sees only those), so truncation can DROP an AND match.
+        score = np.where(hits == len(tids), score, 0.0)
+    return score
+
+
+def topk_ids(score, k):
+    """Top-k doc ids, lowest-index tie-break (the engine's determinism contract)."""
+    idx = np.argpartition(-score, k)[:k]
+    return set(idx[np.lexsort((idx, -score[idx]))][:k].tolist())
+
+
+def main():
+    rng = np.random.default_rng(11)
+    postings, doc_len, avgdl, idf, df = build_corpus(rng)
+    # query terms: mixture of head/torso/tail terms, weighted toward the torso.
+    # AND queries use 2-3 terms (8-term conjunctions simply have no matches at 1M).
+    zipf_w = (1.0 / np.arange(1, T + 1)) ** 0.5
+    zipf_w /= zipf_w.sum()
+    q_any = [rng.choice(T, size=QT, replace=False, p=zipf_w) for _ in range(NQ)]
+    q_all = [rng.choice(256, size=rng.integers(2, 4), replace=False) for _ in range(NQ)]
+
+    print(f"| budget | mode | recall@{K} vs unbudgeted | queries with matches | mean kept/term |")
+    print("|---|---|---|---|---|")
+    for mode, queries in (("any", q_any), ("all", q_all)):
+        oracles = []
+        for q in queries:
+            s = oracle_scores(postings, doc_len, avgdl, idf, q, mode)
+            oracles.append(topk_ids(s, K) if s.max() > 0 else set())
+        for budget in BUDGETS:
+            rec, denom = 0.0, 0
+            for q, orc in zip(queries, oracles):
+                if not orc:
+                    continue
+                s = budget_scores(postings, doc_len, avgdl, idf, q, mode, budget)
+                got = topk_ids(s, K) if s.max() > 0 else set()
+                rec += len(got & orc) / len(orc)
+                denom += 1
+            kept = np.minimum(df, budget).mean()
+            print(
+                f"| {budget} | {mode.upper()} | {rec / max(denom, 1):.4f} | {denom}/{len(queries)} | {kept:.0f} |",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
