@@ -335,9 +335,66 @@ def bench_chunkmax_and_ivf(n=1_048_576, d=768, b=256, k=10, nprobe=8):
     return chunk_ms, chunk_info, ivf_ms, recall, ivf_info
 
 
-def bench_hybrid_100k(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16):
-    """Fused hybrid (dense + BM25 + RRF in one XLA program) on a 1-device mesh at
-    100K docs, synthetic Zipf postings (~64 postings/doc)."""
+def _synth_sharded_lex(n, n_terms, budget, seed=5, per_doc=64):
+    """Synthetic Zipf CSR as a 1-shard ShardedLexIndex: per-term slices row-SORTED
+    (the candidate kernel merges pre-sorted runs), df impact-clamped at `budget`
+    (LexIndexBuilder postings_budget semantics), per-posting wnorm precomputed,
+    postings padded for the candidate kernel's aligned DMA windows."""
+    import jax.numpy as jnp
+
+    from wax_tpu.index.lex import dma_window, reverse_postings_copies
+    from wax_tpu.parallel.sharded_hybrid import ShardedLexIndex
+
+    rng = np.random.default_rng(seed)
+    raw_df = (1.0 / np.arange(1, n_terms + 1)) ** 0.7
+    df = np.minimum((raw_df / raw_df.sum() * per_doc * n).astype(np.int64) + 1, budget)
+    max_df = int(((df.max() + 127) // 128) * 128)
+    offsets = np.zeros(n_terms + 1, np.int64)
+    offsets[1:] = np.cumsum(df)
+    total = int(offsets[-1])
+    p_cap = ((total + dma_window(max_df) + 1023) // 1024) * 1024
+    doc_rows = np.zeros(p_cap, np.int32)
+    wnorm = np.zeros(p_cap, np.float32)
+    tfs = np.zeros(p_cap, np.float32)
+    # doc_len == avgdl == 64 so wnorm = tf*(k1+1)/(tf + k1); scores still exercise
+    # the full pipeline (idf gather, merge, dup-sum)
+    for t in range(n_terms):
+        a, bb = int(offsets[t]), int(offsets[t + 1])
+        m = bb - a
+        rows = np.sort(rng.choice(n, size=m, replace=False)) if m < n // 4 else np.sort(
+            rng.permutation(n)[:m]
+        )
+        tf = rng.integers(1, 5, m).astype(np.float32)
+        doc_rows[a:bb] = rows
+        tfs[a:bb] = tf
+        wnorm[a:bb] = tf * 2.2 / (tf + 1.2)
+    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
+    rev_r, rev_w = reverse_postings_copies(doc_rows, wnorm, offsets)
+    return ShardedLexIndex(
+        doc_rows=jnp.asarray(doc_rows[None, :]),
+        tfs=jnp.asarray(tfs[None, :]),
+        offsets=jnp.asarray(offsets[None, :].astype(np.int32)),
+        idf=jnp.asarray(idf[None, :]),
+        doc_len=jnp.asarray(np.full((1, n), 64.0, np.float32)),
+        frame_ids=jnp.asarray(np.arange(n, dtype=np.int32)[None, :]),
+        live=jnp.asarray(np.ones((1, n), bool)),
+        row_base=jnp.zeros(1, jnp.int32),
+        avgdl=jnp.float32(64.0),
+        wnorm=jnp.asarray(wnorm[None, :]),
+        doc_rows_rev=jnp.asarray(rev_r[None, :]),
+        wnorm_rev=jnp.asarray(rev_w[None, :]),
+        max_df=max_df,
+    )
+
+
+def bench_hybrid(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16, budget=3072,
+                 dtype="float32", iters=(5, 45, 85), floor_ms=0.3):
+    """Fused hybrid (dense + candidate-set BM25 + RRF in one XLA program) on a
+    1-device mesh, synthetic Zipf postings (~64/doc) impact-budgeted per term.
+
+    The BM25 lane rides the Pallas candidate kernel (ops/bm25_candidates_pallas) —
+    the scatter lane measures ~1.9 s/batch at this shape and is no longer a
+    sensible bench config (docs/benchmarks.md)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import Mesh
@@ -346,33 +403,11 @@ def bench_hybrid_100k(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16):
     from wax_tpu.parallel.sharded_scan import ShardedDenseIndex
 
     emb, q0 = _unit_data(n, d, b, seed=3)
+    if dtype == "bfloat16":
+        emb = emb.astype(jnp.bfloat16)
     mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
-
-    # synthetic CSR: term df ~ Zipf over n_terms, total postings ~= 64 * n
-    rng = np.random.default_rng(5)
-    raw_df = (1.0 / np.arange(1, n_terms + 1)) ** 0.7
-    df = np.minimum((raw_df / raw_df.sum() * 64 * n).astype(np.int64) + 1, n)
-    max_df = int(((df.max() + 127) // 128) * 128)
-    offsets = np.zeros(n_terms + 1, np.int64)
-    offsets[1:] = np.cumsum(df)
-    total = int(offsets[-1])
-    doc_rows = rng.integers(0, n, total).astype(np.int32)
-    tfs = rng.integers(1, 5, total).astype(np.float32)
-    idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
-    doc_len = np.full(n, 64.0, np.float32)
-
-    lex = ShardedLexIndex(
-        doc_rows=jnp.asarray(doc_rows[None, :]),
-        tfs=jnp.asarray(tfs[None, :]),
-        offsets=jnp.asarray(offsets[None, :].astype(np.int32)),
-        idf=jnp.asarray(idf[None, :]),
-        doc_len=jnp.asarray(doc_len[None, :]),
-        frame_ids=jnp.asarray(np.arange(n, dtype=np.int32)[None, :]),
-        live=jnp.asarray(np.ones((1, n), bool)),
-        row_base=jnp.zeros(1, jnp.int32),
-        avgdl=jnp.float32(64.0),
-        max_df=max_df,
-    )
+    lex = _synth_sharded_lex(n, n_terms, budget)
+    max_df = lex.max_df
     # ShardedDenseIndex is flat [N_pad, d] sharded over the data axis (no leading
     # shard dim — unlike ShardedLexIndex whose arrays carry one)
     dense = ShardedDenseIndex(
@@ -380,15 +415,18 @@ def bench_hybrid_100k(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16):
         frame_ids=jnp.asarray(np.arange(n, dtype=np.int32)),
         bias=jnp.zeros((n,), jnp.float32),
     )
+    rng = np.random.default_rng(7)
     tids0 = jnp.asarray(rng.integers(0, n_terms, (b, q_terms)).astype(np.int32))
 
     with mesh:
         @jax.jit
-        def chained(q, iters, tids, demb, dfid, dbias, ldr, ltf, loff, lidf, ldl, llive, lfid, lbase):
+        def chained(q, iters_, tids, demb, dfid, dbias, ldr, ltf, loff, lidf, ldl,
+                    llive, lfid, lbase, lwn, ldrr, lwnr):
             dn = ShardedDenseIndex(emb=demb, frame_ids=dfid, bias=dbias)
             lx = ShardedLexIndex(
                 doc_rows=ldr, tfs=ltf, offsets=loff, idf=lidf, doc_len=ldl,
-                frame_ids=lfid, live=llive, row_base=lbase, avgdl=lex.avgdl, max_df=max_df,
+                frame_ids=lfid, live=llive, row_base=lbase, avgdl=lex.avgdl,
+                wnorm=lwn, doc_rows_rev=ldrr, wnorm_rev=lwnr, max_df=max_df,
             )
 
             def body(i, carry):
@@ -401,18 +439,26 @@ def bench_hybrid_100k(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16):
                 v, _ = sharded_hybrid_topk(q, t2, dn, lx, k, mesh)
                 return q + v[:, :1] * 1e-9, acc + v[0, 0]
 
-            return jax.lax.fori_loop(0, iters, body, (q, jnp.float32(0)))[1]
+            return jax.lax.fori_loop(0, iters_, body, (q, jnp.float32(0)))[1]
 
         args = (
             tids0, dense.emb, dense.frame_ids, dense.bias,
             lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live,
-            lex.frame_ids, lex.row_base,
+            lex.frame_ids, lex.row_base, lex.wnorm, lex.doc_rows_rev, lex.wnorm_rev,
         )
         float(chained(q0, 1, *args))
         ms, info = robust_slope(
-            _make_timer(chained, q0, *args), 5, 45, 85, floor_ms=0.3, cap_ms=4000.0
+            _make_timer(chained, q0, *args), *iters, floor_ms=floor_ms, cap_ms=4000.0
         )
     return ms, info
+
+
+def bench_hybrid_100k(**kw):
+    return bench_hybrid(n=102_400, **kw)
+
+
+def bench_hybrid_1m(**kw):
+    return bench_hybrid(n=1_048_576, n_terms=16384, iters=(3, 13, 23), floor_ms=1.0, **kw)
 
 
 # ---------------------------------------------------------------------------------
@@ -511,10 +557,21 @@ def main() -> None:
             configs["hybrid_100k_x384"] = {
                 "ms_per_batch256": round(ms, 4),
                 "qps_per_chip": round(256 / ms * 1e3),
+                "postings_budget": 3072,
                 "timing": _info_public(info),
             }
         except Exception as e:  # noqa: BLE001
             configs["hybrid_100k_x384"] = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            ms, info = bench_hybrid_1m()
+            configs["hybrid_1m_x384"] = {
+                "ms_per_batch256": round(ms, 4),
+                "qps_per_chip": round(256 / ms * 1e3),
+                "postings_budget": 3072,
+                "timing": _info_public(info),
+            }
+        except Exception as e:  # noqa: BLE001
+            configs["hybrid_1m_x384"] = {"error": f"{type(e).__name__}: {e}"}
         record["configs"] = configs
         record["wall_s"] = round(time.time() - t_start, 1)
 

@@ -59,6 +59,9 @@ def make_index() -> LexIndex:
         doc_rows[a:b] = rows
         tfs[a:b] = tf
         wnorm[a:b] = tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl[rows] / avgdl))
+    from wax_tpu.index.lex import reverse_postings_copies
+
+    rev_r, rev_w = reverse_postings_copies(doc_rows, wnorm, offsets)
     idf = np.log(1.0 + (N - df + 0.5) / (df + 0.5)).astype(np.float32)
     n_cap = ((N + 127) // 128) * 128
     dlp = np.zeros(n_cap, np.float32)
@@ -78,6 +81,8 @@ def make_index() -> LexIndex:
         count=jnp.asarray(N, jnp.int32),
         avgdl=jnp.asarray(avgdl, jnp.float32),
         wnorm=jnp.asarray(wnorm),
+        doc_rows_rev=jnp.asarray(rev_r),
+        wnorm_rev=jnp.asarray(rev_w),
         max_df=int(((df.max() + 127) // 128) * 128),
     )
 
@@ -101,7 +106,8 @@ def main():
     if WHAT in ("time", "both"):
         @jax.jit
         def chained(q0, iters, tids, *arrs):
-            names = ["doc_rows", "tfs", "offsets", "idf", "doc_len", "frame_ids", "active", "count", "avgdl", "wnorm"]
+            names = ["doc_rows", "tfs", "offsets", "idf", "doc_len", "frame_ids",
+                     "active", "count", "avgdl", "wnorm", "doc_rows_rev", "wnorm_rev"]
             ix = LexIndex(**dict(zip(names, arrs)), max_df=idx.max_df)
 
             def body(i, carry):
@@ -113,7 +119,8 @@ def main():
             return jax.lax.fori_loop(0, iters, body, (q0, jnp.float32(0)))[1]
 
         arrs = (idx.doc_rows, idx.tfs, idx.offsets, idx.idf, idx.doc_len,
-                idx.frame_ids, idx.active, idx.count, idx.avgdl, idx.wnorm)
+                idx.frame_ids, idx.active, idx.count, idx.avgdl, idx.wnorm,
+                idx.doc_rows_rev, idx.wnorm_rev)
         q0 = jnp.zeros((B, 1), jnp.float32)
         float(chained(q0, 1, tids0, *arrs))
         ms, info = robust_slope(

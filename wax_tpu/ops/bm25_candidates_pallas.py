@@ -50,101 +50,53 @@ _LANES = 128
 _ALIGN = 1024  # i32/f32 HBM tile: windows anchor at this flat alignment
 
 
-def _desc_mask(shape, run_len: int):
+def _iotas(shape):
+    """One-time lane/sublane/flat index planes shared by every stage (Mosaic does
+    not reliably CSE per-stage iota rebuilds across ~70 unrolled stages)."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return sub, lane, sub * _LANES + lane
+
+
+def _desc_mask(flat, run_len: int):
     """True where the element belongs to an odd OUTPUT run of size 2*run_len —
     those runs merge DESCENDING so the next level's inputs are bitonic without
     any physical reversal (the classic alternating-direction bitonic network)."""
-    flat = (
-        jax.lax.broadcasted_iota(jnp.int32, shape, 0) * _LANES
-        + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    )
-    return (flat // (2 * run_len)) % 2 == 1
+    return (flat & (2 * run_len)) != 0
 
 
-def _stage_rows(rows, con, d_rows: int, desc):
-    """Compare-exchange at flat distance d = d_rows*128 (sublane-block view)."""
-    r = rows.shape[0]
-    nb = r // (2 * d_rows)
-    rv = rows.reshape(nb, 2, d_rows, _LANES)
-    cv = con.reshape(nb, 2, d_rows, _LANES)
-    dv = desc.reshape(nb, 2, d_rows, _LANES)[:, 0]
-    r0, r1 = rv[:, 0], rv[:, 1]
-    c0, c1 = cv[:, 0], cv[:, 1]
-    sel = (r0 <= r1) ^ dv
-    rlo = jnp.where(sel, r0, r1)
-    rhi = jnp.where(sel, r1, r0)
-    clo = jnp.where(sel, c0, c1)
-    chi = jnp.where(sel, c1, c0)
-    rows = jnp.concatenate([rlo[:, None], rhi[:, None]], axis=1).reshape(r, _LANES)
-    con = jnp.concatenate([clo[:, None], chi[:, None]], axis=1).reshape(r, _LANES)
-    return rows, con
+def _stage(rows, con, d: int, desc, sub, lane):
+    """One compare-exchange stage at flat distance d (pow2).
 
-
-def _stage_lanes(rows, con, d: int, desc):
-    """Compare-exchange at flat distance d < 128 via lane rolls (a 2d block never
-    crosses a 128-lane row, so the roll's cyclic wrap is never selected)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
-    is_lo = (lane // d) % 2 == 0
-    pr = jnp.where(is_lo, jnp.roll(rows, -d, axis=1), jnp.roll(rows, d, axis=1))
-    pc = jnp.where(is_lo, jnp.roll(con, -d, axis=1), jnp.roll(con, d, axis=1))
-    # pair = (first, second) in index order; self is first iff is_lo
-    first_r = jnp.where(is_lo, rows, pr)
-    second_r = jnp.where(is_lo, pr, rows)
-    first_c = jnp.where(is_lo, con, pc)
-    second_c = jnp.where(is_lo, pc, con)
-    sle = (first_r <= second_r) ^ desc
-    lo_r = jnp.where(sle, first_r, second_r)
-    hi_r = jnp.where(sle, second_r, first_r)
-    lo_c = jnp.where(sle, first_c, second_c)
-    hi_c = jnp.where(sle, second_c, first_c)
-    return jnp.where(is_lo, lo_r, hi_r), jnp.where(is_lo, lo_c, hi_c)
-
-
-def _swap_halves(rows, con, s: int, active):
-    """Swap the two halves of every flat block of size s where `active` (roll-based;
-    one stage of the log-depth block reversal)."""
-    half = s // 2
-    if half >= _LANES:
-        hr = half // _LANES
-
-        def sw(x):
-            up = jnp.roll(x, hr, axis=0)
-            dn = jnp.roll(x, -hr, axis=0)
-            second = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) // hr) % 2 == 1
-            return jnp.where(second, up, dn)
+    d >= 128: partners live d//128 sublanes apart (axis-0 rolls); d < 128:
+    partners are d lanes apart within a 128-lane row (axis-1 rolls; a 2d block
+    never crosses a row, so the cyclic wrap is never selected). Both elements of
+    a pair compute the same `swap` (strict compares keep ties in place, so the
+    merge stays stable), then take the partner where it wins.
+    """
+    if d >= _LANES:
+        dr = d // _LANES
+        is_lo = (sub & dr) == 0
+        pr = jnp.where(is_lo, jnp.roll(rows, -dr, axis=0), jnp.roll(rows, dr, axis=0))
+        pc = jnp.where(is_lo, jnp.roll(con, -dr, axis=0), jnp.roll(con, dr, axis=0))
     else:
-
-        def sw(x):
-            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-            second = (lane // half) % 2 == 1
-            return jnp.where(second, jnp.roll(x, half, axis=1), jnp.roll(x, -half, axis=1))
-
-    return jnp.where(active, sw(rows), rows), jnp.where(active, sw(con), con)
-
-
-def _reverse_odd_runs(rows, con, run_len: int):
-    """Physically reverse every odd-indexed run of flat length run_len, via
-    log2(run_len) half-swap stages (the once-per-kernel setup that lets every
-    merge level run flip-free with alternating directions)."""
-    flat_run = _desc_mask(rows.shape, run_len // 2)  # odd runs of size run_len
-    s = run_len
-    while s >= 2:
-        rows, con = _swap_halves(rows, con, s, flat_run)
-        s //= 2
-    return rows, con
+        is_lo = (lane & d) == 0
+        pr = jnp.where(is_lo, jnp.roll(rows, -d, axis=1), jnp.roll(rows, d, axis=1))
+        pc = jnp.where(is_lo, jnp.roll(con, -d, axis=1), jnp.roll(con, d, axis=1))
+    # logical blend, not jnp.where: Mosaic cannot select_n on i1 vectors
+    # ("Unsupported target bitwidth for truncation")
+    swap = ((is_lo & (pr < rows)) | (~is_lo & (rows < pr))) ^ desc
+    return jnp.where(swap, pr, rows), jnp.where(swap, pc, con)
 
 
-def merge_rows_lanes(rows, con, run_len: int):
+def merge_rows_lanes(rows, con, run_len: int, sub, lane, flat):
     """Bitonic-merge adjacent runs of flat length run_len (>=128) whose directions
     alternate (even run ascending, odd descending). Output runs of 2*run_len again
     alternate, with the final full-width run ascending."""
-    desc = _desc_mask(rows.shape, run_len)
+    desc = _desc_mask(flat, run_len)
     d = run_len
-    while d >= _LANES:
-        rows, con = _stage_rows(rows, con, d // _LANES, desc)
-        d //= 2
     while d >= 1:
-        rows, con = _stage_lanes(rows, con, d, desc)
+        rows, con = _stage(rows, con, d, desc, sub, lane)
         d //= 2
     return rows, con
 
@@ -160,13 +112,9 @@ def _roll_flat(x, d: int):
     return jnp.where(lane >= d, same_row, prev_row)
 
 
-def segment_passes(rows, con, cnt, max_run_log2: int):
+def segment_passes(rows, con, cnt, max_run_log2: int, flat):
     """Hillis-Steele segmented sum/count; run-last element carries totals."""
     total = rows.shape[0] * _LANES
-    flat_idx = (
-        jax.lax.broadcasted_iota(jnp.int32, rows.shape, 0) * _LANES
-        + jax.lax.broadcasted_iota(jnp.int32, rows.shape, 1)
-    )
     d = 1
     for _ in range(max_run_log2):
         if d < _LANES:
@@ -176,13 +124,13 @@ def segment_passes(rows, con, cnt, max_run_log2: int):
             sr = jnp.roll(rows, dr, axis=0)
             sv = jnp.roll(con, dr, axis=0)
             sc = jnp.roll(cnt, dr, axis=0)
-        ok = (flat_idx >= d) & (sr == rows)
+        ok = (flat >= d) & (sr == rows)
         con = con + jnp.where(ok, sv, 0.0)
         cnt = cnt + jnp.where(ok, sc, 0)
         d *= 2
     # leader = last element of its run
     nr = _roll_flat_back(rows)
-    leader = (rows != nr) | (flat_idx == total - 1)
+    leader = (rows != nr) | (flat == total - 1)
     return leader, con, cnt
 
 
@@ -202,6 +150,8 @@ def _kernel(
     nterm_ref,  # [B, 1] i32 (valid term count, for AND)
     rows_hbm,  # [P/1024, 8, 128] i32
     wn_hbm,  # [P/1024, 8, 128] f32
+    rows_rev_hbm,  # per-term reversed copies (odd merge slots stream these:
+    wn_rev_hbm,  # runs arrive pre-reversed, so the merge tree needs no flip stages)
     out_rows_ref,
     out_score_ref,
     rows_vmem,  # [Q2, W2/1024, 8, 128]
@@ -216,32 +166,36 @@ def _kernel(
     w_rows = w2 // _LANES
     w_blks = w2 // _ALIGN
 
-    # stream all Q windows (one contiguous DMA each)
+    # stream all Q windows (one contiguous DMA each); odd slots from the reversed
+    # copies (same offsets, slice content reversed in place) so their runs arrive
+    # descending — only the out-of-slice sentinels swap ends below
+    def _copies(qi):
+        rs = rows_rev_hbm if qi % 2 else rows_hbm
+        ws = wn_rev_hbm if qi % 2 else wn_hbm
+        return (
+            pltpu.make_async_copy(
+                rs.at[pl.ds(win_ref[b, qi], w_blks)], rows_vmem.at[qi], sems.at[qi, 0]
+            ),
+            pltpu.make_async_copy(
+                ws.at[pl.ds(win_ref[b, qi], w_blks)], wn_vmem.at[qi], sems.at[qi, 1]
+            ),
+        )
+
     for qi in range(q2):
-        pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(win_ref[b, qi], w_blks)], rows_vmem.at[qi], sems.at[qi, 0]
-        ).start()
-        pltpu.make_async_copy(
-            wn_hbm.at[pl.ds(win_ref[b, qi], w_blks)], wn_vmem.at[qi], sems.at[qi, 1]
-        ).start()
+        a, bcp = _copies(qi)
+        a.start()
+        bcp.start()
     for qi in range(q2):
-        pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(win_ref[b, qi], w_blks)], rows_vmem.at[qi], sems.at[qi, 0]
-        ).wait()
-        pltpu.make_async_copy(
-            wn_hbm.at[pl.ds(win_ref[b, qi], w_blks)], wn_vmem.at[qi], sems.at[qi, 1]
-        ).wait()
+        a, bcp = _copies(qi)
+        a.wait()
+        bcp.wait()
 
     # [Q2, W2/1024, 8, 128] -> [Q2 * W2/128, 128] flat row-major candidate buffer
     rows = rows_vmem[:, :, :, :].reshape(q2 * w_rows, _LANES)
     wn = wn_vmem[:, :, :, :].reshape(q2 * w_rows, _LANES)
-    flat_in_win = (
-        jax.lax.broadcasted_iota(jnp.int32, (q2, w_rows, _LANES), 1) * _LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (q2, w_rows, _LANES), 2)
-    ).reshape(q2 * w_rows, _LANES)
-    term_of = jax.lax.broadcasted_iota(jnp.int32, (q2, w_rows, _LANES), 0).reshape(
-        q2 * w_rows, _LANES
-    )
+    sub, lane, flat = _iotas(rows.shape)
+    flat_in_win = flat % w2
+    term_of = flat // w2
     # per-element delta/length/idf: q2 is a python int, select by comparison chain
     idfv = jnp.zeros_like(wn)
     lenv = jnp.zeros_like(rows)
@@ -252,15 +206,18 @@ def _kernel(
         dltv = jnp.where(m, dlt_ref[b, qi], dltv)
         idfv = jnp.where(m, idfs_ref[b, qi], idfv)
     valid = (flat_in_win >= dltv) & (flat_in_win < dltv + lenv)
-    # leading out-of-slice elements sort BEFORE real rows (-1), trailing after
-    # (SENT): each run stays ascending-sorted for the bitonic merge
-    rows = jnp.where(valid, rows, jnp.where(flat_in_win < dltv, -1, _SENT))
+    # out-of-slice sentinels keep every run sorted in ITS direction: ascending
+    # (even slots) lead with -1 / trail with SENT; descending (odd slots, DMAed
+    # from the reversed copies) lead with SENT / trail with -1
+    odd_slot = (term_of & 1) == 1
+    lead = jnp.where(odd_slot, _SENT, -1)
+    trail = jnp.where(odd_slot, -1, _SENT)
+    rows = jnp.where(valid, rows, jnp.where(flat_in_win < dltv, lead, trail))
     con = jnp.where(valid, idfv * wn, 0.0)
 
-    rows, con = _reverse_odd_runs(rows, con, w2)
     run = w2
     while run < q2 * w2:
-        rows, con = merge_rows_lanes(rows, con, run)
+        rows, con = merge_rows_lanes(rows, con, run, sub, lane, flat)
         run *= 2
 
     cnt = jnp.where(valid_sorted_mask(rows), 1, 0)
@@ -268,7 +225,7 @@ def _kernel(
     log2 = 1
     while (1 << log2) < 2 * q2:
         log2 += 1
-    leader, summed, counts = segment_passes(rows, con, cnt, log2)
+    leader, summed, counts = segment_passes(rows, con, cnt, log2, flat)
 
     live = leader & (rows >= 0) & (rows < _SENT) & (summed > 0.0)
     if mode == "all":
@@ -283,17 +240,22 @@ def valid_sorted_mask(rows):
 
 
 @functools.partial(jax.jit, static_argnames=("q2", "w2", "mode", "interpret"))
-def _run(win, dlt, lens, idfs, nterm, doc_rows, wnorm, q2: int, w2: int, mode: str, interpret: bool):
+def _run(win, dlt, lens, idfs, nterm, doc_rows, wnorm, doc_rows_rev, wnorm_rev,
+         q2: int, w2: int, mode: str, interpret: bool):
     b = win.shape[0]
     w_rows = w2 // _LANES
     p = doc_rows.shape[0]
     rows3 = doc_rows.reshape(p // _ALIGN, 8, _LANES)
     wn3 = wnorm.reshape(p // _ALIGN, 8, _LANES)
+    rows3r = doc_rows_rev.reshape(p // _ALIGN, 8, _LANES)
+    wn3r = wnorm_rev.reshape(p // _ALIGN, 8, _LANES)
     kernel = functools.partial(_kernel, q2=q2, w2=w2, mode=mode)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(b,),
         in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -316,11 +278,12 @@ def _run(win, dlt, lens, idfs, nterm, doc_rows, wnorm, q2: int, w2: int, mode: s
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(win, dlt, lens, idfs, nterm, rows3, wn3)
+    )(win, dlt, lens, idfs, nterm, rows3, wn3, rows3r, wn3r)
     return out_rows.reshape(b, q2 * w2), out_scores.reshape(b, q2 * w2)
 
 
-def candidate_scores_pallas(term_ids, doc_rows, wnorm, offsets, idf, *, max_df: int, mode: str = "any"):
+def candidate_scores_pallas(term_ids, doc_rows, wnorm, offsets, idf, doc_rows_rev, wnorm_rev,
+                            *, max_df: int, mode: str = "any"):
     """Raw-array kernel entry: [B, Q] term ids -> (rows, scores) [B, Q2*W2].
 
     Scores carry NEG_INF on non-leader / non-matching slots; rows carry -1 there.
@@ -358,7 +321,8 @@ def candidate_scores_pallas(term_ids, doc_rows, wnorm, offsets, idf, *, max_df: 
 
     interpret = jax.default_backend() == "cpu"
     return _run(
-        win, dlt, lens.astype(jnp.int32), idfs, nterm, doc_rows, wnorm, q2, w2, mode, interpret
+        win, dlt, lens.astype(jnp.int32), idfs, nterm, doc_rows, wnorm,
+        doc_rows_rev, wnorm_rev, q2, w2, mode, interpret
     )
 
 
@@ -366,8 +330,8 @@ def bm25_candidates_topk_pallas(term_ids, index: LexIndex, k: int, mode: str = "
     """Pallas candidate-set BM25 top-k — same contract as bm25_topk.
 
     Returns (scores [B, k], rows [B, k], frame_ids [B, k])."""
-    if index.wnorm is None:
-        raise ValueError("snapshot has no precomputed wnorm; rebuild the snapshot")
+    if index.wnorm is None or index.doc_rows_rev is None:
+        raise ValueError("snapshot has no precomputed wnorm/reversed postings; rebuild the snapshot")
     k = int(min(k, index.frame_ids.shape[0]))
     out_rows, out_scores = candidate_scores_pallas(
         term_ids,
@@ -375,6 +339,8 @@ def bm25_candidates_topk_pallas(term_ids, index: LexIndex, k: int, mode: str = "
         index.wnorm,
         index.offsets,
         index.idf,
+        index.doc_rows_rev,
+        index.wnorm_rev,
         max_df=int(index.max_df),
         mode=mode,
     )

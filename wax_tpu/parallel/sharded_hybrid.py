@@ -21,7 +21,14 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from wax_tpu.index.lex import BM25_B, BM25_K1, LexIndex, LexIndexBuilder, dma_window
+from wax_tpu.index.lex import (
+    BM25_B,
+    BM25_K1,
+    LexIndex,
+    LexIndexBuilder,
+    dma_window,
+    reverse_postings_copies,
+)
 from wax_tpu.ops.bm25_candidates import candidate_scores_sorted
 from wax_tpu.ops.bm25_candidates_pallas import candidate_scores_pallas
 from wax_tpu.ops.topk import NEG_INF, blockmax_topk
@@ -56,6 +63,8 @@ class ShardedLexIndex:
     row_base: jax.Array  # [S] int32 global row offset of each shard
     avgdl: jax.Array  # scalar f32
     wnorm: jax.Array | None = None  # [S, P_max] f32 tf-normalized weights (0 = dead)
+    doc_rows_rev: jax.Array | None = None  # per-term reversed copies (Pallas lane)
+    wnorm_rev: jax.Array | None = None
     max_df: int = field(metadata=dict(static=True), default=0)
 
 
@@ -112,6 +121,8 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
     live = np.zeros((s, per), bool)
     base = np.zeros(s, np.int32)
     wn = np.zeros((s, p_pad), np.float32)
+    dr_rev = np.zeros((s, p_pad), np.int32)
+    wn_rev = np.zeros((s, p_pad), np.float32)
     avgdl_f = float(full.avgdl)
     for si, (rows_cat, tfs_cat, offs) in enumerate(shard_postings):
         dr[si, : len(rows_cat)] = rows_cat
@@ -133,6 +144,9 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
             wn[si, : len(rows_cat)] = np.where(
                 live[si, rows_cat], tfs_cat * (BM25_K1 + 1.0) / np.maximum(denom, 1e-9), 0.0
             ).astype(np.float32)
+        dr_rev[si], wn_rev[si] = reverse_postings_copies(
+            dr[si], wn[si], offs.astype(np.int64)
+        )
 
     return ShardedLexIndex(
         doc_rows=shard_rows(mesh, jnp.asarray(dr)),
@@ -145,6 +159,8 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
         row_base=shard_rows(mesh, jnp.asarray(base)),
         avgdl=full.avgdl,
         wnorm=shard_rows(mesh, jnp.asarray(wn)),
+        doc_rows_rev=shard_rows(mesh, jnp.asarray(dr_rev)),
+        wnorm_rev=shard_rows(mesh, jnp.asarray(wn_rev)),
         max_df=((max_df + 127) // 128) * 128,
     )
 
@@ -198,14 +214,17 @@ def _resolve_lex_backend(lex: "ShardedLexIndex", backend: str) -> str:
         return backend
     if lex.wnorm is None:
         return "scatter"
-    return "candidates_pallas" if jax.default_backend() == "tpu" else "candidates"
+    if jax.default_backend() != "tpu":
+        return "candidates"
+    return "candidates_pallas" if lex.doc_rows_rev is not None else "candidates"
 
 
-def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, kk, w, mode, pallas: bool):
+def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev,
+                                kk, w, mode, pallas: bool):
     """Per-shard candidate-set BM25 local top-k: (vals, local_rows), -1 rows dead."""
     if pallas:
         rows, scores = candidate_scores_pallas(
-            tids, doc_rows, wnorm, offsets, idf, max_df=w, mode=mode
+            tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev, max_df=w, mode=mode
         )
     else:
         rows, scores = candidate_scores_sorted(tids, doc_rows, wnorm, offsets, idf, w, mode)
@@ -230,11 +249,11 @@ def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int):
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P()) + (rows_spec,) * 8,
+        in_specs=(P(), P()) + (rows_spec,) * 10,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run2(tids, avgdl, doc_rows, tfs, offsets, idf, doc_len, live, frame_ids, wnorm):
+    def run2(tids, avgdl, doc_rows, tfs, offsets, idf, doc_len, live, frame_ids, wnorm, drr, wnr):
         n_local = doc_len.shape[1]
         kk = min(k, n_local)
         if backend == "scatter":
@@ -243,7 +262,7 @@ def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int):
             vals, rows = jax.lax.top_k(jnp.where(scores > 0, scores, NEG_INF), kk)
         else:
             vals, rows = _local_bm25_candidates_topk(
-                tids, doc_rows[0], wnorm[0], offsets[0], idf[0], kk, w, mode,
+                tids, doc_rows[0], wnorm[0], offsets[0], idf[0], drr[0], wnr[0], kk, w, mode,
                 pallas=backend == "candidates_pallas",
             )
         gfids = jnp.where(vals > NEG_INF * 0.5, jnp.take(frame_ids[0], jnp.maximum(rows, 0)), -1)
@@ -264,9 +283,11 @@ def sharded_bm25_topk(
     backend = _resolve_lex_backend(lex, backend)
     run2 = _bm25_program(mesh, int(k), mode, backend, int(lex.max_df))
     wn = lex.wnorm if lex.wnorm is not None else lex.tfs
+    drr = lex.doc_rows_rev if lex.doc_rows_rev is not None else lex.doc_rows
+    wnr = lex.wnorm_rev if lex.wnorm_rev is not None else wn
     return run2(
         term_ids, lex.avgdl, lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len,
-        lex.live, lex.frame_ids, wn,
+        lex.live, lex.frame_ids, wn, drr, wnr,
     )
 
 
@@ -289,11 +310,11 @@ def _hybrid_program(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P()) + (rows_spec,) * 11,
+        in_specs=(P(), P(), P()) + (rows_spec,) * 13,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run(q, tids, avgdl, emb, d_fids, d_bias, doc_rows, tfs, offsets, idf, doc_len, live, l_fids, wnorm):
+    def run(q, tids, avgdl, emb, d_fids, d_bias, doc_rows, tfs, offsets, idf, doc_len, live, l_fids, wnorm, drr, wnr):
         b = q.shape[0]
         # dense lane: chunkmax (DMA rescore, never materializes [B, N_local] in
         # HBM) once the local shard is large enough for its rescore traffic to
@@ -320,7 +341,7 @@ def _hybrid_program(
             lv, lrows = jax.lax.top_k(jnp.where(scores_l > 0, scores_l, NEG_INF), kk_l)
         else:
             lv, lrows = _local_bm25_candidates_topk(
-                tids, doc_rows[0], wnorm[0], offsets[0], idf[0], kk_l, w, "any",
+                tids, doc_rows[0], wnorm[0], offsets[0], idf[0], drr[0], wnr[0], kk_l, w, "any",
                 pallas=lex_backend == "candidates_pallas",
             )
         lfid = jnp.where(lv > NEG_INF * 0.5, jnp.take(l_fids[0], jnp.maximum(lrows, 0)), -1)
@@ -386,9 +407,12 @@ def sharded_hybrid_topk(
         mesh, int(k), fetch, int(lex.max_df), use_chunkmax, lex_backend,
         float(w_dense), float(w_bm25), float(rrf_k),
     )
+    wn = lex.wnorm if lex.wnorm is not None else lex.tfs
+    drr = lex.doc_rows_rev if lex.doc_rows_rev is not None else lex.doc_rows
+    wnr = lex.wnorm_rev if lex.wnorm_rev is not None else wn
     return run(
         queries, term_ids, lex.avgdl,
         dense.emb, dense.frame_ids, dense.bias,
         lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live, lex.frame_ids,
-        lex.wnorm if lex.wnorm is not None else lex.tfs,
+        wn, drr, wnr,
     )
