@@ -347,7 +347,9 @@ def _synth_sharded_lex(n, n_terms, budget, seed=5, per_doc=64):
 
     rng = np.random.default_rng(seed)
     raw_df = (1.0 / np.arange(1, n_terms + 1)) ** 0.7
-    df = np.minimum((raw_df / raw_df.sum() * per_doc * n).astype(np.int64) + 1, budget)
+    df_natural = np.minimum((raw_df / raw_df.sum() * per_doc * n).astype(np.int64) + 1, n)
+    df = np.minimum(df_natural, budget)
+    truncated = bool((df_natural > budget).any())
     max_df = int(((df.max() + 127) // 128) * 128)
     offsets = np.zeros(n_terms + 1, np.int64)
     offsets[1:] = np.cumsum(df)
@@ -370,6 +372,26 @@ def _synth_sharded_lex(n, n_terms, budget, seed=5, per_doc=64):
         wnorm[a:bb] = tf * 2.2 / (tf + 1.2)
     idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5)).astype(np.float32)
     rev_r, rev_w = reverse_postings_copies(doc_rows, wnorm, offsets)
+    # doc-major forward index when the budget binds (production semantics:
+    # LexIndexBuilder builds fwd_tids/fwd_wnorm iff a term was truncated, and the
+    # candidate lane then rescores its top-F exactly) — vectorized CSR inversion
+    fwd_t = fwd_w = None
+    if truncated:
+        tid_all = np.repeat(np.arange(n_terms, dtype=np.int32), df)
+        rows_all = doc_rows[:total]
+        order = np.argsort(rows_all, kind="stable")  # stable: tid-ascending per doc
+        sr = rows_all[order]
+        widths = np.bincount(sr, minlength=n)
+        l_pad = max(128, int(((widths.max() + 127) // 128) * 128))
+        starts = np.zeros(n + 1, np.int64)
+        np.cumsum(widths, out=starts[1:])
+        pos = np.arange(total, dtype=np.int64) - starts[sr]
+        ft = np.full((n, l_pad), -1, np.int32)
+        fw = np.zeros((n, l_pad), np.float32)
+        ft[sr, pos] = tid_all[order]
+        fw[sr, pos] = wnorm[:total][order]
+        fwd_t = jnp.asarray(ft[None, :, :])
+        fwd_w = jnp.asarray(fw[None, :, :])
     return ShardedLexIndex(
         doc_rows=jnp.asarray(doc_rows[None, :]),
         tfs=jnp.asarray(tfs[None, :]),
@@ -383,6 +405,8 @@ def _synth_sharded_lex(n, n_terms, budget, seed=5, per_doc=64):
         wnorm=jnp.asarray(wnorm[None, :]),
         doc_rows_rev=jnp.asarray(rev_r[None, :]),
         wnorm_rev=jnp.asarray(rev_w[None, :]),
+        fwd_tids=fwd_t,
+        fwd_wnorm=fwd_w,
         max_df=max_df,
     )
 
@@ -410,10 +434,13 @@ def bench_hybrid(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16, budget
     max_df = lex.max_df
     # ShardedDenseIndex is flat [N_pad, d] sharded over the data axis (no leading
     # shard dim — unlike ShardedLexIndex whose arrays carry one)
+    # fully-live synthetic corpus: prefix-contiguous, so the chunkmax dense lane
+    # (DMA rescore, no [B, N_local] HBM plane) engages at the 1M shape
     dense = ShardedDenseIndex(
         emb=emb,
         frame_ids=jnp.asarray(np.arange(n, dtype=np.int32)),
         bias=jnp.zeros((n,), jnp.float32),
+        contiguous=True,
     )
     rng = np.random.default_rng(7)
     tids0 = jnp.asarray(rng.integers(0, n_terms, (b, q_terms)).astype(np.int32))
@@ -421,12 +448,15 @@ def bench_hybrid(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16, budget
     with mesh:
         @jax.jit
         def chained(q, iters_, tids, demb, dfid, dbias, ldr, ltf, loff, lidf, ldl,
-                    llive, lfid, lbase, lwn, ldrr, lwnr):
-            dn = ShardedDenseIndex(emb=demb, frame_ids=dfid, bias=dbias)
+                    llive, lfid, lbase, lwn, ldrr, lwnr, lft, lfw):
+            # contiguous is STATIC — dropping it here silently falls back to the
+            # [B, N_local]-plane blockmax dense lane
+            dn = ShardedDenseIndex(emb=demb, frame_ids=dfid, bias=dbias, contiguous=True)
             lx = ShardedLexIndex(
                 doc_rows=ldr, tfs=ltf, offsets=loff, idf=lidf, doc_len=ldl,
                 frame_ids=lfid, live=llive, row_base=lbase, avgdl=lex.avgdl,
-                wnorm=lwn, doc_rows_rev=ldrr, wnorm_rev=lwnr, max_df=max_df,
+                wnorm=lwn, doc_rows_rev=ldrr, wnorm_rev=lwnr,
+                fwd_tids=lft, fwd_wnorm=lfw, max_df=max_df,
             )
 
             def body(i, carry):
@@ -445,6 +475,7 @@ def bench_hybrid(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16, budget
             tids0, dense.emb, dense.frame_ids, dense.bias,
             lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live,
             lex.frame_ids, lex.row_base, lex.wnorm, lex.doc_rows_rev, lex.wnorm_rev,
+            lex.fwd_tids, lex.fwd_wnorm,
         )
         float(chained(q0, 1, *args))
         ms, info = robust_slope(
@@ -458,6 +489,9 @@ def bench_hybrid_100k(**kw):
 
 
 def bench_hybrid_1m(**kw):
+    # bf16 dense storage is the production default at >=1M rows
+    # (device_dtype="auto", search/vector_engines.py); f32 MXU accumulation
+    kw.setdefault("dtype", "bfloat16")
     return bench_hybrid(n=1_048_576, n_terms=16384, iters=(3, 13, 23), floor_ms=1.0, **kw)
 
 

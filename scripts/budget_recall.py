@@ -87,6 +87,10 @@ def budget_scores(postings, doc_len, avgdl, idf, tids, mode, budget):
         # Mirror ops/bm25.py: hit count comes from the BUDGETED lists (the device
         # kernel sees only those), so truncation can DROP an AND match.
         score = np.where(hits == len(tids), score, 0.0)
+    elif mode == "count":
+        # AND-rescore candidate ranking (bm25_candidates "count" generation mode):
+        # budgeted match count dominates, budgeted score tie-breaks
+        score = score + 4096.0 * hits.astype(np.float32)
     return score
 
 
@@ -94,6 +98,9 @@ def topk_ids(score, k):
     """Top-k doc ids, lowest-index tie-break (the engine's determinism contract)."""
     idx = np.argpartition(-score, k)[:k]
     return set(idx[np.lexsort((idx, -score[idx]))][:k].tolist())
+
+
+FETCHES = [64, 256, 1024]  # rescore-ceiling fetch depths
 
 
 def main():
@@ -106,8 +113,9 @@ def main():
     q_any = [rng.choice(T, size=QT, replace=False, p=zipf_w) for _ in range(NQ)]
     q_all = [rng.choice(256, size=rng.integers(2, 4), replace=False) for _ in range(NQ)]
 
-    print(f"| budget | mode | recall@{K} vs unbudgeted | queries with matches | mean kept/term |")
-    print("|---|---|---|---|---|")
+    fcols = " | ".join(f"in-top-{f} (rescore ceiling)" for f in FETCHES)
+    print(f"| budget | mode | recall@{K} vs unbudgeted | {fcols} | mean kept/term |")
+    print("|---|---|---|" + "---|" * len(FETCHES) + "---|")
     for mode, queries in (("any", q_any), ("all", q_all)):
         oracles = []
         for q in queries:
@@ -115,16 +123,32 @@ def main():
             oracles.append(topk_ids(s, K) if s.max() > 0 else set())
         for budget in BUDGETS:
             rec, denom = 0.0, 0
+            # rescore ceiling: fraction of oracle top-K inside the budgeted top-F —
+            # an exact forward-index rescore of the top-F candidates recovers
+            # exactly these (candidate GENERATION is budgeted; rescore is not).
+            ceil_rec = {f: 0.0 for f in FETCHES}
             for q, orc in zip(queries, oracles):
                 if not orc:
                     continue
                 s = budget_scores(postings, doc_len, avgdl, idf, q, mode, budget)
                 got = topk_ids(s, K) if s.max() > 0 else set()
                 rec += len(got & orc) / len(orc)
+                # rescore candidates come from count-ranked OR scoring for AND
+                # queries (the device kernels' "count" generation mode) — the
+                # exact rescore recomputes hit counts, so budgeted AND zeroing
+                # must not pre-filter the candidate pool
+                s_cand = (
+                    s if mode == "any"
+                    else budget_scores(postings, doc_len, avgdl, idf, q, "count", budget)
+                )
+                for f in FETCHES:
+                    cand = topk_ids(s_cand, f) if s_cand.max() > 0 else set()
+                    ceil_rec[f] += len(cand & orc) / len(orc)
                 denom += 1
             kept = np.minimum(df, budget).mean()
+            ceils = " | ".join(f"{ceil_rec[f] / max(denom, 1):.4f}" for f in FETCHES)
             print(
-                f"| {budget} | {mode.upper()} | {rec / max(denom, 1):.4f} | {denom}/{len(queries)} | {kept:.0f} |",
+                f"| {budget} | {mode.upper()} | {rec / max(denom, 1):.4f} | {ceils} | {kept:.0f} |",
                 flush=True,
             )
 

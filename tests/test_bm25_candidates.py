@@ -55,6 +55,47 @@ def _assert_parity(builder, tids, k, mode, impl="xla"):
             assert sf[i] == cf[i], (mode, i, sf, cf)
 
 
+def _oracle_scores(builder_unbudgeted, tids, mode):
+    """fid -> exact unbudgeted BM25 score (and the exact top-k oracle order)."""
+    idx = builder_unbudgeted.snapshot()
+    n = int(idx.frame_ids.shape[0])
+    padded = jnp.asarray(pad_term_ids(tids, dfs=builder_unbudgeted.df)[None, :])
+    sv, _, sf = bm25_topk(padded, idx, n, mode=mode)
+    sv, sf = np.asarray(sv)[0], np.asarray(sf)[0]
+    live = sf >= 0
+    return dict(zip(sf[live].tolist(), sv[live].tolist())), sf[live].tolist()
+
+
+def _assert_rescore(budget, terms, k, mode, impl):
+    """Retrieve-then-rescore contract on a budget-truncated snapshot:
+
+    1. every returned score is the EXACT unbudgeted BM25 score of that doc
+       (the forward index restores what the postings budget truncated);
+    2. recall vs the unbudgeted oracle top-k is >= the budgeted scatter path's;
+    3. AND mode never returns a doc that does not match every query term.
+    """
+    bb = _corpus(budget=budget)
+    bu = _corpus(budget=None)  # same seed -> identical docs, untruncated
+    tids = bb.term_ids(terms)
+    idx = bb.snapshot()
+    assert idx.fwd_tids is not None, "budgeted corpus must carry a forward index"
+    exact, oracle_order = _oracle_scores(bu, tids, mode)
+    padded = jnp.asarray(pad_term_ids(tids, dfs=bb.df)[None, :])
+    cv, _, cf = IMPLS[impl](padded, idx, k, mode=mode)
+    cv, cf = np.asarray(cv)[0], np.asarray(cf)[0]
+    live = cf >= 0
+    for fid, score in zip(cf[live].tolist(), cv[live].tolist()):
+        assert fid in exact, (mode, fid, "returned a doc the oracle rejects")
+        np.testing.assert_allclose(score, exact[fid], rtol=1e-5, atol=1e-6)
+    oracle_topk = set(oracle_order[:k])
+    if oracle_topk:
+        sv, _, sf = bm25_topk(padded, idx, k, mode=mode)
+        sf = np.asarray(sf)[0]
+        scatter_rec = len(set(sf[sf >= 0].tolist()) & oracle_topk)
+        cand_rec = len(set(cf[live].tolist()) & oracle_topk)
+        assert cand_rec >= scatter_rec, (mode, budget, cand_rec, scatter_rec)
+
+
 class TestCandidateParity:
     @pytest.mark.parametrize("impl", ["xla", "pallas"])
     @pytest.mark.parametrize("mode", ["any", "all"])
@@ -83,12 +124,14 @@ class TestCandidateParity:
         _assert_parity(b, b.term_ids(["w59"]), 5, "all")
 
     @pytest.mark.parametrize("budget", [8, 32])
-    def test_budget_parity(self, budget):
-        """Budgeted snapshots: candidate path sees the same truncated lists."""
-        b = _corpus(budget=budget)
+    def test_budget_rescore(self, budget):
+        """Budget-truncated snapshots carry a forward index: the candidate path
+        rescores exactly, so it must match or beat the budgeted scatter path
+        against the UNBUDGETED oracle (it no longer mirrors the scatter path's
+        truncation-underestimated scores)."""
         for terms in (["w0", "w1"], ["w2", "w5", "w9"]):
-            _assert_parity(b, b.term_ids(terms), 10, "any")
-            _assert_parity(b, b.term_ids(terms), 10, "all")
+            for mode in ("any", "all"):
+                _assert_rescore(budget, terms, 10, mode, "xla")
 
     def test_tombstones_excluded(self):
         b = _corpus()
@@ -124,11 +167,10 @@ class TestCandidateParity:
 
 class TestPallasVariants:
     @pytest.mark.parametrize("budget", [8, 32])
-    def test_budget_parity(self, budget):
-        b = _corpus(budget=budget)
+    def test_budget_rescore(self, budget):
         for terms in (["w0", "w1"], ["w2", "w5", "w9"]):
-            _assert_parity(b, b.term_ids(terms), 10, "any", "pallas")
-            _assert_parity(b, b.term_ids(terms), 10, "all", "pallas")
+            for mode in ("any", "all"):
+                _assert_rescore(budget, terms, 10, mode, "pallas")
 
     def test_tombstones_excluded(self):
         b = _corpus()

@@ -29,6 +29,10 @@ __all__ = ["LexIndex", "LexIndexBuilder", "analyze", "BM25_K1", "BM25_B"]
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+# forward-index width cap: docs with more unique terms keep only their
+# highest-impact FWD_WIDTH_CAP terms in fwd_tids/fwd_wnorm (rescore slightly
+# underestimates only those outlier docs)
+FWD_WIDTH_CAP = 512
 
 def _build_tokenizer():
     """Compile the probed unicode61 tables (text/unicode61_tables.py) into a
@@ -104,6 +108,12 @@ class LexIndex:
                  Pallas kernel DMAs odd merge slots from these so every run
                  arrives pre-reversed and the bitonic merge tree needs zero
                  reversal stages (+8 B/posting HBM for ~15% kernel time).
+      fwd_tids / fwd_wnorm: [N_cap, L_pad] doc-major forward index (-1 / 0.0
+                 padding) — each doc's COMPLETE unique-term list with exact
+                 per-(doc, term) weights. Present ONLY when the postings budget
+                 actually truncated a term (otherwise candidate scores are
+                 already exact): the rescore pass (ops/bm25_rescore.py) restores
+                 exact multi-term scores for the top-F candidates.
       max_df:    static int — longest postings list (device scoring budget W).
     """
 
@@ -119,6 +129,8 @@ class LexIndex:
     wnorm: jax.Array | None = None
     doc_rows_rev: jax.Array | None = None
     wnorm_rev: jax.Array | None = None
+    fwd_tids: jax.Array | None = None
+    fwd_wnorm: jax.Array | None = None
     max_df: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
@@ -444,9 +456,11 @@ class LexIndexBuilder:
 
         budget = self.postings_budget
         kept: list[list[int]] = []
+        truncated = False
         for plist in self._postings:
             rows = sorted(plist.keys())
             if budget is not None and len(rows) > budget:
+                truncated = True
                 # impact-ordered truncation: keep the postings whose exact BM25
                 # contribution is largest (tombstoned rows are dropped first);
                 # ties break by row index for determinism
@@ -496,6 +510,9 @@ class LexIndexBuilder:
 
         off_np = offsets if t else np.zeros(2, np.int32)
         rev_r, rev_w = reverse_postings_copies(doc_rows, wnorm, off_np)
+        fwd_tids = fwd_wnorm = None
+        if truncated:
+            fwd_tids, fwd_wnorm = self._build_forward(n_cap, doc_len, active, avgdl, idf)
         return LexIndex(
             doc_rows=jnp.asarray(doc_rows),
             tfs=jnp.asarray(tfs),
@@ -509,8 +526,49 @@ class LexIndexBuilder:
             wnorm=jnp.asarray(wnorm),
             doc_rows_rev=jnp.asarray(rev_r),
             wnorm_rev=jnp.asarray(rev_w),
+            fwd_tids=None if fwd_tids is None else jnp.asarray(fwd_tids),
+            fwd_wnorm=None if fwd_wnorm is None else jnp.asarray(fwd_wnorm),
             max_df=_round_up(max(max_df, 1), 128),
         )
+
+    def _build_forward(self, n_cap, doc_len, active, avgdl, idf):
+        """Doc-major forward index (fwd_tids/fwd_wnorm) from the UNBUDGETED per-doc
+        term lists — the postings budget never truncates a doc's own terms, so an
+        exact candidate rescore (ops/bm25_rescore.py) sees full scores. Docs with
+        more than FWD_WIDTH_CAP unique terms keep their highest-impact terms
+        (lowest-tid ties) — only such outlier docs can still be underestimated."""
+        n = len(self._doc_len)
+        widths = []
+        per_doc: list[list[tuple[int, float]]] = []
+        for row, terms in enumerate(self._doc_terms):
+            if not self._active[row]:
+                per_doc.append([])
+                widths.append(0)
+                continue
+            cnt = Counter(terms)
+            dl = self._doc_len[row]
+            items = []
+            for term, tf in cnt.items():
+                tid = self._vocab[term]
+                wn = tf * (BM25_K1 + 1.0) / (
+                    tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+                )
+                items.append((tid, float(wn)))
+            if len(items) > FWD_WIDTH_CAP:
+                items.sort(key=lambda it: (-it[1] * float(idf[it[0]]), it[0]))
+                items = items[:FWD_WIDTH_CAP]
+            items.sort()  # tid-ascending within the row (deterministic layout)
+            per_doc.append(items)
+            widths.append(len(items))
+        l_pad = max(128, _round_up(max(widths, default=1), 128))
+        fwd_tids = np.full((n_cap, l_pad), -1, np.int32)
+        fwd_wnorm = np.zeros((n_cap, l_pad), np.float32)
+        for row in range(n):
+            items = per_doc[row]
+            if items:
+                fwd_tids[row, : len(items)] = [it[0] for it in items]
+                fwd_wnorm[row, : len(items)] = [it[1] for it in items]
+        return fwd_tids, fwd_wnorm
 
     def compact(self) -> None:
         """Physically drop tombstoned rows and unreferenced vocab, renumbering rows.

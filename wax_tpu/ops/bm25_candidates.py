@@ -162,7 +162,12 @@ def candidate_scores_sorted(term_ids, doc_rows, wnorm, offsets, idf, w: int, mod
     if mode == "all":
         n_terms = jnp.sum(valid_term, axis=1, keepdims=True)
         live = live & (counts >= n_terms)
-    scores = jnp.where(live, summed, NEG_INF)
+    score_out = summed
+    if mode == "count":
+        # AND-rescore candidate ranking: count dominates, score tie-breaks
+        # (same 4096 boost as the Pallas kernel — see bm25_candidates_pallas)
+        score_out = summed + 4096.0 * counts.astype(jnp.float32)
+    scores = jnp.where(live, score_out, NEG_INF)
     return rows, scores
 
 
@@ -179,24 +184,46 @@ def _candidates_topk_impl(term_ids, doc_rows, wnorm, offsets, idf, frame_ids, k:
     return vals, out_rows, fids
 
 
-def bm25_candidates_topk(term_ids, index: LexIndex, k: int, mode: str = "any"):
+def bm25_candidates_topk(term_ids, index: LexIndex, k: int, mode: str = "any",
+                         fetch: int | None = None):
     """Candidate-set BM25 top-k — same contract as ops/bm25.py bm25_topk.
 
     Requires the snapshot to carry per-posting normalized weights (`index.wnorm`).
-    Returns (scores [B, k], rows [B, k], frame_ids [B, k]); non-matches are
-    (0.0, -1, -1).
+    When the snapshot carries a forward index (budget truncation active), the
+    top-`fetch` OR-mode candidates are exactly rescored against it — same
+    retrieve-then-rescore contract as the Pallas entry. Returns
+    (scores [B, k], rows [B, k], frame_ids [B, k]); non-matches are (0.0, -1, -1).
     """
     if index.wnorm is None:
         raise ValueError("snapshot has no precomputed wnorm; rebuild with a current LexIndexBuilder")
     k = int(min(k, index.frame_ids.shape[0]))
-    return _candidates_topk_impl(
-        term_ids,
-        index.doc_rows,
-        index.wnorm,
-        index.offsets,
-        index.idf,
-        index.frame_ids,
-        k,
-        mode,
-        int(index.max_df),
+    if index.fwd_tids is None:
+        return _candidates_topk_impl(
+            term_ids,
+            index.doc_rows,
+            index.wnorm,
+            index.offsets,
+            index.idf,
+            index.frame_ids,
+            k,
+            mode,
+            int(index.max_df),
+        )
+    from wax_tpu.ops.bm25_rescore import rescore_topk
+
+    if term_ids.ndim == 1:
+        term_ids = term_ids[None, :]
+    rows, scores = candidate_scores_sorted(
+        term_ids, index.doc_rows, index.wnorm, index.offsets, index.idf,
+        int(index.max_df), "count" if mode == "all" else "any",
     )
+    f = int(min(fetch if fetch is not None else max(4 * k, 64), scores.shape[-1]))
+    cvals, cpos = jax.lax.top_k(scores, f)
+    crows = jnp.where(cvals > NEG_INF * 0.5, jnp.take_along_axis(rows, cpos, axis=-1), -1)
+    vals, sel = rescore_topk(
+        term_ids, crows, index.fwd_tids, index.fwd_wnorm, index.idf, k, mode
+    )
+    ok = vals > NEG_INF * 0.5
+    sel = jnp.where(ok, sel, 0)
+    fids = jnp.where(ok, jnp.take(index.frame_ids, sel), -1).astype(jnp.int32)
+    return vals, jnp.where(ok, sel, -1), fids

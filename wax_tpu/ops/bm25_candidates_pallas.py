@@ -230,8 +230,15 @@ def _kernel(
     live = leader & (rows >= 0) & (rows < _SENT) & (summed > 0.0)
     if mode == "all":
         live = live & (counts >= nterm_ref[b, 0])
+    score_out = summed
+    if mode == "count":
+        # candidate-ranking mode for AND-query rescore: matched-slot count
+        # dominates, budgeted score breaks ties. 4096 > any reachable BM25 sum
+        # (<= 128 idf-head terms x idf<=ln N~14 x w<=k1+1) and is exactly
+        # representable, so count ordering is never perturbed.
+        score_out = summed + 4096.0 * counts.astype(jnp.float32)
     out_rows_ref[0] = jnp.where(live, rows, -1)
-    out_score_ref[0] = jnp.where(live, summed, NEG_INF)
+    out_score_ref[0] = jnp.where(live, score_out, NEG_INF)
 
 
 def valid_sorted_mask(rows):
@@ -326,13 +333,21 @@ def candidate_scores_pallas(term_ids, doc_rows, wnorm, offsets, idf, doc_rows_re
     )
 
 
-def bm25_candidates_topk_pallas(term_ids, index: LexIndex, k: int, mode: str = "any"):
+def bm25_candidates_topk_pallas(term_ids, index: LexIndex, k: int, mode: str = "any",
+                                fetch: int | None = None):
     """Pallas candidate-set BM25 top-k — same contract as bm25_topk.
+
+    When the snapshot carries a forward index (fwd_tids — present iff the
+    postings budget truncated a term), candidate generation runs OR-mode over the
+    budgeted postings, then the top-`fetch` candidates are EXACTLY rescored
+    against the doc-major forward index (ops/bm25_rescore.py) — multi-term
+    scores and AND-mode counts become exact for every returned doc.
 
     Returns (scores [B, k], rows [B, k], frame_ids [B, k])."""
     if index.wnorm is None or index.doc_rows_rev is None:
         raise ValueError("snapshot has no precomputed wnorm/reversed postings; rebuild the snapshot")
     k = int(min(k, index.frame_ids.shape[0]))
+    rescore = index.fwd_tids is not None
     out_rows, out_scores = candidate_scores_pallas(
         term_ids,
         index.doc_rows,
@@ -342,10 +357,27 @@ def bm25_candidates_topk_pallas(term_ids, index: LexIndex, k: int, mode: str = "
         index.doc_rows_rev,
         index.wnorm_rev,
         max_df=int(index.max_df),
-        mode=mode,
+        # AND filtering moves to the exact rescore (budgeted hit counts would
+        # wrongly pre-drop matches truncated out of one term's impact head);
+        # AND candidates rank by budgeted match count so full conjunctions
+        # reach the rescore window even with low budgeted scores
+        mode=(("count" if mode == "all" else "any") if rescore else mode),
     )
-    vals, pos = jax.lax.top_k(out_scores, k)
-    sel = jnp.take_along_axis(out_rows, pos, axis=-1)
+    if rescore:
+        from wax_tpu.ops.bm25_rescore import rescore_topk
+
+        f = int(min(fetch if fetch is not None else max(4 * k, 64), out_scores.shape[-1]))
+        cvals, cpos = jax.lax.top_k(out_scores, f)
+        crows = jnp.where(
+            cvals > NEG_INF * 0.5, jnp.take_along_axis(out_rows, cpos, axis=-1), -1
+        )
+        vals, sel = rescore_topk(
+            term_ids if term_ids.ndim == 2 else term_ids[None, :],
+            crows, index.fwd_tids, index.fwd_wnorm, index.idf, k, mode,
+        )
+    else:
+        vals, pos = jax.lax.top_k(out_scores, k)
+        sel = jnp.take_along_axis(out_rows, pos, axis=-1)
     ok = vals > NEG_INF * 0.5
     sel = jnp.where(ok, sel, 0)
     fids = jnp.where(ok, jnp.take(index.frame_ids, sel), -1).astype(jnp.int32)

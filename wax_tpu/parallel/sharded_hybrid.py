@@ -65,6 +65,10 @@ class ShardedLexIndex:
     wnorm: jax.Array | None = None  # [S, P_max] f32 tf-normalized weights (0 = dead)
     doc_rows_rev: jax.Array | None = None  # per-term reversed copies (Pallas lane)
     wnorm_rev: jax.Array | None = None
+    # doc-major forward index [S, per, L] (present iff budget truncation active):
+    # exact rescore of local candidates (ops/bm25_rescore.py)
+    fwd_tids: jax.Array | None = None
+    fwd_wnorm: jax.Array | None = None
     max_df: int = field(metadata=dict(static=True), default=0)
 
 
@@ -148,6 +152,22 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
             dr[si], wn[si], offs.astype(np.int64)
         )
 
+    ftids_sh = fwn_sh = None
+    if full.fwd_tids is not None:
+        ftids_g = np.asarray(full.fwd_tids)
+        fwn_g = np.asarray(full.fwd_wnorm)
+        l_pad = ftids_g.shape[1]
+        ftids = np.full((s, per, l_pad), -1, np.int32)
+        fwn = np.zeros((s, per, l_pad), np.float32)
+        for si in range(s):
+            lo, hi = si * per, min((si + 1) * per, n_rows_global)
+            src_hi = min(hi, ftids_g.shape[0])
+            if src_hi > lo:
+                ftids[si, : src_hi - lo] = ftids_g[lo:src_hi]
+                fwn[si, : src_hi - lo] = fwn_g[lo:src_hi]
+        ftids_sh = shard_rows(mesh, jnp.asarray(ftids))
+        fwn_sh = shard_rows(mesh, jnp.asarray(fwn))
+
     return ShardedLexIndex(
         doc_rows=shard_rows(mesh, jnp.asarray(dr)),
         tfs=shard_rows(mesh, jnp.asarray(tf)),
@@ -161,6 +181,8 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
         wnorm=shard_rows(mesh, jnp.asarray(wn)),
         doc_rows_rev=shard_rows(mesh, jnp.asarray(dr_rev)),
         wnorm_rev=shard_rows(mesh, jnp.asarray(wn_rev)),
+        fwd_tids=ftids_sh,
+        fwd_wnorm=fwn_sh,
         max_df=((max_df + 127) // 128) * 128,
     )
 
@@ -220,14 +242,30 @@ def _resolve_lex_backend(lex: "ShardedLexIndex", backend: str) -> str:
 
 
 def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev,
-                                kk, w, mode, pallas: bool):
-    """Per-shard candidate-set BM25 local top-k: (vals, local_rows), -1 rows dead."""
+                                kk, w, mode, pallas: bool,
+                                fwd_tids=None, fwd_wnorm=None, rescore: bool = False):
+    """Per-shard candidate-set BM25 local top-k: (vals, local_rows), -1 rows dead.
+
+    With `rescore` (static), candidates are generated OR-mode ("count"-ranked for
+    AND queries) from the budgeted postings and the local top-F is exactly
+    rescored against the shard's forward index — AND filtering then uses exact
+    counts (ops/bm25_rescore.py)."""
+    gen_mode = ("count" if mode == "all" else "any") if rescore else mode
     if pallas:
         rows, scores = candidate_scores_pallas(
-            tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev, max_df=w, mode=mode
+            tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev, max_df=w, mode=gen_mode
         )
     else:
-        rows, scores = candidate_scores_sorted(tids, doc_rows, wnorm, offsets, idf, w, mode)
+        rows, scores = candidate_scores_sorted(tids, doc_rows, wnorm, offsets, idf, w, gen_mode)
+    if rescore:
+        from wax_tpu.ops.bm25_rescore import rescore_topk
+
+        f = int(min(max(4 * kk, 64), scores.shape[-1]))
+        cvals, cpos = jax.lax.top_k(scores, f)
+        crows = jnp.where(
+            cvals > NEG_INF * 0.5, jnp.take_along_axis(rows, cpos, axis=-1), -1
+        )
+        return rescore_topk(tids, crows, fwd_tids, fwd_wnorm, idf, kk, mode)
     vals, pos = jax.lax.top_k(scores, kk)
     sel = jnp.take_along_axis(rows, pos, axis=-1)
     ok = vals > NEG_INF * 0.5
@@ -235,7 +273,7 @@ def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, w
 
 
 @functools.lru_cache(maxsize=128)
-def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int):
+def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int, rescore: bool):
     """Jitted sharded-BM25 program, memoized per static config.
 
     Eager shard_map dispatches its body op-by-op — for the candidate-set merge
@@ -249,11 +287,12 @@ def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int):
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P()) + (rows_spec,) * 10,
+        in_specs=(P(), P()) + (rows_spec,) * 12,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run2(tids, avgdl, doc_rows, tfs, offsets, idf, doc_len, live, frame_ids, wnorm, drr, wnr):
+    def run2(tids, avgdl, doc_rows, tfs, offsets, idf, doc_len, live, frame_ids, wnorm,
+             drr, wnr, ftids, fwn):
         n_local = doc_len.shape[1]
         kk = min(k, n_local)
         if backend == "scatter":
@@ -264,6 +303,7 @@ def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int):
             vals, rows = _local_bm25_candidates_topk(
                 tids, doc_rows[0], wnorm[0], offsets[0], idf[0], drr[0], wnr[0], kk, w, mode,
                 pallas=backend == "candidates_pallas",
+                fwd_tids=ftids[0], fwd_wnorm=fwn[0], rescore=rescore,
             )
         gfids = jnp.where(vals > NEG_INF * 0.5, jnp.take(frame_ids[0], jnp.maximum(rows, 0)), -1)
         return merge_topk_across_mesh(vals, gfids.astype(jnp.int32), k, mesh)
@@ -281,13 +321,18 @@ def sharded_bm25_topk(
     "candidates_pallas" (see _resolve_lex_backend).
     """
     backend = _resolve_lex_backend(lex, backend)
-    run2 = _bm25_program(mesh, int(k), mode, backend, int(lex.max_df))
+    rescore = backend != "scatter" and lex.fwd_tids is not None
+    run2 = _bm25_program(mesh, int(k), mode, backend, int(lex.max_df), rescore)
     wn = lex.wnorm if lex.wnorm is not None else lex.tfs
     drr = lex.doc_rows_rev if lex.doc_rows_rev is not None else lex.doc_rows
     wnr = lex.wnorm_rev if lex.wnorm_rev is not None else wn
+    s = lex.doc_len.shape[0]
+    # unused when rescore is False; tiny dummies keep the shard_map arity static
+    ftids = lex.fwd_tids if rescore else jnp.full((s, 1, 128), -1, jnp.int32)
+    fwn = lex.fwd_wnorm if rescore else jnp.zeros((s, 1, 128), jnp.float32)
     return run2(
         term_ids, lex.avgdl, lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len,
-        lex.live, lex.frame_ids, wn, drr, wnr,
+        lex.live, lex.frame_ids, wn, drr, wnr, ftids, fwn,
     )
 
 
@@ -302,6 +347,7 @@ def _hybrid_program(
     w_dense: float,
     w_bm25: float,
     rrf_k: float,
+    lex_rescore: bool,
 ):
     """Jitted one-program hybrid, memoized per static config (see _bm25_program)."""
     rows_spec = P(corpus_axes(mesh))
@@ -310,11 +356,12 @@ def _hybrid_program(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P()) + (rows_spec,) * 13,
+        in_specs=(P(), P(), P()) + (rows_spec,) * 15,
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def run(q, tids, avgdl, emb, d_fids, d_bias, doc_rows, tfs, offsets, idf, doc_len, live, l_fids, wnorm, drr, wnr):
+    def run(q, tids, avgdl, emb, d_fids, d_bias, doc_rows, tfs, offsets, idf, doc_len,
+            live, l_fids, wnorm, drr, wnr, ftids, fwn):
         b = q.shape[0]
         # dense lane: chunkmax (DMA rescore, never materializes [B, N_local] in
         # HBM) once the local shard is large enough for its rescore traffic to
@@ -343,6 +390,7 @@ def _hybrid_program(
             lv, lrows = _local_bm25_candidates_topk(
                 tids, doc_rows[0], wnorm[0], offsets[0], idf[0], drr[0], wnr[0], kk_l, w, "any",
                 pallas=lex_backend == "candidates_pallas",
+                fwd_tids=ftids[0], fwd_wnorm=fwn[0], rescore=lex_rescore,
             )
         lfid = jnp.where(lv > NEG_INF * 0.5, jnp.take(l_fids[0], jnp.maximum(lrows, 0)), -1)
         lv_g, lfid_g = merge_topk_across_mesh(lv, lfid.astype(jnp.int32), fetch, mesh)
@@ -403,16 +451,20 @@ def sharded_hybrid_topk(
         and local_rows >= _CHUNKMAX_MIN_LOCAL_ROWS
         and min(fetch, local_rows) <= 100
     )
+    lex_rescore = lex_backend != "scatter" and lex.fwd_tids is not None
     run = _hybrid_program(
         mesh, int(k), fetch, int(lex.max_df), use_chunkmax, lex_backend,
-        float(w_dense), float(w_bm25), float(rrf_k),
+        float(w_dense), float(w_bm25), float(rrf_k), lex_rescore,
     )
     wn = lex.wnorm if lex.wnorm is not None else lex.tfs
     drr = lex.doc_rows_rev if lex.doc_rows_rev is not None else lex.doc_rows
     wnr = lex.wnorm_rev if lex.wnorm_rev is not None else wn
+    s = lex.doc_len.shape[0]
+    ftids = lex.fwd_tids if lex_rescore else jnp.full((s, 1, 128), -1, jnp.int32)
+    fwn = lex.fwd_wnorm if lex_rescore else jnp.zeros((s, 1, 128), jnp.float32)
     return run(
         queries, term_ids, lex.avgdl,
         dense.emb, dense.frame_ids, dense.bias,
         lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live, lex.frame_ids,
-        wn, drr, wnr,
+        wn, drr, wnr, ftids, fwn,
     )

@@ -72,7 +72,16 @@ def _bm25_run(engine: HybridSearchEngine, padded, fetch_k: int, mode: str):
 
         vals, fids = sharded_bm25_topk(padded, engine.lex_sharded_snapshot(), fetch_k, engine.mesh, mode=mode)
         return vals, fids
-    vals, _, fids = bm25_topk(padded, engine.lex_snapshot(), fetch_k, mode=mode)
+    snap = engine.lex_snapshot()
+    if snap.fwd_tids is not None:
+        # postings budget truncated a term: the candidate path rescores its top-F
+        # against the doc-major forward index, restoring exact multi-term scores
+        # the scatter plane would underestimate (ops/bm25_rescore.py)
+        from wax_tpu.ops.bm25_candidates import bm25_candidates_topk
+
+        vals, _, fids = bm25_candidates_topk(padded, snap, fetch_k, mode=mode)
+        return vals, fids
+    vals, _, fids = bm25_topk(padded, snap, fetch_k, mode=mode)
     return vals, fids
 
 
