@@ -143,13 +143,14 @@ def _make_timer(chained, q0, *args):
 
 def _chained_scan_fn(n: int, d: int, k: int):
     """Jitted (q0, iters, emb, bias) -> scalar chained-scan fn over the packed-key
-    fused kernel (the production "auto"/"pallas_packed" backend at this N). The
-    index arrays are ARGUMENTS, not closure constants — closing over them bakes
-    gigabytes of constants into the executable and breaks large-N compilation."""
+    accumulate-then-select kernel (the production "auto"/"pallas_packed_sel"
+    backend at this N). The index arrays are ARGUMENTS, not closure constants —
+    closing over them bakes gigabytes of constants into the executable and breaks
+    large-N compilation."""
     import jax
     import jax.numpy as jnp
 
-    from wax_tpu.ops.flat_scan import _TB, _packed_scan_topk, _pick_tn
+    from wax_tpu.ops.flat_scan import _TB, _packed_sel_scan_topk, _pick_tn
 
     tn = _pick_tn(n)
 
@@ -159,7 +160,7 @@ def _chained_scan_fn(n: int, d: int, k: int):
 
         def body(i, carry):
             q, acc = carry
-            v, _ = _packed_scan_topk(q, emb, bias, k, tb, tn, False)
+            v, _ = _packed_sel_scan_topk(q, emb, bias, k, tb, tn, False)
             return q + (v[:, :1] * 1e-9).astype(q.dtype), acc + v[0, 0]
 
         return jax.lax.fori_loop(0, iters, body, (q0, jnp.float32(0)))[1]
@@ -186,11 +187,11 @@ def _unit_data(n: int, d: int, b: int, dtype="float32", seed: int = 0):
 
 
 def bench_headline(n=10_240, d=384, b=256, k=10):
-    """10K x 384 packed-kernel latency + recall@10 vs the exact oracle."""
+    """10K x 384 packed-sel-kernel latency + recall@10 vs the exact oracle."""
     import jax
     import jax.numpy as jnp
 
-    from wax_tpu.ops.flat_scan import _TB, _packed_scan_topk, _pick_tn
+    from wax_tpu.ops.flat_scan import _TB, _packed_sel_scan_topk, _pick_tn
 
     emb, q0 = _unit_data(n, d, b)
     bias = jnp.zeros((1, n), jnp.float32)
@@ -201,7 +202,7 @@ def bench_headline(n=10_240, d=384, b=256, k=10):
     def recall_check(q, emb, bias):
         scores = q @ emb.T + bias
         _, oracle = jax.lax.top_k(scores, k)
-        _, got = _packed_scan_topk(q, emb, bias, k, min(b, _TB), _pick_tn(n), False)
+        _, got = _packed_sel_scan_topk(q, emb, bias, k, min(b, _TB), _pick_tn(n), False)
         hits = (oracle[:, :, None] == got[:, None, :]).any(-1).sum(-1)
         return hits.sum() / (q.shape[0] * k)
 

@@ -126,18 +126,20 @@ class TestPallasScan:
         assert removed.isdisjoint(set(np.asarray(f2).ravel().tolist()))
 
 
+@pytest.mark.parametrize("backend", ["pallas_packed", "pallas_packed_sel"])
 class TestPackedScan:
-    """The packed-key kernel ("pallas_packed", the "auto" pick at small N):
-    deterministic, duplicate-
-    safe, lowest-index ties; scores compared at <= 2^-12 relative truncation."""
+    """The packed-key kernels: "pallas_packed" (k-pass eviction loop) and
+    "pallas_packed_sel" (single accumulate-then-select pass, top-L per lane slot).
+    Both deterministic, duplicate-safe, lowest-index ties on the returned k;
+    scores compared at <= 2^-12 relative truncation."""
 
     @pytest.mark.parametrize("n,bq,k", [(3000, 7, 10), (1024, 1, 1), (5000, 64, 32)])
-    def test_overlap_vs_oracle(self, rng, n, bq, k):
+    def test_overlap_vs_oracle(self, rng, n, bq, k, backend):
         b, _, _ = _build(rng, n=n)
         idx = b.snapshot()
         q = normalize_rows(jnp.asarray(rng.standard_normal((bq, 64)).astype(np.float32)))
         v1, _, f1 = flat_scan_topk(q, idx, k, backend="xla")
-        v2, _, f2 = flat_scan_topk(q, idx, k, backend="pallas_packed")
+        v2, _, f2 = flat_scan_topk(q, idx, k, backend=backend)
         f1, f2 = np.asarray(f1), np.asarray(f2)
         overlap = np.mean(
             [len(set(f1[r]) & set(f2[r])) / max(1, (f1[r] >= 0).sum()) for r in range(bq)]
@@ -149,7 +151,7 @@ class TestPackedScan:
             np.asarray(v1)[agree], np.asarray(v2)[agree], rtol=2**-11, atol=1e-6
         )
 
-    def test_exact_on_separated_scores(self, rng):
+    def test_exact_on_separated_scores(self, rng, backend):
         # plant scores whose pairwise relative gaps far exceed the 2^-12 truncation:
         # the packed kernel must then match the oracle exactly
         from wax_tpu.index.dense import DenseIndexBuilder
@@ -170,11 +172,11 @@ class TestPackedScan:
         idx = b.snapshot()
         q = jnp.asarray(base[None, :])
         v1, r1, f1 = flat_scan_topk(q, idx, 10, backend="xla")
-        v2, r2, f2 = flat_scan_topk(q, idx, 10, backend="pallas_packed")
+        v2, r2, f2 = flat_scan_topk(q, idx, 10, backend=backend)
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=2**-11)
 
-    def test_duplicate_multiplicity_and_lowest_index(self, rng):
+    def test_duplicate_multiplicity_and_lowest_index(self, rng, backend):
         from wax_tpu.index.dense import DenseIndexBuilder
 
         n, d = 4096, 64
@@ -187,26 +189,26 @@ class TestPackedScan:
         b.add_batch(np.arange(n), vecs)
         idx = b.snapshot()
         q = jnp.asarray(dup[None, :])
-        _, _, fids = flat_scan_topk(q, idx, 6, backend="pallas_packed")
+        _, _, fids = flat_scan_topk(q, idx, 6, backend=backend)
         assert list(np.asarray(fids[0])) == [50, 130, 700, 2049, 3500, 3971]
 
-    def test_deterministic(self, rng):
+    def test_deterministic(self, rng, backend):
         b, _, _ = _build(rng, n=3000)
         idx = b.snapshot()
         q = normalize_rows(jnp.asarray(rng.standard_normal((5, 64)).astype(np.float32)))
-        v1, _, f1 = flat_scan_topk(q, idx, 10, backend="pallas_packed")
-        v2, _, f2 = flat_scan_topk(q, idx, 10, backend="pallas_packed")
+        v1, _, f1 = flat_scan_topk(q, idx, 10, backend=backend)
+        v2, _, f2 = flat_scan_topk(q, idx, 10, backend=backend)
         np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
 
-    def test_with_tombstones(self, rng):
+    def test_with_tombstones(self, rng, backend):
         b, vecs, ids = _build(rng, n=2560)
         removed = set(int(x) for x in ids[::5][:100])
         for fid in removed:
             b.remove(fid)
         idx = b.snapshot()
         q = normalize_rows(jnp.asarray(rng.standard_normal((9, 64)).astype(np.float32)))
-        _, _, f2 = flat_scan_topk(q, idx, 10, backend="pallas_packed")
+        _, _, f2 = flat_scan_topk(q, idx, 10, backend=backend)
         assert removed.isdisjoint(set(np.asarray(f2).ravel().tolist()))
 
 

@@ -21,9 +21,14 @@ Backends:
                     extraction pass ("pallas_exact" is an alias).
   * "pallas_packed": fused packed-key kernel (see _packed_topk_kernel) — each
                     extraction pass is 3 VPU ops on i32 keys holding truncated score
-                    bits + a column tie-break. Fastest at small/mid N (what "auto"
-                    picks there); scores are compared and returned at <= 2^-12
-                    relative precision (top-10 overlap 0.9988 @10K x 384).
+                    bits + a column tie-break; scores are compared and returned at
+                    <= 2^-12 relative precision (top-10 overlap 0.9988 @10K x 384).
+  * "pallas_packed_sel": packed keys + accumulate-then-select extraction (see
+                    _packed_sel_kernel): one unrolled max/min insertion pass keeps
+                    the top-L keys per lane slot, then the eviction loop runs over
+                    the narrow [TB, L*128] candidate plane. 37.8us @10K x 384
+                    (vs 91.0 packed / 24.5 matmul-only floor); same 0.9988 overlap.
+                    What "auto" picks at small/mid N.
   * "blockmax" / "chunkmax": exact XLA/DMA variants that win at large N.
 None of these materialize [B, N] scores in HBM except "blockmax" (at 1M x 768 the
 score matrix alone is ~1 GB).
@@ -193,6 +198,104 @@ def _packed_scan_topk(queries, emb, bias, k: int, tb: int, tn: int, interpret: b
     return mv, mi
 
 
+def _packed_sel_kernel(q_ref, db_ref, bias_ref, out_ref, *, k: int, lookahead: int):
+    """Packed-key scan with accumulate-then-select extraction.
+
+    Two phases replace _packed_topk_kernel's k passes over the full [TB, TN] plane:
+      1. one unrolled pass over the tile's TN/128 lane-slices maintains the
+         top-`lookahead` packed keys per lane slot via a max/min insertion chain
+         (2 VPU ops per slice per level ~= 2*L full-width-equivalents total);
+      2. the standard k-pass eviction loop runs over the NARROW [TB, L*128]
+         candidate plane (3 ops * k * L/16 full-width-equivalents).
+    For k=10, L=3 that is ~11.6 full-width-equivalents vs the loop kernel's 30.
+    The output block and the host-side merge are identical to _packed_topk_kernel.
+
+    Exactness: an element of the true top-k is lost only when more than `lookahead`
+    of the tile's top-k share one of the 128 lane slots (columns congruent mod 128).
+    For k=10, L=3: P ~= C(10,4)/128^3 ~= 1e-4 per row-tile — two orders below the
+    packed representation's existing 2^-12 score-truncation reorderings. Tie
+    behavior is the loop kernel's: equal truncated scores resolve to the lowest
+    column (the rank loop extracts by full packed key).
+    """
+    scores = jax.lax.dot_general(
+        q_ref[:], db_ref[:], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    scores = scores + bias_ref[0, :][None, :]
+    tb, tn = scores.shape
+    bits = jax.lax.bitcast_convert_type(scores, jnp.int32)
+    key = jnp.where(
+        bits >= 0, bits, jnp.bitwise_xor(jnp.bitwise_not(bits), jnp.asarray(_IMIN, jnp.int32))
+    )
+    cols = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    packed = jnp.bitwise_or(jnp.bitwise_and(key, jnp.int32(~_COL_MASK)), _COL_MASK - cols)
+    tops = [jnp.full((tb, _KPAD), _IMIN, jnp.int32) for _ in range(lookahead)]
+    for i in range(tn // _KPAD):
+        t = packed[:, i * _KPAD : (i + 1) * _KPAD]
+        for lvl in range(lookahead):
+            hi = jnp.maximum(tops[lvl], t)
+            t = jnp.minimum(tops[lvl], t)
+            tops[lvl] = hi
+    cand = jnp.concatenate(tops, axis=1)  # [TB, L*128]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (tb, _KPAD), 1)
+
+    def body(t, carry):
+        p, out = carry
+        m = jnp.max(p, axis=1, keepdims=True)
+        out = jnp.where(lanes == t, m, out)
+        p = jnp.where(p == m, _IMIN, p)
+        return p, out
+
+    _, out = jax.lax.fori_loop(
+        0, k, body, (cand, jnp.full((tb, _KPAD), _IMIN, jnp.int32))
+    )
+    out_ref[:] = out
+
+
+def _sel_lookahead(k: int) -> int:
+    return 3 if k <= 16 else 4
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tb", "tn", "interpret"))
+def _packed_sel_scan_topk(queries, emb, bias, k: int, tb: int, tn: int, interpret: bool):
+    b, d = queries.shape
+    n = emb.shape[0]
+    nb, nn = pl.cdiv(b, tb), pl.cdiv(n, tn)
+    kernel = functools.partial(_packed_sel_kernel, k=k, lookahead=_sel_lookahead(k))
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb, nn),
+        in_specs=[
+            pl.BlockSpec((tb, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, _KPAD), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * tb, nn * _KPAD), jnp.int32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=(b * d + n * d + b * nn * _KPAD) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(queries, emb, bias)
+    # identical decode/merge to _packed_scan_topk: [B, nn, k] candidates, stable
+    # top_k keeps the lowest-global-index winner on truncated-score ties
+    p = out[:b].reshape(b, nn, _KPAD)[:, :, :k]
+    local = _COL_MASK - jnp.bitwise_and(p, _COL_MASK)
+    gcol = jnp.arange(nn, dtype=jnp.int32)[None, :, None] * tn + local
+    keym = jnp.bitwise_and(p, jnp.int32(~_COL_MASK))
+    sbits = jnp.where(
+        keym >= 0,
+        keym,
+        jnp.bitwise_not(jnp.bitwise_xor(keym, jnp.asarray(_IMIN, jnp.int32))),
+    )
+    svals = jax.lax.bitcast_convert_type(sbits, jnp.float32)
+    mv, pos = jax.lax.top_k(svals.reshape(b, nn * k), k)
+    mi = jnp.take_along_axis(gcol.reshape(b, nn * k), pos, axis=-1)
+    mi = jnp.where(mv <= NEG_INF * 0.5, -1, mi)
+    return mv, mi
+
+
 def _scan_topk_kernel(q_ref, db_ref, bias_ref, vals_ref, idx_ref, *, tn: int, k: int):
     j = pl.program_id(1)
     scores = jax.lax.dot_general(
@@ -354,12 +457,14 @@ def flat_scan_topk(
       index: DenseIndex snapshot.
       k: static top-k.
       backend: "auto" | "xla" | "pallas" (fused kernel, bit-exact vs the xla
-        oracle; alias "pallas_exact") | "pallas_packed" (fused packed-key kernel —
-        fastest at small N and what "auto" picks there; scores compared AND
-        returned with <= 2^-12 relative truncation, so near-tied elements can swap
-        ranks vs exact — deterministic, duplicate-safe, lowest-index ties; top-10
-        overlap 0.9988 measured at 10K x 384) | "blockmax" (exact chunk-max pruned
-        top-k) | "chunkmax" (exact, fastest at very large N).
+        oracle; alias "pallas_exact") | "pallas_packed" (fused packed-key loop
+        kernel; scores compared AND returned with <= 2^-12 relative truncation, so
+        near-tied elements can swap ranks vs exact — deterministic, duplicate-safe,
+        lowest-index ties; top-10 overlap 0.9988 measured at 10K x 384) |
+        "pallas_packed_sel" (accumulate-then-select extraction, same packed-key
+        semantics, 2.4x faster at the headline shape — what "auto" picks at small
+        N) | "blockmax" (exact chunk-max pruned top-k) | "chunkmax" (exact,
+        fastest at very large N).
 
     Returns:
       (scores [B, k] f32, rows [B, k] int32 row indices into index.emb,
@@ -384,15 +489,20 @@ def flat_scan_topk(
         #                          (rescore traffic B*k*128*d makes it lose below ~512K)
         if index.similarity == Similarity.EUCLIDEAN or index.capacity <= 2048 or k > 128:
             backend = "xla"
-        elif index.capacity <= 32768:
-            backend = "pallas_packed"  # 92.2us @10K vs 108.6 exact (v5e, round 3)
+        elif index.capacity <= 131072:
+            # accumulate-then-select packed kernel: 37.8us @10K x 384 b=256 k=10
+            # vs 91.0 packed-loop / 108.5 exact / 24.5 matmul-only floor; at 100K
+            # 333.7us vs blockmax's 677 (the previous auto pick there) at recall
+            # 0.9992 (v5e, round 4, scripts/probe_extraction.py) — same
+            # approximate-class contract auto already applies at small N
+            backend = "pallas_packed_sel"
         elif index.capacity >= 524288 and index.capacity % 2048 == 0 and index.contiguous and k <= 100:
             # capacity alignment: chunkmax tiles the corpus in _TN=2048-row blocks
             backend = "chunkmax"
         else:
             backend = "blockmax"
 
-    if backend in ("pallas", "pallas_packed", "pallas_exact") and k > _KPAD:
+    if backend in ("pallas", "pallas_packed", "pallas_packed_sel", "pallas_exact") and k > _KPAD:
         backend = "xla"  # fused kernels extract into a 128-lane block: k <= 128 only
 
     if backend == "xla":
@@ -422,6 +532,8 @@ def flat_scan_topk(
         from wax_tpu.ops.chunkmax_scan import chunkmax_scan_topk
 
         vals, rows = chunkmax_scan_topk(q, index.emb, bias, k)
+    elif backend == "pallas_packed_sel" and k <= _KPAD and tn <= (_COL_MASK + 1):
+        vals, rows = _packed_sel_scan_topk(q, index.emb, bias, k, tb, tn, _use_interpret())
     elif backend == "pallas_packed" and k <= _KPAD and tn <= (_COL_MASK + 1):
         vals, rows = _packed_scan_topk(q, index.emb, bias, k, tb, tn, _use_interpret())
     else:  # "pallas"/"pallas_exact" (exact fused kernel), or shapes the packed
