@@ -195,3 +195,46 @@ class TestPallasVariants:
         sv, _, sf = bm25_topk(jnp.asarray(q), idx, 8, mode="any")
         cv, _, cf = bm25_candidates_topk_pallas(jnp.asarray(q), idx, 8, mode="any")
         np.testing.assert_allclose(np.asarray(cv), np.asarray(sv), rtol=1e-5, atol=1e-6)
+
+
+class TestWideTopk:
+    """Two-stage wide-plane top-k (ops/bm25_candidates.wide_topk)."""
+
+    def test_matches_plain_topk_on_distinct_values(self):
+        import jax
+
+        from wax_tpu.ops.bm25_candidates import wide_topk
+
+        rng = np.random.default_rng(4)
+        for b, w, k in ((7, 4096, 10), (3, 12800, 64), (2, 2048, 300)):
+            # distinct values -> tie order cannot differ between the two paths
+            x = rng.permutation(w * b).reshape(b, w).astype(np.float32)
+            fv, fp = wide_topk(jnp.asarray(x), k)
+            pv, pp = jax.lax.top_k(jnp.asarray(x), k)
+            np.testing.assert_array_equal(np.asarray(fv), np.asarray(pv))
+            np.testing.assert_array_equal(np.asarray(fp), np.asarray(pp))
+
+    def test_narrow_plane_falls_back(self):
+        import jax
+
+        from wax_tpu.ops.bm25_candidates import wide_topk
+
+        x = jnp.asarray(np.random.default_rng(5).standard_normal((4, 256)).astype(np.float32))
+        fv, fp = wide_topk(x, 10)
+        pv, pp = jax.lax.top_k(x, 10)
+        np.testing.assert_array_equal(np.asarray(fv), np.asarray(pv))
+        np.testing.assert_array_equal(np.asarray(fp), np.asarray(pp))
+
+    def test_hot_lane_survives_slack(self):
+        """All of the true top-k planted in ONE lane slot (worst collision case):
+        the +2 lookahead slack must still return every planted element when
+        k <= (ceil(k/128)+2)... i.e. for k <= 2*128 the planted-lane coverage is
+        bounded; verify at k=10 where L=3 tolerates a fully hot lane."""
+        from wax_tpu.ops.bm25_candidates import wide_topk
+
+        w, k = 8192, 3  # 3 planted in one lane slot <= L
+        x = np.zeros((1, w), np.float32)
+        for i, v in zip((128 * 3 + 5, 128 * 17 + 5, 128 * 40 + 5), (9.0, 8.0, 7.0)):
+            x[0, i] = v
+        fv, fp = wide_topk(jnp.asarray(x), k)
+        assert set(np.asarray(fp)[0].tolist()) == {128 * 3 + 5, 128 * 17 + 5, 128 * 40 + 5}

@@ -165,3 +165,27 @@ class TestShardedRescore:
         )
         ok = np.asarray(v_ref)[0] > NEG_INF * 0.5
         assert np.asarray(f_sh)[0][ok].tolist() == np.asarray(f_ref)[0][ok].tolist()
+
+
+class TestAutoBudget:
+    def test_resolution_rule(self):
+        b = LexIndexBuilder(postings_budget="auto")
+        assert b.resolve_postings_budget(100_000) is None
+        assert b.resolve_postings_budget(262_144) == 4096
+        assert b.resolve_postings_budget(2_097_152) == 8192
+
+    def test_small_corpus_stays_exact(self):
+        b = LexIndexBuilder(postings_budget="auto")
+        for fid in range(50):
+            b.add(fid, "common token here")
+        snap = b.snapshot()
+        assert snap.fwd_tids is None  # below the auto threshold: no truncation
+        assert int(snap.max_df) >= 50
+
+    def test_compact_preserves_auto(self):
+        b = LexIndexBuilder(postings_budget="auto")
+        for fid in range(20):
+            b.add(fid, f"shared word unique{fid}")
+        b.remove(3)
+        b.compact()
+        assert b.postings_budget == "auto"

@@ -186,15 +186,19 @@ class LexIndexBuilder:
     (FTS5SearchEngine.swift:503-543)).
     """
 
-    def __init__(self, postings_budget: int | None = None):
+    def __init__(self, postings_budget: int | str | None = None):
         # Optional per-term postings cap for the device scoring budget W (= max_df).
         # When a term's list exceeds it, the snapshot keeps the postings with the
         # HIGHEST exact BM25 contribution (impact ordering — the idf factor is a
         # per-term constant, so ordering by the tf/length normalization alone is
         # equivalent), i.e. the standard impact-ordered early-termination trade:
-        # single-term rankings stay exact down to `budget` hits; multi-term scores
-        # can only be underestimated for documents outside a term's impact head.
-        # None (default) keeps every posting — scoring is exhaustive and exact.
+        # candidate GENERATION is limited to each term's impact head; returned
+        # scores stay unbudgeted-exact via the forward-index rescore
+        # (ops/bm25_rescore.py). None (default) keeps every posting — scoring is
+        # exhaustive with no rescore pass. "auto" resolves per snapshot from the
+        # row count (see resolve_postings_budget): exact below 256K rows, then
+        # max(4096, n//256) — at 1M that budget holds recall@10 0.978 vs the
+        # unbudgeted oracle through the rescore window (scripts/budget_recall.py).
         self.postings_budget = postings_budget
         self._vocab: dict[str, int] = {}
         self._postings: list[dict[int, int]] = []  # tid -> {row: tf}
@@ -291,7 +295,7 @@ class LexIndexBuilder:
     # -- frozen-CSR fast path ---------------------------------------------------------
     @classmethod
     def from_frozen_arrays(
-        cls, vocab_list: list[str], arrays: dict, postings_budget: int | None = None
+        cls, vocab_list: list[str], arrays: dict, postings_budget: int | str | None = None
     ) -> "LexIndexBuilder":
         """Build a frozen builder from v2-segment arrays (no per-term dicts).
 
@@ -433,10 +437,20 @@ class LexIndexBuilder:
             max_df=_round_up(max(max_df, 1), 128),
         )
 
+    def resolve_postings_budget(self, n_rows: int) -> int | None:
+        """Concrete per-term cap for an n_rows corpus. "auto" = exact below 256K
+        rows, then max(4096, n//256): at 1M that keeps each Zipf term's ~top-0.4%
+        impact head, which holds recall@10 0.978 vs the unbudgeted oracle through
+        the rescore window (scripts/budget_recall.py; docs/benchmarks.md)."""
+        b = self.postings_budget
+        if b == "auto":
+            return None if n_rows < 262_144 else max(4096, n_rows // 256)
+        return b
+
     # -- snapshot -------------------------------------------------------------------
     def snapshot(self) -> LexIndex:
         if self._frozen is not None:
-            budget = self.postings_budget
+            budget = self.resolve_postings_budget(len(self._frozen["frame_ids"]))
             sizes = np.diff(self._frozen["post_offsets"])
             if budget is None or not len(sizes) or int(sizes.max()) <= budget:
                 return self._snapshot_frozen()
@@ -454,7 +468,7 @@ class LexIndexBuilder:
         avgdl = float(doc_len[:n][np.asarray(self._active, bool)].sum() / live) if n else 1.0
         avgdl = max(avgdl, 1e-6)
 
-        budget = self.postings_budget
+        budget = self.resolve_postings_budget(n)
         kept: list[list[int]] = []
         truncated = False
         for plist in self._postings:

@@ -171,10 +171,48 @@ def candidate_scores_sorted(term_ids, doc_rows, wnorm, offsets, idf, w: int, mod
     return rows, scores
 
 
+def wide_topk(scores, k: int, exact: bool = True):
+    """top_k over a WIDE candidate plane via two narrow passes, exact plane-order
+    tie-breaks (drop-in for lax.top_k over a row-sorted candidate plane).
+
+    XLA's top_k over the [B, Q*W] candidate plane is the dominant cost of the
+    candidate pipeline at serving scale (49K-wide at 1M x budget 3072 — measured
+    ~5 ms of the 10.2 ms BM25 lane). Stage 1 reshapes to [B, 128, S] and takes
+    the per-lane top-L over the slice axis; stage 2 lexsorts the L*128 survivors
+    by (-score, plane position), which restores EXACT lowest-position selection
+    and order on tied scores: a tie dropped in stage 1 (beyond L in its lane)
+    always has a higher plane position than every kept tie in that lane, so the
+    k lowest positions of any tie class survive.
+
+    exact=True (default): L = min(S, k) — one lane can contribute at most k of
+    the top-k, so the result is EXACTLY lax.top_k's (the no-rescore candidate
+    paths keep their bit-parity contract with the scatter lane). exact=False:
+    L = ceil(k/128)+2 — only rescore candidate FETCHES use this: a handful of
+    BORDERLINE candidates (expected ~7 of k=256 at full lane load) can be
+    displaced by lane collisions, trading a ~0.1% recall-ceiling sliver for
+    half the stage-1 cost; the final scores come from the exact forward-index
+    rescore either way.
+
+    Returns (vals, pos) with pos indexing the original last axis, like lax.top_k.
+    """
+    b, w = scores.shape
+    if w <= max(1024, 8 * k) or w % 128:
+        return jax.lax.top_k(scores, k)
+    s = w // 128
+    lvl = min(s, k if exact else -(-k // 128) + 2)
+    t = scores.reshape(b, s, 128).swapaxes(1, 2)  # [B, 128, S]
+    tv, ti = jax.lax.top_k(t, lvl)  # per-lane top-L; ties keep the lowest slice
+    gpos = ti * 128 + jnp.arange(128, dtype=jnp.int32)[None, :, None]
+    cv = tv.swapaxes(1, 2).reshape(b, lvl * 128)
+    gp = gpos.swapaxes(1, 2).reshape(b, lvl * 128)
+    order = jnp.lexsort((gp, -cv), axis=-1)[:, :k]
+    return jnp.take_along_axis(cv, order, axis=-1), jnp.take_along_axis(gp, order, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "mode", "w"))
 def _candidates_topk_impl(term_ids, doc_rows, wnorm, offsets, idf, frame_ids, k: int, mode: str, w: int):
     rows, scores = candidate_scores_sorted(term_ids, doc_rows, wnorm, offsets, idf, w, mode)
-    vals, pos = jax.lax.top_k(scores, k)
+    vals, pos = wide_topk(scores, k)
     sel = jnp.take_along_axis(rows, pos, axis=-1)
     ok = vals > NEG_INF * 0.5
     sel = jnp.where(ok, sel, 0)
@@ -217,8 +255,8 @@ def bm25_candidates_topk(term_ids, index: LexIndex, k: int, mode: str = "any",
         term_ids, index.doc_rows, index.wnorm, index.offsets, index.idf,
         int(index.max_df), "count" if mode == "all" else "any",
     )
-    f = int(min(fetch if fetch is not None else max(4 * k, 64), scores.shape[-1]))
-    cvals, cpos = jax.lax.top_k(scores, f)
+    f = int(min(fetch if fetch is not None else max(4 * k, 256), scores.shape[-1]))
+    cvals, cpos = wide_topk(scores, f, exact=False)
     crows = jnp.where(cvals > NEG_INF * 0.5, jnp.take_along_axis(rows, cpos, axis=-1), -1)
     vals, sel = rescore_topk(
         term_ids, crows, index.fwd_tids, index.fwd_wnorm, index.idf, k, mode

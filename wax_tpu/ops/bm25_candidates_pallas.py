@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from wax_tpu.index.lex import LexIndex, dma_window
+from wax_tpu.ops.bm25_candidates import wide_topk
 from wax_tpu.ops.topk import NEG_INF
 
 __all__ = ["bm25_candidates_topk_pallas", "candidate_scores_pallas"]
@@ -48,6 +49,10 @@ __all__ = ["bm25_candidates_topk_pallas", "candidate_scores_pallas"]
 _SENT = 2**30  # python int: jnp constants capture as tracers inside pallas kernels
 _LANES = 128
 _ALIGN = 1024  # i32/f32 HBM tile: windows anchor at this flat alignment
+# in-kernel selection depth for the rescore-fetch path: sel*1024 candidates out,
+# losing a true top-F member only when > _SEL_LEVELS of them share one of the
+# 1024 (sublane, lane) slots (~0.1 borderline candidates per query at F=256)
+_SEL_LEVELS = 3
 
 
 def _iotas(shape):
@@ -161,6 +166,7 @@ def _kernel(
     q2: int,
     w2: int,
     mode: str,
+    sel: int = 0,
 ):
     b = pl.program_id(0)
     w_rows = w2 // _LANES
@@ -237,6 +243,43 @@ def _kernel(
         # (<= 128 idf-head terms x idf<=ln N~14 x w<=k1+1) and is exactly
         # representable, so count ordering is never perturbed.
         score_out = summed + 4096.0 * counts.astype(jnp.float32)
+    if sel:
+        # in-kernel candidate selection (rescore-fetch path): keep the top-`sel`
+        # packed keys per (sublane, lane) slot while the plane is still in VMEM —
+        # writing the [Q2*W2] planes back and re-reading them for a top-F costs
+        # ~3.5 ms at 1M x budget 3072 (wide_topk) vs ~0.1 ms here. Key = score
+        # bits truncated to 19 (sign+exp+10 mantissa, 2^-10 relative — candidate
+        # RANKING only; the forward-index rescore restores exact scores) with the
+        # low 13 bits holding the complement of the 8-row chunk index, so equal
+        # truncated scores prefer the lower plane position. Doc rows travel as a
+        # payload through the same compare decisions.
+        masked = jnp.where(live, score_out, NEG_INF)
+        bits = jax.lax.bitcast_convert_type(masked, jnp.int32)
+        key = jnp.where(
+            bits >= 0, bits, jnp.bitwise_xor(jnp.bitwise_not(bits), jnp.int32(-(2**31)))
+        )
+        chunk = sub // 8  # plane has <= 8192 8-row chunks (w2*q2 <= 8.4M elements)
+        key = jnp.bitwise_or(jnp.bitwise_and(key, jnp.int32(~0x1FFF)), 0x1FFF - chunk)
+        row_pay = jnp.where(live, rows, -1)
+        imin = jnp.full((8, _LANES), -(2**31), jnp.int32)
+        tops = [imin for _ in range(sel)]
+        pays = [jnp.full((8, _LANES), -1, jnp.int32) for _ in range(sel)]
+        for c in range(rows.shape[0] // 8):
+            tk = key[c * 8 : (c + 1) * 8]
+            tr = row_pay[c * 8 : (c + 1) * 8]
+            for lvl in range(sel):
+                sw = tk > tops[lvl]
+                tops[lvl], tk = (
+                    jnp.where(sw, tk, tops[lvl]),
+                    jnp.where(sw, tops[lvl], tk),
+                )
+                pays[lvl], tr = (
+                    jnp.where(sw, tr, pays[lvl]),
+                    jnp.where(sw, pays[lvl], tr),
+                )
+        out_score_ref[0] = jnp.concatenate(tops, axis=0)  # packed keys [sel*8, 128]
+        out_rows_ref[0] = jnp.concatenate(pays, axis=0)
+        return
     out_rows_ref[0] = jnp.where(live, rows, -1)
     out_score_ref[0] = jnp.where(live, score_out, NEG_INF)
 
@@ -246,9 +289,9 @@ def valid_sorted_mask(rows):
     return (rows >= 0) & (rows < _SENT)
 
 
-@functools.partial(jax.jit, static_argnames=("q2", "w2", "mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("q2", "w2", "mode", "interpret", "sel"))
 def _run(win, dlt, lens, idfs, nterm, doc_rows, wnorm, doc_rows_rev, wnorm_rev,
-         q2: int, w2: int, mode: str, interpret: bool):
+         q2: int, w2: int, mode: str, interpret: bool, sel: int = 0):
     b = win.shape[0]
     w_rows = w2 // _LANES
     p = doc_rows.shape[0]
@@ -256,7 +299,9 @@ def _run(win, dlt, lens, idfs, nterm, doc_rows, wnorm, doc_rows_rev, wnorm_rev,
     wn3 = wnorm.reshape(p // _ALIGN, 8, _LANES)
     rows3r = doc_rows_rev.reshape(p // _ALIGN, 8, _LANES)
     wn3r = wnorm_rev.reshape(p // _ALIGN, 8, _LANES)
-    kernel = functools.partial(_kernel, q2=q2, w2=w2, mode=mode)
+    kernel = functools.partial(_kernel, q2=q2, w2=w2, mode=mode, sel=sel)
+    out_rows_shape = (b, sel * 8 if sel else q2 * w_rows, _LANES)
+    score_dtype = jnp.int32 if sel else jnp.float32  # sel mode emits packed keys
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(b,),
@@ -267,8 +312,8 @@ def _run(win, dlt, lens, idfs, nterm, doc_rows, wnorm, doc_rows_rev, wnorm_rev,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, q2 * w_rows, _LANES), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, q2 * w_rows, _LANES), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + out_rows_shape[1:], lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + out_rows_shape[1:], lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((q2, w2 // _ALIGN, 8, _LANES), jnp.int32),
@@ -280,21 +325,27 @@ def _run(win, dlt, lens, idfs, nterm, doc_rows, wnorm, doc_rows_rev, wnorm_rev,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, q2 * w_rows, _LANES), jnp.int32),
-            jax.ShapeDtypeStruct((b, q2 * w_rows, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct(out_rows_shape, jnp.int32),
+            jax.ShapeDtypeStruct(out_rows_shape, score_dtype),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(win, dlt, lens, idfs, nterm, rows3, wn3, rows3r, wn3r)
-    return out_rows.reshape(b, q2 * w2), out_scores.reshape(b, q2 * w2)
+    flat = out_rows_shape[1] * _LANES
+    return out_rows.reshape(b, flat), out_scores.reshape(b, flat)
 
 
 def candidate_scores_pallas(term_ids, doc_rows, wnorm, offsets, idf, doc_rows_rev, wnorm_rev,
-                            *, max_df: int, mode: str = "any"):
+                            *, max_df: int, mode: str = "any", sel: int = 0):
     """Raw-array kernel entry: [B, Q] term ids -> (rows, scores) [B, Q2*W2].
 
     Scores carry NEG_INF on non-leader / non-matching slots; rows carry -1 there.
-    Usable inside shard_map (all inputs are plain local arrays)."""
+    Usable inside shard_map (all inputs are plain local arrays).
+
+    sel > 0 (rescore-fetch mode): the kernel keeps the top-`sel` candidates per
+    (sublane, lane) slot in-VMEM and returns (rows [B, sel*1024] with -1 dead,
+    packed_keys [B, sel*1024] i32, monotone in the 2^-10-truncated score, ties
+    toward lower plane position) — no [B, Q2*W2] plane ever reaches HBM."""
     if term_ids.ndim == 1:
         term_ids = term_ids[None, :]
     b, q = term_ids.shape
@@ -329,7 +380,7 @@ def candidate_scores_pallas(term_ids, doc_rows, wnorm, offsets, idf, doc_rows_re
     interpret = jax.default_backend() == "cpu"
     return _run(
         win, dlt, lens.astype(jnp.int32), idfs, nterm, doc_rows, wnorm,
-        doc_rows_rev, wnorm_rev, q2, w2, mode, interpret
+        doc_rows_rev, wnorm_rev, q2, w2, mode, interpret, sel
     )
 
 
@@ -348,35 +399,45 @@ def bm25_candidates_topk_pallas(term_ids, index: LexIndex, k: int, mode: str = "
         raise ValueError("snapshot has no precomputed wnorm/reversed postings; rebuild the snapshot")
     k = int(min(k, index.frame_ids.shape[0]))
     rescore = index.fwd_tids is not None
-    out_rows, out_scores = candidate_scores_pallas(
-        term_ids,
-        index.doc_rows,
-        index.wnorm,
-        index.offsets,
-        index.idf,
-        index.doc_rows_rev,
-        index.wnorm_rev,
-        max_df=int(index.max_df),
+    if rescore:
+        from wax_tpu.ops.bm25_rescore import rescore_topk
+
         # AND filtering moves to the exact rescore (budgeted hit counts would
         # wrongly pre-drop matches truncated out of one term's impact head);
         # AND candidates rank by budgeted match count so full conjunctions
         # reach the rescore window even with low budgeted scores
-        mode=(("count" if mode == "all" else "any") if rescore else mode),
-    )
-    if rescore:
-        from wax_tpu.ops.bm25_rescore import rescore_topk
-
-        f = int(min(fetch if fetch is not None else max(4 * k, 64), out_scores.shape[-1]))
-        cvals, cpos = jax.lax.top_k(out_scores, f)
-        crows = jnp.where(
-            cvals > NEG_INF * 0.5, jnp.take_along_axis(out_rows, cpos, axis=-1), -1
+        cand_rows, keys = candidate_scores_pallas(
+            term_ids,
+            index.doc_rows,
+            index.wnorm,
+            index.offsets,
+            index.idf,
+            index.doc_rows_rev,
+            index.wnorm_rev,
+            max_df=int(index.max_df),
+            mode="count" if mode == "all" else "any",
+            sel=_SEL_LEVELS,
         )
+        f = int(min(fetch if fetch is not None else max(4 * k, 256), keys.shape[-1]))
+        _, cpos = jax.lax.top_k(keys, f)  # packed keys: truncated-score order
+        crows = jnp.take_along_axis(cand_rows, cpos, axis=-1)  # dead slots carry -1
         vals, sel = rescore_topk(
             term_ids if term_ids.ndim == 2 else term_ids[None, :],
             crows, index.fwd_tids, index.fwd_wnorm, index.idf, k, mode,
         )
     else:
-        vals, pos = jax.lax.top_k(out_scores, k)
+        out_rows, out_scores = candidate_scores_pallas(
+            term_ids,
+            index.doc_rows,
+            index.wnorm,
+            index.offsets,
+            index.idf,
+            index.doc_rows_rev,
+            index.wnorm_rev,
+            max_df=int(index.max_df),
+            mode=mode,
+        )
+        vals, pos = wide_topk(out_scores, k)
         sel = jnp.take_along_axis(out_rows, pos, axis=-1)
     ok = vals > NEG_INF * 0.5
     sel = jnp.where(ok, sel, 0)

@@ -20,8 +20,12 @@ exactness on top of the budgeted TPU candidate path.)
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from wax_tpu.ops.topk import NEG_INF
 
@@ -45,25 +49,105 @@ def exact_rescore(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf):
       matched query-term slots per candidate; 0 on dead candidates.
     """
     b, q = term_ids.shape
+    f = cand_rows.shape[1]
+    l = fwd_tids.shape[1]
     safe_rows = jnp.maximum(cand_rows, 0)
     ft = jnp.take(fwd_tids, safe_rows, axis=0)  # [B, F, L]
     fw = jnp.take(fwd_wnorm, safe_rows, axis=0)  # [B, F, L]
-    live_slot = (ft >= 0) & (fw > 0.0)
-    scores = jnp.zeros(cand_rows.shape, jnp.float32)
-    counts = jnp.zeros(cand_rows.shape, jnp.int32)
-    # unrolled loop over the (static, small) Q axis: [B, F, L] compare + masked
-    # reduce per term — never materializes a [B, F, L, Q] intermediate
-    for qi in range(q):
-        tid = term_ids[:, qi]  # [B]
-        valid = tid >= 0
-        tid_safe = jnp.maximum(tid, 0)
-        m = live_slot & (ft == tid_safe[:, None, None]) & valid[:, None, None]
-        w = jnp.sum(jnp.where(m, fw, 0.0), axis=-1)  # [B, F]
-        hit = jnp.any(m, axis=-1)
-        scores = scores + w * jnp.take(idf, tid_safe)[:, None]
-        counts = counts + hit.astype(jnp.int32)
+    valid_q = term_ids >= 0
+    idf_q = jnp.where(valid_q, jnp.take(idf, jnp.maximum(term_ids, 0)), 0.0)  # [B, Q]
+    # per-candidate-row query planes (broadcast, not gather: [B, Q] -> [B*F, Q])
+    tids_rows = jnp.broadcast_to(
+        jnp.where(valid_q, term_ids, -1)[:, None, :], (b, f, q)
+    ).reshape(b * f, q)
+    idf_rows = jnp.broadcast_to(idf_q[:, None, :], (b, f, q)).reshape(b * f, q)
+    scores, counts = _rescore_blocks(
+        ft.reshape(b * f, l), fw.reshape(b * f, l), tids_rows, idf_rows,
+        jax.default_backend() == "cpu",
+    )
+    scores = scores.reshape(b, f)
+    counts = counts.reshape(b, f)
     dead = cand_rows < 0
     return jnp.where(dead, 0.0, scores), jnp.where(dead, 0, counts)
+
+
+def _rescore_kernel(ft_ref, fw_ref, tid_ref, idf_ref, score_ref, count_ref, *, q: int):
+    """Per-block exact rescore: the [R, L] forward slices stream through VMEM ONCE
+    and the Q-term compare-accumulate runs register-resident (the XLA formulations
+    re-read the 100+ MB gathered plane per term or materialize [B,F,L,Q] —
+    measured 3.0-3.5 ms at [256, 256, 128] x Q=16 either way)."""
+    ft = ft_ref[:]  # [R, L]
+    fw = fw_ref[:]
+    live = (ft >= 0) & (fw > 0.0)
+    score = jnp.zeros(ft.shape[:1] + (128,), jnp.float32)
+    count = jnp.zeros(ft.shape[:1] + (128,), jnp.int32)
+    n_slices = ft.shape[1] // 128
+    for qi in range(q):
+        tid = tid_ref[:, qi][:, None]  # [R, 1]
+        idfv = idf_ref[:, qi][:, None]
+        m = live & (ft == tid) & (tid >= 0)
+        hitw = jnp.where(m, fw, 0.0)
+        hitc = m.astype(jnp.int32)
+        # reduce over L via static 128-lane slices (no lane-splitting reshape)
+        wsum = hitw[:, :128]
+        csum = hitc[:, :128]
+        for si in range(1, n_slices):
+            wsum = wsum + hitw[:, si * 128 : (si + 1) * 128]
+            csum = csum + hitc[:, si * 128 : (si + 1) * 128]
+        score = score + wsum * idfv
+        count = count + csum
+    score_ref[:] = jnp.sum(score, axis=1, keepdims=True) * jnp.ones((1, 128), jnp.float32)
+    count_ref[:] = jnp.sum(count, axis=1, keepdims=True) * jnp.ones((1, 128), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rescore_blocks(ft, fw, tids_rows, idf_rows, interpret: bool):
+    """[N_rows, L] forward slices + per-row query data -> (scores, counts) [N_rows]."""
+    n, l = ft.shape
+    l_pad = max(128, ((l + 127) // 128) * 128)
+    if l_pad != l:
+        ft = jnp.pad(ft, ((0, 0), (0, l_pad - l)), constant_values=-1)
+        fw = jnp.pad(fw, ((0, 0), (0, l_pad - l)))
+        l = l_pad
+    q = tids_rows.shape[1]
+    rows = max(8, min(512, 65536 // max(l, 128)))
+    n_pad = ((n + rows - 1) // rows) * rows
+    if n_pad != n:
+        ft = jnp.pad(ft, ((0, n_pad - n), (0, 0)), constant_values=-1)
+        fw = jnp.pad(fw, ((0, n_pad - n), (0, 0)))
+        tids_rows = jnp.pad(tids_rows, ((0, n_pad - n), (0, 0)), constant_values=-1)
+        idf_rows = jnp.pad(idf_rows, ((0, n_pad - n), (0, 0)))
+    qp = ((q + 127) // 128) * 128
+    if qp != q:
+        tids_rows = jnp.pad(tids_rows, ((0, 0), (0, qp - q)), constant_values=-1)
+        idf_rows = jnp.pad(idf_rows, ((0, 0), (0, qp - q)))
+    grid = n_pad // rows
+    kernel = functools.partial(_rescore_kernel, q=q)
+    score, count = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((rows, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, l), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 128), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_pad * l * q,
+            bytes_accessed=n_pad * (2 * l + 2 * qp + 2) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ft, fw, tids_rows, idf_rows)
+    return score[:n, 0], count[:n, 0]
 
 
 def rescore_topk(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf, k: int, mode: str):

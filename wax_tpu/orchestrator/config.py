@@ -41,9 +41,12 @@ class OrchestratorConfig:
     # the sharded flat scan.
     sharded_lanes: bool = False
     # per-term postings cap for device BM25 (impact-ordered truncation, index/lex.py).
-    # None = exhaustive exact scoring; set (e.g. 4096) for 1M+ corpora where common
-    # terms would otherwise blow up the static scoring budget W = max_df.
-    lex_postings_budget: int | None = None
+    # None = exhaustive exact scoring. An int (e.g. 4096) bounds the static scoring
+    # budget W = max_df on 1M+ corpora; truncation only limits candidate generation —
+    # returned scores stay unbudgeted-exact via the forward-index rescore. "auto"
+    # resolves per snapshot: exact below 256K rows, then max(4096, n//256)
+    # (LexIndexBuilder.resolve_postings_budget; recall table in docs/benchmarks.md).
+    lex_postings_budget: int | str | None = None
     enable_structured_memory: bool = True
     enable_access_stats: bool = True
     chunking: ChunkingStrategy = field(default_factory=ChunkingStrategy)

@@ -171,7 +171,8 @@ class MemoryOrchestrator:
         self.counter = TokenCounter()
 
         if self.path.exists() and self.path.stat().st_size > 0:
-            self.store = WaxStore.open(self.path, config.store, readonly=readonly)
+            with span("open.store_recover"):
+                self.store = WaxStore.open(self.path, config.store, readonly=readonly)
         elif readonly:
             raise StoreError(f"{self.path} does not exist (read-only open)")
         else:
@@ -251,13 +252,15 @@ class MemoryOrchestrator:
         if not got_lex:
             lex_blob = self.store.read_segment("lex")
             if lex_blob is not None and self.config.enable_text_search:
-                self.engine.lex = deserialize_lex(lex_blob, lex_man.attrs)
+                with span("open.lex_decode"):
+                    self.engine.lex = deserialize_lex(lex_blob, lex_man.attrs)
         # the budget is runtime config, not persisted state — re-apply after load
         self.engine.lex.postings_budget = self.config.lex_postings_budget
         if not got_vec:
             vec_blob = self.store.read_segment("vec")
             if vec_blob is not None and self.config.enable_vector_search:
-                self.engine.vector = deserialize_vector_engine(vec_blob, vec_man.attrs)
+                with span("open.vec_decode"):
+                    self.engine.vector = deserialize_vector_engine(vec_blob, vec_man.attrs)
         # catch-up: replay pending embeddings recovered from the WAL / overflow segment
         if self.structured is not None:
             sm_blob = self.store.read_segment("structured")
@@ -563,7 +566,8 @@ class MemoryOrchestrator:
     def search(self, request: SearchRequest | str, top_k: int = 10) -> SearchResponse:
         if isinstance(request, str):
             request = SearchRequest(query=request, top_k=top_k)
-        resp = unified_search(self.engine, request)
+        with span("orchestrator.search"):
+            resp = unified_search(self.engine, request)
         if self.config.enable_access_stats and resp.hits:
             self.access_stats.record_batch([h.frame_id for h in resp.hits], self._now())
         return resp

@@ -29,7 +29,7 @@ from wax_tpu.index.lex import (
     dma_window,
     reverse_postings_copies,
 )
-from wax_tpu.ops.bm25_candidates import candidate_scores_sorted
+from wax_tpu.ops.bm25_candidates import candidate_scores_sorted, wide_topk
 from wax_tpu.ops.bm25_candidates_pallas import candidate_scores_pallas
 from wax_tpu.ops.topk import NEG_INF, blockmax_topk
 from wax_tpu.parallel.merge import merge_topk_across_mesh
@@ -251,6 +251,19 @@ def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, w
     rescored against the shard's forward index — AND filtering then uses exact
     counts (ops/bm25_rescore.py)."""
     gen_mode = ("count" if mode == "all" else "any") if rescore else mode
+    if rescore and pallas:
+        from wax_tpu.ops.bm25_candidates_pallas import _SEL_LEVELS
+        from wax_tpu.ops.bm25_rescore import rescore_topk
+
+        # in-kernel selection: sel*1024 candidates, no [B, Q2*W2] plane in HBM
+        cand_rows, keys = candidate_scores_pallas(
+            tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev,
+            max_df=w, mode=gen_mode, sel=_SEL_LEVELS,
+        )
+        f = int(min(max(4 * kk, 256), keys.shape[-1]))
+        _, cpos = jax.lax.top_k(keys, f)
+        crows = jnp.take_along_axis(cand_rows, cpos, axis=-1)
+        return rescore_topk(tids, crows, fwd_tids, fwd_wnorm, idf, kk, mode)
     if pallas:
         rows, scores = candidate_scores_pallas(
             tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev, max_df=w, mode=gen_mode
@@ -260,13 +273,13 @@ def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, w
     if rescore:
         from wax_tpu.ops.bm25_rescore import rescore_topk
 
-        f = int(min(max(4 * kk, 64), scores.shape[-1]))
-        cvals, cpos = jax.lax.top_k(scores, f)
+        f = int(min(max(4 * kk, 256), scores.shape[-1]))
+        cvals, cpos = wide_topk(scores, f, exact=False)
         crows = jnp.where(
             cvals > NEG_INF * 0.5, jnp.take_along_axis(rows, cpos, axis=-1), -1
         )
         return rescore_topk(tids, crows, fwd_tids, fwd_wnorm, idf, kk, mode)
-    vals, pos = jax.lax.top_k(scores, kk)
+    vals, pos = wide_topk(scores, kk)
     sel = jnp.take_along_axis(rows, pos, axis=-1)
     ok = vals > NEG_INF * 0.5
     return jnp.where(ok, vals, NEG_INF), jnp.where(ok, sel, -1)

@@ -43,7 +43,7 @@ class HybridSearchEngine:
         vector_kwargs: dict | None = None,
         lex_sharded: bool = False,
         mesh=None,
-        lex_postings_budget: int | None = None,
+        lex_postings_budget: int | str | None = None,
     ):
         if dim is None:
             if embedder is None:
@@ -97,7 +97,10 @@ class HybridSearchEngine:
         if self._lex_snap is None or self._lex_gen != self.lex.generation:
             with self._snap_lock:
                 if self._lex_snap is None or self._lex_gen != self.lex.generation:
-                    self._lex_snap = self.lex.snapshot()
+                    from wax_tpu.utils.profiling import span
+
+                    with span("engine.lex_snapshot"):
+                        self._lex_snap = self.lex.snapshot()
                     self._lex_gen = self.lex.generation
                     self.stats["lex_snapshots"] += 1
         return self._lex_snap

@@ -695,12 +695,16 @@ class WaxStore:
 
     # ------------------------------------------------------------------- segments ----
     def read_segment(self, kind: str) -> bytes | None:
+        from wax_tpu.utils.profiling import span
+
         man = self.toc.manifests.get(kind)
         if man is None:
             return None
-        raw = self.fd.pread_exact(man.offset, man.length)
-        if sha256(raw) != man.sha:
-            raise StoreError(f"segment {kind} checksum mismatch")
+        with span("store.segment_pread"):
+            raw = self.fd.pread_exact(man.offset, man.length)
+        with span("store.segment_sha256"):
+            if sha256(raw) != man.sha:
+                raise StoreError(f"segment {kind} checksum mismatch")
         return raw
 
 
