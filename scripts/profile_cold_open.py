@@ -80,6 +80,9 @@ def main() -> None:
             "open.lex_decode",
             "open.vec_decode",
             "engine.lex_snapshot",
+            "engine.dense_snapshot",
+            "search.bm25_lane",
+            "search.vector_lane",
             "orchestrator.search",
         ):
             st = stats.get(name)
@@ -87,7 +90,12 @@ def main() -> None:
                 continue
             ms = st["total_ms"] if "total_ms" in st else st.get("sum", 0.0)
             print(f"  {name:24s} {ms:8.1f} ms  (n={st.get('count', st.get('n', '?'))})", flush=True)
-            if name != "orchestrator.search":
+            if name not in (
+                "orchestrator.search",
+                "search.bm25_lane",
+                "search.vector_lane",
+                "engine.dense_snapshot",
+            ):
                 accounted += ms
         print(f"  {'(other host work)':24s} {max(0.0, total - accounted - stats.get('orchestrator.search', {}).get('total_ms', 0.0)):8.1f} ms", flush=True)
 

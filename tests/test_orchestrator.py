@@ -144,3 +144,34 @@ class TestStats:
         orch.remember(MEMORIES[0])
         orch.remember(MEMORIES[0])
         assert orch.memoizer.stats["hits"] > 0
+
+
+class TestWarmup:
+    def test_warmup_traces_lanes(self, tmp_path):
+        """warmup() pre-traces both lanes; the subsequent first query must not
+        rebuild snapshots (the warmup built them) and must return normally."""
+        from wax_tpu.embed.hash_embedder import HashEmbedder
+        from wax_tpu.orchestrator import MemoryOrchestrator, OrchestratorConfig
+
+        o = MemoryOrchestrator(tmp_path / "w.wxs", HashEmbedder(64), OrchestratorConfig())
+        for i in range(20):
+            o.remember(f"warm doc {i} about topic {i % 3}")
+        o.flush()
+        o.close()
+        o2 = MemoryOrchestrator(tmp_path / "w.wxs", HashEmbedder(64), OrchestratorConfig())
+        o2.warmup(background=False)
+        snaps_after_warmup = o2.engine.stats["lex_snapshots"]
+        resp = o2.search("topic 1 doc")
+        assert resp.hits
+        assert o2.engine.stats["lex_snapshots"] == snaps_after_warmup  # no rebuild
+        o2.close()
+
+    def test_background_warmup_races_close(self, tmp_path):
+        from wax_tpu.embed.hash_embedder import HashEmbedder
+        from wax_tpu.orchestrator import MemoryOrchestrator, OrchestratorConfig
+
+        o = MemoryOrchestrator(tmp_path / "w2.wxs", HashEmbedder(64), OrchestratorConfig())
+        o.remember("single doc")
+        o.flush()
+        o.warmup(background=True)
+        o.close()  # joins the warmup thread; must not raise

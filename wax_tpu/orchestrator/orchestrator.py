@@ -213,6 +213,7 @@ class MemoryOrchestrator:
         self._flush_count = 0
         self._maintainer = None
         self._load_committed_state()
+        self._warmup_thread: threading.Thread | None = None
         self.rag_builder = FastRAGContextBuilder(
             self.engine, config.rag, self.counter, self.access_stats
         )
@@ -700,7 +701,42 @@ class MemoryOrchestrator:
             self.maintainer.maybe_scheduled_rewrite()
         return gen
 
+    def warmup(self, background: bool = True) -> None:
+        """Pre-trace the search lanes so the first real query skips jit tracing +
+        compiled-executable load — the dominant cold-open term (~38 of ~64 ms at
+        stress scale; docs/benchmarks.md phase table). Long-lived surfaces (the
+        MCP server) call this right after open: tracing overlaps the idle gap
+        before the first tool call instead of landing on it."""
+
+        def _trace() -> None:
+            try:
+                import numpy as _np
+
+                from wax_tpu.ops.bm25 import bm25_topk, pad_term_ids
+
+                if self.config.enable_vector_search:
+                    self.engine.vector.search(
+                        _np.zeros((1, self.memoizer.provider.dimensions), _np.float32), 1
+                    )
+                if self.config.enable_text_search:
+                    snap = self.engine.lex_snapshot()
+                    if snap.n_terms:
+                        import jax.numpy as _jnp
+
+                        bm25_topk(_jnp.asarray(pad_term_ids([0])[None, :]), snap, 1)
+            except Exception:  # noqa: BLE001 — warmup must never break an open
+                pass
+
+        if background:
+            self._warmup_thread = threading.Thread(target=_trace, daemon=True, name="wax-warmup")
+            self._warmup_thread.start()
+        else:
+            _trace()
+
     def close(self) -> None:
+        if self._warmup_thread is not None:
+            self._warmup_thread.join(timeout=30.0)
+            self._warmup_thread = None
         # park the live builders for a possible warm re-open (engine_cache docstring
         # explains why park/reclaim — not sharing — is the safe ownership model here)
         try:

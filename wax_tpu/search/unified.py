@@ -223,12 +223,16 @@ def unified_search(engine: HybridSearchEngine, request: SearchRequest) -> Search
     signals = analyze_query(request.query)
     fetch_k = max(request.top_k * 2, 24)
 
+    from wax_tpu.utils.profiling import span
+
     lanes: dict[str, list[tuple[int, float]]] = {}
     snippet_queries: dict[int, str] = {}
     if request.mode in (SearchMode.HYBRID, SearchMode.TEXT_ONLY):
-        lanes["bm25"], snippet_queries = _bm25_lane(engine, request.query, fetch_k)
+        with span("search.bm25_lane"):
+            lanes["bm25"], snippet_queries = _bm25_lane(engine, request.query, fetch_k)
     if request.mode in (SearchMode.HYBRID, SearchMode.VECTOR_ONLY):
-        lanes["vector"] = _vector_lane(engine, request, fetch_k)
+        with span("search.vector_lane"):
+            lanes["vector"] = _vector_lane(engine, request, fetch_k)
     if (
         request.mode == SearchMode.HYBRID
         and request.use_structured_memory

@@ -100,7 +100,10 @@ class FlatVectorEngine(FreshLockOnCopyMixin):
                     or self._snap_gen != self.builder.generation
                     or self._snap_dtype != dtype
                 ):
-                    self._snap = self.builder.snapshot(device_dtype=dtype)
+                    from wax_tpu.utils.profiling import span
+
+                    with span("engine.dense_snapshot"):
+                        self._snap = self.builder.snapshot(device_dtype=dtype)
                     self._snap_gen = self.builder.generation
                     self._snap_dtype = dtype
                     self.snapshot_count += 1

@@ -721,6 +721,9 @@ def build_server(store_path: str | Path | None = None) -> McpServer:
         embedder_mismatch=os.environ.get("WAX_TPU_EMBEDDER_MISMATCH", "error"),
     )
     orch = MemoryOrchestrator(path, _select_embedder(path), config=cfg)
+    # pre-trace the search lanes in the idle gap before the first tool call
+    # (first-query jit trace is the dominant cold-open term — docs/benchmarks.md)
+    orch.warmup(background=True)
     return McpServer(orch, structured_enabled=structured)
 
 
