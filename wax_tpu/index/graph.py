@@ -287,7 +287,7 @@ class HNSWBuilder:
         return None if row is None else self._vecs[row].copy()
 
     # -------------------------------------------------------------------- snapshot ----
-    def snapshot(self, device_dtype=None) -> GraphIndex:
+    def snapshot(self, device_dtype=None, seed_cap: int = 8192) -> GraphIndex:
         from wax_tpu.ops.topk import NEG_INF
 
         n = max(self._count, 1)
@@ -331,15 +331,26 @@ class HNSWBuilder:
         # full level-1 net (~N/m nodes, stride-subsampled to <= 4096) instead of a
         # higher sparse level measured 0.80 -> 0.95 recall@10 at ef=128 on clustered
         # 30K x 64 and 0.67 -> (see tests) on clustered 100K x 384.
+        # Seed count is THE recall knob on loosely clustered data (measured 30K x
+        # 384 loose, ef=256: 1832 level-1 seeds -> 0.928, fill to 8192 -> 0.948,
+        # 16384 -> 0.966, 24576 -> 0.984 — scripts/probe_hnsw_seeds.py), and extra
+        # seeds are nearly free on the MXU. Default cap 8192; when the level-1 net
+        # is smaller, fill with stride-sampled level-0 rows (uniform coverage).
         if self._count:
             seeds = np.nonzero(self._active[: self._count] & (self._levels[: self._count] >= 1))[0]
             if len(seeds) == 0:
                 seeds = np.nonzero(self._active[: self._count])[0][:1]
+            elif len(seeds) < seed_cap:
+                l0 = np.nonzero(self._active[: self._count] & (self._levels[: self._count] == 0))[0]
+                if len(l0):
+                    want = seed_cap - len(seeds)
+                    fill = l0[:: max(1, len(l0) // max(want, 1))][:want]
+                    seeds = np.concatenate([seeds, fill])
         else:
             seeds = np.zeros(1, np.int64)
-        if len(seeds) > 4096:
+        if len(seeds) > seed_cap:
             # level assignment is i.i.d. random, so a stride keeps a uniform sample
-            seeds = seeds[:: len(seeds) // 4096 + 1]
+            seeds = seeds[:: len(seeds) // seed_cap + 1]
         pad = (-len(seeds)) % 8
         if pad:
             seeds = np.concatenate([seeds, np.repeat(seeds[:1], pad)])
