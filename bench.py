@@ -510,11 +510,59 @@ def _info_public(info: dict) -> dict:
     return out
 
 
+def _backend_alive(timeout_s: float) -> str | None:
+    """Probe backend init in a subprocess with a hard timeout.
+
+    A wedged tunnel makes the axon plugin's C-API init retry for many minutes with
+    no way to interrupt it in-process; probing in a child keeps the ONE-JSON-line
+    driver contract honorable on a bounded clock. Returns an error string, or None
+    if the backend came up (the parent's own init then hits a live tunnel)."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True,
+            timeout=timeout_s,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"backend init exceeded {timeout_s:.0f}s (tunnel wedged)"
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        return tail[-1] if tail else f"backend init failed (rc={r.returncode})"
+    return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true", help="headline config only")
     ap.add_argument("--all", action="store_true", help="also report single-query latency")
     args = ap.parse_args()
+
+    # Only guard the real tunneled-TPU path: under the CPU test config (conftest
+    # forces jax_platforms=cpu in-process) the child would re-init the wedged
+    # tunnel the parent never touches.
+    import jax
+
+    on_cpu = (jax.config.jax_platforms or "") == "cpu"
+    probe_timeout = float(os.environ.get("WAX_BENCH_PROBE_TIMEOUT", "900"))
+    if probe_timeout > 0 and not on_cpu:
+        err = _backend_alive(probe_timeout)
+        if err is not None:
+            print(
+                json.dumps(
+                    {
+                        "metric": "dense_topk_p50_latency_batch256_10k_x384",
+                        "value": None,
+                        "unit": "ms",
+                        "vs_baseline": None,
+                        "error": err,
+                    }
+                )
+            )
+            return
 
     t_start = time.time()
     try:
@@ -539,6 +587,18 @@ def main() -> None:
             "vs_baseline": None,
             "error": "no valid slope estimate (sustained tunnel episode)",
             "timing": {"attempts": info.get("attempts"), "rejects": len(info.get("rejects", []))},
+        }
+        print(json.dumps(record))
+        return
+    except Exception as e:  # noqa: BLE001
+        # backend init itself can fail (tunnel down -> RuntimeError UNAVAILABLE at
+        # first device touch); the contract still demands one JSON line
+        record = {
+            "metric": "dense_topk_p50_latency_batch256_10k_x384",
+            "value": None,
+            "unit": "ms",
+            "vs_baseline": None,
+            "error": f"{type(e).__name__}: {e}",
         }
         print(json.dumps(record))
         return
