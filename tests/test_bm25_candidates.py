@@ -238,3 +238,49 @@ class TestWideTopk:
             x[0, i] = v
         fv, fp = wide_topk(jnp.asarray(x), k)
         assert set(np.asarray(fp)[0].tolist()) == {128 * 3 + 5, 128 * 17 + 5, 128 * 40 + 5}
+
+
+class TestDeepK:
+    """k beyond the candidate plane width must pad dead slots, not crash
+    (the scatter lane these paths replace accepted any k <= N)."""
+
+    def test_wide_topk_k_exceeds_plane(self):
+        import jax
+
+        from wax_tpu.ops.bm25_candidates import wide_topk
+        from wax_tpu.ops.topk import NEG_INF
+
+        x = jnp.asarray(np.random.default_rng(9).standard_normal((2, 256)).astype(np.float32))
+        v, p = wide_topk(x, 400)
+        assert v.shape == (2, 400) and p.shape == (2, 400)
+        assert (np.asarray(v)[:, 256:] < NEG_INF * 0.5).all()  # dead-slot convention
+        pv, _ = jax.lax.top_k(x, 256)
+        np.testing.assert_array_equal(np.asarray(v)[:, :256], np.asarray(pv))
+
+    @pytest.mark.parametrize("budget", [None, 16])
+    def test_candidates_topk_deep_k_matches_scatter_liveness(self, budget):
+        from wax_tpu.index.lex import LexIndexBuilder
+        from wax_tpu.ops.bm25 import bm25_topk, pad_term_ids
+        from wax_tpu.ops.bm25_candidates import bm25_candidates_topk
+
+        rng = np.random.default_rng(3)
+        b = LexIndexBuilder(postings_budget=budget)
+        vocab = [f"w{i}" for i in range(40)]
+        for i in range(600):
+            b.add(i, " ".join(rng.choice(vocab, size=8)))
+        idx = b.snapshot()
+        padded = jnp.asarray(pad_term_ids(b.term_ids(["w3", "w7"]), dfs=b.df)[None, :])
+        for k in (400, 600):
+            v, r, f = bm25_candidates_topk(padded, idx, k, mode="any")
+            assert v.shape[-1] == k and f.shape[-1] == k
+            live = np.asarray(f)[0] >= 0
+            sv, _, sf = bm25_topk(padded, idx, k, mode="any")
+            if budget is None:
+                assert live.sum() == (np.asarray(sf)[0] >= 0).sum()
+                np.testing.assert_allclose(
+                    np.sort(np.asarray(v)[0][live]),
+                    np.sort(np.asarray(sv)[0][np.asarray(sf)[0] >= 0]),
+                    rtol=1e-5,
+                )
+            else:
+                assert live.sum() > 0  # rescore path returns [B, k] without error

@@ -127,3 +127,22 @@ class TestSerialization:
         # continue building after restore
         b2.add(999, vecs[500])
         assert 999 in b2
+
+
+def test_snapshot_seed_cap_exact():
+    """Seed sampling hits the cap exactly-ish at every size band — the old python
+    stride (`seeds[::len//cap+1]`) undershot by up to ~50% just above the cap."""
+    import numpy as np
+
+    from wax_tpu.index.graph import HNSWBuilder
+
+    rng = np.random.default_rng(0)
+    b = HNSWBuilder(dim=16, m=4)
+    b.add_batch(np.arange(3000), rng.standard_normal((3000, 16), dtype=np.float32))
+    n1 = int((b._levels[:3000] >= 1).sum())
+    for cap in (8, 64, 512, n1 - n1 // 3, 8192):  # n1-n1//3 = the undershoot band
+        g = b.snapshot(seed_cap=cap)
+        uniq = len(np.unique(np.asarray(g.entries)))
+        want = min(cap, 3000)
+        assert want - 8 <= uniq <= want + 8, (cap, uniq)
+        assert g.entries.shape[0] % 8 == 0

@@ -212,3 +212,27 @@ class TestChunkmaxDenseLane:
         v, f = sharded_hybrid_topk(q, tids, sharded_d, sharded_l, 10, mesh)
         removed = set(range(0, 100, 3))
         assert removed.isdisjoint(set(int(x) for x in np.asarray(f)[0] if x >= 0))
+
+
+def test_lex_backend_auto_guards_vmem(monkeypatch):
+    """auto never selects the Pallas kernel when q2 * dma_window(max_df) exceeds
+    the VMEM scratch budget — an unbudgeted corpus with a very frequent term must
+    fall back to the XLA candidate lane, not fail Mosaic compilation."""
+    import dataclasses
+
+    import jax as _jax
+
+    from wax_tpu.parallel import sharded_hybrid as sh
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    lexb = LexIndexBuilder()
+    lexb.add_batch([(i, f"doc {i} about topic {i % 5}") for i in range(64)])
+    mesh = data_mesh(2)
+    lex = sh.shard_lex_index(lexb, mesh, 64)
+    assert sh._resolve_lex_backend(lex, "auto", q2=16) == "candidates_pallas"
+    big = dataclasses.replace(lex, max_df=200_000)
+    assert sh._resolve_lex_backend(big, "auto", q2=16) == "candidates"
+    # wide query batches tighten the guard too
+    assert sh._resolve_lex_backend(lex, "auto", q2=16 * 1024) == "candidates"
+    # explicit backend is never overridden
+    assert sh._resolve_lex_backend(big, "candidates_pallas", q2=16) == "candidates_pallas"

@@ -228,12 +228,24 @@ class TestMatchQueryWiring:
         )
         assert all("[" not in h.preview for h in resp.hits)
 
-    def test_garbage_query_raises_like_reference(self, engine):
-        # reference :132-137: primary errors and no fallback exists -> error surfaces
+    def test_stopword_only_query_degrades_to_empty_text_lane(self, engine):
+        # DELIBERATE divergence from reference :132-137 (which rethrows): a
+        # natural-language query whose every token is a stopword/letterless has
+        # nothing for BM25 to match — the text lane is empty, not an error, so
+        # hybrid mode still answers from the vector lane.
+        for q in ("???", "what?", "when??", "a, and...", "what is it, and when?"):
+            resp = unified_search(engine, SearchRequest(query=q, mode=SearchMode.TEXT_ONLY))
+            assert not resp.hits, q
+            hybrid = unified_search(engine, SearchRequest(query=q))
+            assert hybrid.hits, q  # vector lane still serves
+
+    def test_explicit_match_syntax_error_still_raises(self, engine):
+        # explicit MATCH syntax keeps FTS5 semantics: a genuine syntax error in a
+        # query the user wrote AS match syntax surfaces (reference :132-137)
         from wax_tpu.search.match import MatchSyntaxError
 
         with pytest.raises(MatchSyntaxError):
-            unified_search(engine, SearchRequest(query="???", mode=SearchMode.TEXT_ONLY))
+            unified_search(engine, SearchRequest(query="AND (", mode=SearchMode.TEXT_ONLY))
 
     def test_deterministic_repeat(self, engine):
         q = SearchRequest(query='"fox den" OR meadow', mode=SearchMode.TEXT_ONLY, top_k=5)

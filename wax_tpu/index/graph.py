@@ -336,21 +336,29 @@ class HNSWBuilder:
         # 16384 -> 0.966, 24576 -> 0.984 — scripts/probe_hnsw_seeds.py), and extra
         # seeds are nearly free on the MXU. Default cap 8192; when the level-1 net
         # is smaller, fill with stride-sampled level-0 rows (uniform coverage).
+        def _uniform_sample(arr: np.ndarray, m: int) -> np.ndarray:
+            # linspace (not a python stride) hits m exactly: `arr[::len//m+1]`
+            # undershoots by up to ~50% just above the cap. Rounding collisions
+            # near len(arr)==m shed at most a handful of rows via unique.
+            if len(arr) <= m or m <= 0:
+                return arr[:max(m, 0)] if m < len(arr) else arr
+            idx = np.unique(np.linspace(0, len(arr) - 1, m).round().astype(np.int64))
+            return arr[idx]
+
         if self._count:
             seeds = np.nonzero(self._active[: self._count] & (self._levels[: self._count] >= 1))[0]
             if len(seeds) == 0:
                 seeds = np.nonzero(self._active[: self._count])[0][:1]
+            elif len(seeds) > seed_cap:
+                # level assignment is i.i.d. random, so a uniform sample is unbiased
+                seeds = _uniform_sample(seeds, seed_cap)
             elif len(seeds) < seed_cap:
                 l0 = np.nonzero(self._active[: self._count] & (self._levels[: self._count] == 0))[0]
                 if len(l0):
-                    want = seed_cap - len(seeds)
-                    fill = l0[:: max(1, len(l0) // max(want, 1))][:want]
+                    fill = _uniform_sample(l0, seed_cap - len(seeds))
                     seeds = np.concatenate([seeds, fill])
         else:
             seeds = np.zeros(1, np.int64)
-        if len(seeds) > seed_cap:
-            # level assignment is i.i.d. random, so a stride keeps a uniform sample
-            seeds = seeds[:: len(seeds) // seed_cap + 1]
         pad = (-len(seeds)) % 8
         if pad:
             seeds = np.concatenate([seeds, np.repeat(seeds[:1], pad)])

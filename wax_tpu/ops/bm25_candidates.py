@@ -196,6 +196,16 @@ def wide_topk(scores, k: int, exact: bool = True):
     Returns (vals, pos) with pos indexing the original last axis, like lax.top_k.
     """
     b, w = scores.shape
+    if k > w:
+        # the candidate plane is narrower than the request (deep k over a
+        # small-df vocab): fill the impossible tail with dead slots (NEG_INF,
+        # pos 0) so callers keep their [B, k] contract — the scatter lane they
+        # replaced accepted any k <= N. Dead slots are masked downstream.
+        vals, pos = wide_topk(scores, w, exact=exact)
+        return (
+            jnp.pad(vals, ((0, 0), (0, k - w)), constant_values=NEG_INF),
+            jnp.pad(pos, ((0, 0), (0, k - w))),
+        )
     if w <= max(1024, 8 * k) or w % 128:
         return jax.lax.top_k(scores, k)
     s = w // 128

@@ -166,8 +166,14 @@ def rescore_topk(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf, k: int, mode: st
         nterm = jnp.sum(term_ids >= 0, axis=1, keepdims=True).astype(jnp.int32)
         live = live & (counts >= nterm)
     masked = jnp.where(live, scores, NEG_INF)
-    k = min(int(k), cand_rows.shape[-1])
-    vals, pos = jax.lax.top_k(masked, k)
+    kk = min(int(k), cand_rows.shape[-1])
+    vals, pos = jax.lax.top_k(masked, kk)
     sel = jnp.take_along_axis(rows_sorted, pos, axis=-1)
     ok = vals > NEG_INF * 0.5
-    return vals, jnp.where(ok, sel, -1)
+    sel = jnp.where(ok, sel, -1)
+    if kk < k:
+        # candidate window narrower than the request: pad dead slots to keep
+        # the [B, k] contract (the scatter lane accepted any k <= N)
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=NEG_INF)
+        sel = jnp.pad(sel, ((0, 0), (0, k - kk)), constant_values=-1)
+    return vals, sel

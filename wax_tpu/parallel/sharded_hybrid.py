@@ -224,13 +224,23 @@ def _local_bm25(term_ids, lex_shard, avgdl, w, mode="any"):
     return jnp.where(live[None, :], scores, 0.0)
 
 
-def _resolve_lex_backend(lex: "ShardedLexIndex", backend: str) -> str:
+# The Pallas kernel double-buffers [q2, w2] rows+weights scratch in VMEM
+# (8 * q2 * w2 bytes) plus the merge plane's temporaries; cap the scratch pair
+# at 4 MiB of the ~16 MiB scoped VMEM so the merge working set always fits.
+# Budgeted snapshots (dma_window <= 32K at q2=16) pass; an UNBUDGETED corpus
+# with a very frequent term falls back to the XLA candidate lane instead of
+# failing Mosaic compilation.
+_PALLAS_MAX_PLANE_ELEMS = 512 * 1024
+
+
+def _resolve_lex_backend(lex: "ShardedLexIndex", backend: str, q2: int = 16) -> str:
     """Static per-trace choice of the local BM25 lane implementation.
 
     "auto" prefers the candidate-set pipeline (no [B, N_local] score plane, no
     scatter — measured ~2 orders of magnitude faster at 1M docs, see
     docs/benchmarks.md): the Pallas VMEM kernel on TPU, its pure-XLA harness
-    elsewhere. Snapshots without precomputed weights fall back to the scatter lane.
+    elsewhere. Snapshots without precomputed weights fall back to the scatter
+    lane; planes too wide for VMEM fall back to the XLA candidate lane.
     """
     if backend != "auto":
         return backend
@@ -238,7 +248,13 @@ def _resolve_lex_backend(lex: "ShardedLexIndex", backend: str) -> str:
         return "scatter"
     if jax.default_backend() != "tpu":
         return "candidates"
-    return "candidates_pallas" if lex.doc_rows_rev is not None else "candidates"
+    if lex.doc_rows_rev is None:
+        return "candidates"
+    from wax_tpu.index.lex import dma_window
+
+    if q2 * dma_window(int(lex.max_df)) > _PALLAS_MAX_PLANE_ELEMS:
+        return "candidates"
+    return "candidates_pallas"
 
 
 def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev,
@@ -333,7 +349,7 @@ def sharded_bm25_topk(
     single-chip ops/bm25.py:bm25_topk. backend: "auto" | "scatter" | "candidates" |
     "candidates_pallas" (see _resolve_lex_backend).
     """
-    backend = _resolve_lex_backend(lex, backend)
+    backend = _resolve_lex_backend(lex, backend, q2=int(term_ids.shape[-1]))
     rescore = backend != "scatter" and lex.fwd_tids is not None
     run2 = _bm25_program(mesh, int(k), mode, backend, int(lex.max_df), rescore)
     wn = lex.wnorm if lex.wnorm is not None else lex.tfs
@@ -453,7 +469,7 @@ def sharded_hybrid_topk(
     Returns (fused_scores [B, k], frame_ids [B, k]).
     """
     n_shards = corpus_shards(mesh)
-    lex_backend = _resolve_lex_backend(lex, lex_backend)
+    lex_backend = _resolve_lex_backend(lex, lex_backend, q2=int(term_ids.shape[-1]))
     fetch = max(2 * k, 16)
     # static dense-lane backend choice: chunkmax needs a prefix-live (contiguous)
     # shard, 2048-aligned local rows, and a rescore-friendly fetch size

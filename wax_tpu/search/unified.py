@@ -166,7 +166,17 @@ def _bm25_lane(
         primary = _run_fts_query(engine, primary_q, fetch_k)
     except MatchSyntaxError:
         if fallback_q is None:
-            raise  # reference :133-135: no fallback -> the error surfaces
+            # fallback_q is None iff sanitization left no clauses (every token a
+            # stopword / letterless, e.g. "what?"). The reference rethrows even
+            # then (:133-135), killing the vector lane with it; we diverge
+            # deliberately for natural-language queries — nothing to match means
+            # an EMPTY text lane, not a failed search. Explicit MATCH syntax
+            # still surfaces its syntax error exactly like FTS5.
+            from wax_tpu.text.match_query import has_match_syntax
+
+            if not has_match_syntax(trimmed):
+                return [], {}
+            raise
         hits = _run_fts_query(engine, fallback_q, fetch_k)
         return hits, {f: fallback_q for f, _ in hits}
 

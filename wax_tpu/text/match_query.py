@@ -293,7 +293,9 @@ def query_phrases(node) -> list[Phrase]:
     return out
 
 
-_SYNTAX_CHARS = re.compile(r'["*()^+,:]|\bAND\b|\bOR\b|\bNOT\b|\bNEAR\(')
+# A bare comma is natural punctuation, not MATCH syntax — the comma that IS
+# syntax (NEAR's argument separator) always co-occurs with "NEAR(" / parens.
+_SYNTAX_CHARS = re.compile(r'["*()^+:]|\bAND\b|\bOR\b|\bNOT\b|\bNEAR\(')
 
 
 def has_match_syntax(query: str) -> bool:
