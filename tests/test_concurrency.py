@@ -157,3 +157,41 @@ class TestStructuredConcurrency:
         orch.flush()
         assert orch.store.verify(deep=True)["ok"]
         orch.close()
+
+
+class TestWarmupLocking:
+    """warmup()'s background trace must hold the reader lock while it touches
+    live builders (it used to race writers and could cache a torn lex snapshot
+    under the new generation)."""
+
+    def test_warmup_racing_writes_yields_consistent_search(self, tmp_path):
+        from wax_tpu.embed.hash_embedder import HashEmbedder
+        from wax_tpu.orchestrator.config import OrchestratorConfig
+        from wax_tpu.orchestrator.orchestrator import MemoryOrchestrator
+
+        for trial in range(5):
+            p = tmp_path / f"warm{trial}.wxs"
+            o = MemoryOrchestrator(p, HashEmbedder(64), OrchestratorConfig())
+            o.remember("seed doc about alpine lakes")
+            o.warmup(background=True)
+            for i in range(30):  # races the warmup trace
+                o.remember(f"doc {i} about glacier hiking route {i}")
+            resp = o.search("glacier hiking")
+            assert resp.hits
+            # the generation-keyed snapshot cache must reflect ALL writes
+            snap = o.engine.lex_snapshot()
+            assert int(snap.count) == 31
+            o.close()
+
+    def test_close_immediately_after_background_warmup(self, tmp_path):
+        from wax_tpu.embed.hash_embedder import HashEmbedder
+        from wax_tpu.orchestrator.config import OrchestratorConfig
+        from wax_tpu.orchestrator.orchestrator import MemoryOrchestrator
+
+        p = tmp_path / "warmclose.wxs"
+        o = MemoryOrchestrator(p, HashEmbedder(64), OrchestratorConfig())
+        o.remember("only doc")
+        o.warmup(background=True)
+        o.close()  # must not deadlock or leave the thread using parked builders
+        with MemoryOrchestrator(p, HashEmbedder(64), OrchestratorConfig()) as o2:
+            assert o2.search("only doc").hits

@@ -175,3 +175,59 @@ class TestWarmup:
         o.flush()
         o.warmup(background=True)
         o.close()  # joins the warmup thread; must not raise
+
+
+class TestAnalyzerVersioning:
+    def test_analyzer_mismatch_rebuilds_lex_on_open(self, tmp_path, monkeypatch, caplog):
+        """A store written under a different analyze() version must NOT be served
+        with its stale vocab (queries would silently never match): the open path
+        rebuilds the text index from frames."""
+        import logging
+
+        import wax_tpu.index.lex as lexmod
+        from wax_tpu.search import engine_cache
+
+        p = tmp_path / "mem.wxs"
+        with MemoryOrchestrator(p, HashEmbedder(128), CFG) as o:
+            for m in MEMORIES:
+                o.remember(m)
+            o.flush()
+        # simulate an old store: the segment on disk carries the CURRENT version
+        # string, so pretend the runtime analyzer moved on
+        engine_cache.clear()  # the cache handover would bypass the segment read
+        monkeypatch.setattr(lexmod, "ANALYZER_VERSION", "u61-next")
+        with caplog.at_level(logging.WARNING, logger="wax_tpu"):
+            with MemoryOrchestrator(p, HashEmbedder(128), CFG) as o2:
+                resp = o2.search("Barcelona architect")
+                assert resp.hits
+                assert "Barcelona" in o2.engine.frames.content(resp.hits[0].frame_id)
+                assert len(o2.engine.lex) == len(MEMORIES)
+        assert any("analyzer" in r.message for r in caplog.records)
+
+    def test_pre_versioning_segment_treated_as_mismatch(self, tmp_path, caplog):
+        """Segments written before the attr existed rebuild too (round-3 stores)."""
+        import logging
+        import unittest.mock as mock
+
+        from wax_tpu.orchestrator import orchestrator as orch_mod
+        from wax_tpu.search import engine_cache
+
+        p = tmp_path / "mem.wxs"
+        orig = orch_mod.serialize_lex  # patch the orchestrator's BOUND name
+
+        def strip_analyzer(builder):
+            blob, attrs = orig(builder)
+            attrs.pop("analyzer", None)
+            return blob, attrs
+
+        with mock.patch.object(orch_mod, "serialize_lex", strip_analyzer):
+            with MemoryOrchestrator(p, HashEmbedder(128), CFG) as o:
+                for m in MEMORIES:
+                    o.remember(m)
+                o.flush()
+        engine_cache.clear()
+        with caplog.at_level(logging.WARNING, logger="wax_tpu"):
+            with MemoryOrchestrator(p, HashEmbedder(128), CFG) as o2:
+                assert o2.search("wifi password").hits
+                assert len(o2.engine.lex) == len(MEMORIES)
+        assert any("analyzer" in r.message for r in caplog.records)  # rebuild fired

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import dataclasses
 import re
-import unicodedata
 from collections import Counter
 from dataclasses import dataclass
 
@@ -29,6 +28,12 @@ __all__ = ["LexIndex", "LexIndexBuilder", "analyze", "BM25_K1", "BM25_B"]
 
 BM25_K1 = 1.2
 BM25_B = 0.75
+# Persisted in lex segment attrs; bump WHENEVER analyze()'s token output changes.
+# A store whose segment carries a different version is silently unsearchable
+# (stored vocab vs query tokens diverge), so the orchestrator rebuilds the lex
+# index from frames on mismatch. "u61-r4" = probed-unicode61 tables (round 4);
+# segments without the attr predate versioning (round-3 NFKD+casefold analyzer).
+ANALYZER_VERSION = "u61-r4"
 # forward-index width cap: docs with more unique terms keep only their
 # highest-impact FWD_WIDTH_CAP terms in fwd_tids/fwd_wnorm (rescore slightly
 # underestimates only those outlier docs)

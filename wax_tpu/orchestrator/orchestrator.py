@@ -162,6 +162,7 @@ class MemoryOrchestrator:
         from wax_tpu.utils.concurrency import RWLock
 
         self._lock = RWLock()
+        self._closed = False
         self._now = config.clock_ms if config.clock_ms is not None else now_ms
         embedder = embedder if embedder is not None else HashEmbedder()
         validate_on_device(embedder, config.require_on_device_providers)
@@ -250,11 +251,30 @@ class MemoryOrchestrator:
             ):
                 self.engine.vector = vector_engine
                 got_vec = True
+        lex_rebuilt = False
         if not got_lex:
             lex_blob = self.store.read_segment("lex")
             if lex_blob is not None and self.config.enable_text_search:
-                with span("open.lex_decode"):
-                    self.engine.lex = deserialize_lex(lex_blob, lex_man.attrs)
+                from wax_tpu.index.lex import ANALYZER_VERSION
+
+                stored_an = (lex_man.attrs or {}).get("analyzer", "pre-u61")
+                if stored_an != ANALYZER_VERSION:
+                    # the segment's vocab was produced by a DIFFERENT analyze();
+                    # queries tokenized with the current one would silently never
+                    # match stored tokens. Tokenization is cheap (~100K docs/s
+                    # warm) so rebuild from frames via the catch-up scan below.
+                    import logging
+
+                    logging.getLogger("wax_tpu").warning(
+                        "lex segment analyzer %r != current %r; rebuilding the "
+                        "text index from frames (persisted at next commit)",
+                        stored_an,
+                        ANALYZER_VERSION,
+                    )
+                    lex_rebuilt = True
+                else:
+                    with span("open.lex_decode"):
+                        self.engine.lex = deserialize_lex(lex_blob, lex_man.attrs)
         # the budget is runtime config, not persisted state — re-apply after load
         self.engine.lex.postings_budget = self.config.lex_postings_budget
         if not got_vec:
@@ -284,7 +304,7 @@ class MemoryOrchestrator:
             # cold open O(1) in frame count). Segments without the attr (v1 / other
             # writers) scan from 0 as before.
             start_fid = 0
-            if lex_man is not None and not self.store.pending_embeddings():
+            if lex_man is not None and not lex_rebuilt and not self.store.pending_embeddings():
                 try:
                     start_fid = min(
                         int(lex_man.attrs.get("scanned_frames", 0)), self.store.frame_count()
@@ -714,16 +734,24 @@ class MemoryOrchestrator:
 
                 from wax_tpu.ops.bm25 import bm25_topk, pad_term_ids
 
-                if self.config.enable_vector_search:
-                    self.engine.vector.search(
-                        _np.zeros((1, self.memoizer.provider.dimensions), _np.float32), 1
-                    )
-                if self.config.enable_text_search:
-                    snap = self.engine.lex_snapshot()
-                    if snap.n_terms:
-                        import jax.numpy as _jnp
+                # hold the reader side like any search: snapshot builds iterate
+                # the live builders, and an unlocked build racing a writer could
+                # cache a torn snapshot under the new generation
+                with self._lock.read():
+                    if self._closed:
+                        return
+                    if self.config.enable_vector_search:
+                        self.engine.vector.search(
+                            _np.zeros((1, self.memoizer.provider.dimensions), _np.float32), 1
+                        )
+                    if self.config.enable_text_search:
+                        snap = self.engine.lex_snapshot()
+                if self.config.enable_text_search and snap.n_terms:
+                    # the jit trace itself runs on an immutable snapshot — no
+                    # need to pin readers through a multi-minute remote compile
+                    import jax.numpy as _jnp
 
-                        bm25_topk(_jnp.asarray(pad_term_ids([0])[None, :]), snap, 1)
+                    bm25_topk(_jnp.asarray(pad_term_ids([0])[None, :]), snap, 1)
             except Exception:  # noqa: BLE001 — warmup must never break an open
                 pass
 
@@ -734,23 +762,30 @@ class MemoryOrchestrator:
             _trace()
 
     def close(self) -> None:
+        self._closed = True  # a queued warmup thread exits before touching state
+        warmup_alive = False
         if self._warmup_thread is not None:
             self._warmup_thread.join(timeout=30.0)
+            warmup_alive = self._warmup_thread.is_alive()
             self._warmup_thread = None
         # park the live builders for a possible warm re-open (engine_cache docstring
-        # explains why park/reclaim — not sharing — is the safe ownership model here)
+        # explains why park/reclaim — not sharing — is the safe ownership model here).
+        # A warmup thread that outlived the join (e.g. a multi-minute remote compile)
+        # may still be reading the builders — don't hand them to the cache where a
+        # fresh open could reclaim and mutate them concurrently.
         try:
             from wax_tpu.search import engine_cache
 
-            lex_man = self.store.toc.manifests.get("lex")
-            vec_man = self.store.toc.manifests.get("vec")
-            engine_cache.park(
-                self.path,
-                lex_man.sha if lex_man else None,
-                vec_man.sha if vec_man else None,
-                self.engine.lex if self.config.enable_text_search else None,
-                self.engine.vector if self.config.enable_vector_search else None,
-            )
+            if not warmup_alive:
+                lex_man = self.store.toc.manifests.get("lex")
+                vec_man = self.store.toc.manifests.get("vec")
+                engine_cache.park(
+                    self.path,
+                    lex_man.sha if lex_man else None,
+                    vec_man.sha if vec_man else None,
+                    self.engine.lex if self.config.enable_text_search else None,
+                    self.engine.vector if self.config.enable_vector_search else None,
+                )
         except Exception:  # noqa: BLE001 — caching must never block a close
             pass
         self.store.close()

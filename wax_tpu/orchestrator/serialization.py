@@ -213,7 +213,16 @@ def serialize_lex(builder: LexIndexBuilder) -> tuple[bytes, dict[str, str]]:
             "post_offsets": arrays["post_offsets"].astype(np.int64),
         }
     )
-    attrs = {"format": LEX_FORMAT_V2, "docs": str(len(builder)), "terms": str(len(vocab_list))}
+    from wax_tpu.index.lex import ANALYZER_VERSION
+
+    attrs = {
+        "format": LEX_FORMAT_V2,
+        "docs": str(len(builder)),
+        "terms": str(len(vocab_list)),
+        # tokens in this segment were produced by this analyze() version; the
+        # orchestrator rebuilds the lex index when it differs at open time
+        "analyzer": ANALYZER_VERSION,
+    }
     return blob, attrs
 
 

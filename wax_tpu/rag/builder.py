@@ -54,7 +54,7 @@ class FastRAGContextBuilder:
             vector_influenced=vector_influenced,
         )
 
-    def _expand_second_hop(self, signals, hits, request):
+    def _expand_second_hop(self, signals, hits):
         """Bridge-entity second hop: for intent queries ("where does the owner of
         the blue tandem bike live"), entities the top hits introduce that the query
         never mentioned (the bridge: Sofia, the Chen family) seed one secondary
@@ -106,7 +106,7 @@ class FastRAGContextBuilder:
         )
         response = unified_search(self.engine, request)
         hits = self._rerank_for_answer(list(response.hits), signals)
-        hits = self._expand_second_hop(signals, hits, request)
+        hits = self._expand_second_hop(signals, hits)
 
         now = cfg.deterministic_now_ms if cfg.deterministic_now_ms is not None else now_ms()
         items: list[RAGItem] = []

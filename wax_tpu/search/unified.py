@@ -231,7 +231,10 @@ def unified_search(engine: HybridSearchEngine, request: SearchRequest) -> Search
     qtype = classify_query(request.query)
     weights = AdaptiveFusionConfig().for_type(qtype)
     signals = analyze_query(request.query)
-    fetch_k = max(request.top_k * 2, 24)
+    # candidate depth: 2*k headroom for fusion/rerank, capped like the
+    # reference's candidateLimit clamp (fts_preprocess.candidate_limit,
+    # UnifiedSearch.swift:1195-1200 — lanes never fetch more than 1000)
+    fetch_k = min(max(request.top_k * 2, 24), max(request.top_k, 1000))
 
     from wax_tpu.utils.profiling import span
 
@@ -266,14 +269,22 @@ def unified_search(engine: HybridSearchEngine, request: SearchRequest) -> Search
     # when the text engine produced one, raw frame preview otherwise)
     from wax_tpu.search.snippet import snippet_for_query
 
+    # Only hits that can reach the response need the (host-side, per-doc-index)
+    # marked snippet: rerank permutes within the head window and the response
+    # takes top_k, so anything past max(window, top_k) is fusion headroom only —
+    # a plain preview there is never observable.
+    hydrate = max(_RERANK_WINDOW, request.top_k)
+    unparsable: set[str] = set()  # one bad MATCH string fails for every doc
     previews = {}
-    for h in fused:
+    for i, h in enumerate(fused):
         snip = None
         sq = snippet_queries.get(h.frame_id)
-        if sq is not None:
+        if sq is not None and i < hydrate and sq not in unparsable:
             content = engine.frames.content(h.frame_id)
             if content:
                 snip = snippet_for_query(content, sq)
+                if snip is None:
+                    unparsable.add(sq)
                 # FTS5 itself never trims a snippet, but preview_max_bytes is this
                 # API's transport cap — enforce it byte-safely (pathological giant
                 # tokens can blow the 10-token window past any sane preview)
