@@ -135,3 +135,100 @@ class TestMerkleRoot:
         rep = s.verify(deep=True)
         assert rep["ok"] and rep["merkle_root"] == s.toc.merkle_root().hex()
         s.close()
+
+
+class TestTocWriteFuzz:
+    """Write-side fuzzer for the v2 columnar TOC (ROADMAP round-4 #5): random
+    valid TOCs round-trip field-exactly, and ANY single-byte corruption is
+    rejected with CodecError (never a crash, never a silent wrong decode)."""
+
+    _KINDS = ("document", "chunk", "wax.internal.stats", "видео", "写真", "k" * 200)
+    _STATUS = ("active", "deleted", "superseded")
+    _TEXTS = (None, "", "plain", "påssé Straße", "多字节 文本", "a\x00b", "🦊" * 50)
+
+    def _rand_meta(self, rng, fid: int) -> FrameMeta:
+        def opt_int():
+            return None if rng.random() < 0.5 else int(rng.integers(0, 2**40))
+
+        n_md = int(rng.integers(0, 4))
+        md = {f"k{j}-{rng.integers(0, 9)}": rng.choice(["", "v", "значение", "x" * 99]) for j in range(n_md)}
+        return FrameMeta(
+            frame_id=fid,
+            timestamp_ms=int(rng.integers(0, 2**52)),
+            kind=str(rng.choice(self._KINDS)),
+            search_text=rng.choice(self._TEXTS),
+            metadata=md,
+            tags=tuple(f"t{j}" for j in range(int(rng.integers(0, 4)))),
+            parent_id=opt_int(),
+            chunk_index=opt_int(),
+            chunk_count=opt_int(),
+            status=str(rng.choice(self._STATUS)),
+            supersedes=opt_int(),
+            superseded_by=opt_int(),
+        )
+
+    def _rand_toc(self, rng) -> StoreTOC:
+        n = int(rng.integers(0, 24))
+        frames = tuple(
+            (
+                self._rand_meta(rng, i),
+                int(rng.integers(0, 2**48)),
+                int(rng.integers(0, 2**32)),
+                bytes(rng.integers(0, 256, 32, dtype="u1")),
+                int(rng.integers(0, 3)),
+            )
+            for i in range(n)
+        )
+        segs = tuple(
+            SegmentManifest(
+                kind=str(rng.choice(["lex", "vec", "graph", "structured"])),
+                offset=int(rng.integers(0, 2**48)),
+                length=int(rng.integers(0, 2**32)),
+                sha=bytes(rng.integers(0, 256, 32, dtype="u1")),
+                version=int(rng.integers(1, 5)),
+                attrs={f"a{j}": str(rng.integers(0, 999)) for j in range(int(rng.integers(0, 3)))},
+            )
+            for _ in range(int(rng.integers(0, 5)))
+        )
+        manifests = {s.kind: s for s in segs}
+        return StoreTOC(
+            frames=frames,
+            manifests=manifests,
+            segment_catalog=segs,
+            committed_seq=int(rng.integers(0, 2**50)),
+            generation=int(rng.integers(0, 2**50)),
+        )
+
+    def test_random_tocs_roundtrip_exactly(self):
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        for trial in range(40):
+            toc = self._rand_toc(rng)
+            got = StoreTOC.decode(toc.encode())
+            assert got.generation == toc.generation
+            assert got.committed_seq == toc.committed_seq
+            assert len(got.frames) == len(toc.frames)
+            for i, (m, off, ln, sha, enc) in enumerate(toc.frames):
+                gm, goff, gln, gsha, genc = got.frames[i]
+                assert gm == m, (trial, i)
+                assert (goff, gln, gsha, genc) == (off, ln, sha, enc), (trial, i)
+            assert set(got.manifests) == set(toc.manifests)
+            for k in toc.manifests:
+                assert got.manifests[k] == toc.manifests[k]
+            assert tuple(got.segment_catalog) == toc.segment_catalog
+            assert got.stored_merkle == toc.merkle_root()
+
+    def test_every_single_byte_flip_rejected(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        blob = self._rand_toc(rng).encode()
+        # every byte once for small TOCs is too slow at ~40 trials; sweep a
+        # deterministic sample of 300 positions across the whole blob
+        positions = np.linspace(0, len(blob) - 1, 300).astype(int)
+        for pos in positions:
+            bad = bytearray(blob)
+            bad[pos] ^= 0x01
+            with pytest.raises(CodecError):
+                StoreTOC.decode(bytes(bad))
