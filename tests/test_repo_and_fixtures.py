@@ -177,3 +177,100 @@ class TestRepoTui:
             assert "hits in" in blob  # status line after Enter-triggered search
         finally:
             idx.close()
+
+
+class GridScreen:
+    """Fake curses screen that maintains the actual character grid, so tests can
+    assert the rendered frame (golden-render), not just that draw calls happened."""
+
+    def __init__(self, h=12, w=80, keys=()):
+        self.h, self.w = h, w
+        self.keys = list(keys)
+        self.grid = [[" "] * w for _ in range(h)]
+        self.frames: list[str] = []
+
+    def erase(self):
+        self.grid = [[" "] * self.w for _ in range(self.h)]
+
+    def getmaxyx(self):
+        return self.h, self.w
+
+    def timeout(self, ms):
+        pass
+
+    def addnstr(self, y, x, s, n, *a):
+        import curses
+
+        if not (0 <= y < self.h and 0 <= x < self.w):
+            raise curses.error("out of bounds")
+        for i, ch in enumerate(s[:n]):
+            if x + i < self.w:
+                self.grid[y][x + i] = ch
+
+    def refresh(self):
+        self.frames.append("\n".join("".join(r).rstrip() for r in self.grid))
+
+    def getch(self):
+        return self.keys.pop(0) if self.keys else 27  # Esc when script runs out
+
+
+class FixedIndexer:
+    """Deterministic indexer stub: golden frames need stable hits."""
+
+    def __init__(self):
+        self.orch = None
+
+    def search(self, q, top_k):
+        return [
+            {"sha": "aaaa1111bbbb", "author": "ada", "preview": f"first hit for {q}", "score": 2.0},
+            {"sha": "cccc2222dddd", "author": "grace", "preview": "second hit", "score": 1.0},
+        ]
+
+    def close(self):
+        pass
+
+
+class TestRepoTuiGoldenRender:
+    def _run(self, keys):
+        from wax_tpu.surfaces.repo_tui import run_tui
+
+        scr = GridScreen(keys=keys)
+        run_tui(FixedIndexer(), scr)
+        return scr
+
+    def test_rendered_frame_layout(self):
+        import curses
+
+        scr = self._run([ord("f"), ord("o"), ord("x"), 10])  # type fox + Enter
+        frame = scr.frames[-1].splitlines()
+        assert frame[0] == "sift> fox"
+        assert set(frame[1]) == {"-"}  # separator spans the width
+        # result rows: selection marker on row 0, sha8 + padded author + preview
+        assert frame[2].startswith("> aaaa1111 ada")
+        assert frame[3].startswith("  cccc2222 grace")
+        # vertical divider between list and preview panes at column list_w
+        list_w = max(20, scr.w // 2)
+        assert frame[2][list_w] == "|" and frame[3][list_w] == "|"
+        # preview pane shows the resolved commit header next to the divider
+        assert frame[2][list_w + 1 :].startswith("commit aaaa1111bbbb")
+        assert frame[3][list_w + 1 :].startswith("author ada")
+        # status line reports the hit count
+        assert frame[-1].startswith("[2 hits in ")
+        assert "Esc quit" in frame[-1]
+
+    def test_selection_marker_moves_and_preview_follows(self):
+        import curses
+
+        scr = self._run([ord("a"), 10, curses.KEY_DOWN])
+        frame = scr.frames[-1].splitlines()
+        assert frame[2].startswith("  aaaa1111")
+        assert frame[3].startswith("> cccc2222")
+        list_w = max(20, scr.w // 2)
+        assert frame[2][list_w + 1 :].startswith("commit cccc2222dddd")
+
+    def test_tiny_window_degrades_without_crash(self):
+        from wax_tpu.surfaces.repo_tui import run_tui
+
+        scr = GridScreen(h=2, w=10, keys=[ord("a"), 10])
+        run_tui(FixedIndexer(), scr)  # must not raise
+        assert scr.frames  # rendered something
