@@ -179,3 +179,46 @@ class TestUnevenLastShard:
             v, f = sharded_flat_scan_topk(jnp.asarray(q), sh, 7, mesh)
             np.testing.assert_array_equal(np.asarray(f), np.asarray(ref_f), err_msg=name)
             assert (np.asarray(f) >= 0).all() or (np.asarray(v)[np.asarray(f) < 0] < -1e30).all()
+
+    def test_lex_and_hybrid_uneven_rows(self):
+        """Row count not divisible by the shard count for the LEX and fused-hybrid
+        paths (the dense case above only covered the scan): the last shard's
+        padding rows carry zero postings and dead frame ids, and every topology —
+        incl. tp>1 combined with data sharding in one program — must stay
+        bit-equal to the single-chip reference."""
+        n = 1000  # not divisible by 8, 4, or the 2x2x2 corpus shards
+        rng = np.random.default_rng(11)
+        emb = rng.standard_normal((n, D), dtype=np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q = rng.standard_normal((3, D), dtype=np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        db = DenseIndexBuilder(dim=D)
+        lb = LexIndexBuilder()
+        vocab = [f"w{i}" for i in range(30)]
+        for i in range(n):
+            db.add(i + 1, emb[i])
+            lb.add(i + 1, " ".join(rng.choice(vocab, size=8)))
+        didx = db.snapshot()
+        tids = lb.query_term_ids("w1 w2 w3")
+        padded1 = jnp.asarray(pad_term_ids(tids, dfs=lb.df)[None, :])
+        paddedB = padded1.repeat(3, axis=0)
+        for mode in ("any", "all"):
+            v_ref, _, f_ref = bm25_topk(padded1, lb.snapshot(), K, mode=mode)
+            for name, mesh in _meshes():
+                lex = shard_lex_index(lb, mesh, lb.row_space())
+                v, f = sharded_bm25_topk(padded1, lex, K, mesh, mode=mode)
+                np.testing.assert_allclose(
+                    np.asarray(v)[0], np.asarray(v_ref)[0], rtol=1e-5, atol=1e-6,
+                    err_msg=f"{name}/{mode}")
+                np.testing.assert_array_equal(
+                    np.asarray(f)[0], np.asarray(f_ref)[0], err_msg=f"{name}/{mode}")
+        results = {}
+        for name, mesh in _meshes():
+            dsh = shard_dense_index(didx, mesh)
+            lsh = shard_lex_index(lb, mesh, lb.row_space())
+            v, f = sharded_hybrid_topk(jnp.asarray(q), paddedB, dsh, lsh, K, mesh)
+            results[name] = (np.asarray(v), np.asarray(f))
+        base = results["flat8"]
+        for name, (v, f) in results.items():
+            np.testing.assert_allclose(v, base[0], rtol=1e-5, atol=1e-6, err_msg=name)
+            np.testing.assert_array_equal(f, base[1], err_msg=name)
