@@ -1,10 +1,11 @@
-"""Seed-set experiment for the TPU beam on loose-clustered data (the one geometry
-below 0.95 in docs/benchmarks.md).
+"""Seed-set experiment for the TPU beam: recall@10 vs entry-seed count/policy
+on the SAME graph (source of the docs/benchmarks.md seed-count sweep).
 
-Compares recall@10 across entry-seed configurations on the SAME graph:
-  level1        — current production: level-1 net, stride-subsampled to <= 4096
-  level1+rand   — level-1 net + random level-0 fill up to the cap
-  cap8192       — level-1 net (full) + random fill to 8192 seeds
+Configurations:
+  level1(prod)  — graph.entries from the production snapshot() default (round 4:
+                  full level-1 net capped at 8192, stride level-0 fill)
+  lvl1+fillC    — full level-1 net + RANDOM level-0 fill to C seeds, for each C
+                  in WAX_SEED_CAPS (default "4096,8192")
 
     python scripts/probe_hnsw_seeds.py [N] [DATASET] [EF...]
 """

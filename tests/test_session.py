@@ -153,3 +153,36 @@ class TestSessionMatrix:
             fids = s.put_batch(["one fish", "two fish"], metadatas=[{"n": "1"}, {"n": "2"}])
             assert s.store.frame_meta(fids[0]).metadata["n"] == "1"
             assert s.store.frame_meta(fids[1]).metadata["n"] == "2"
+
+
+class TestSessionAnalyzerGuard:
+    def test_stale_analyzer_segment_rebuilds_not_restamps(self, tmp_path, monkeypatch, caplog):
+        """A session opening a store whose lex segment was tokenized by a
+        different analyze() must rebuild from frames — and crucially its
+        commit() must then persist the REBUILT vocab, not re-stamp the stale
+        one with the current version string (which would mask the mismatch
+        for every later open)."""
+        import logging
+
+        import wax_tpu.index.lex as lexmod
+
+        p = tmp_path / "stale.wxs"
+        with open_session(p, dim=64, options=OPTS) as s:
+            fid = s.put("stale analyzer guard document", embedding=EMB.embed("x"))
+            s.commit()
+        # pretend the runtime analyzer moved on after the store was written
+        monkeypatch.setattr(lexmod, "ANALYZER_VERSION", "u61-next")
+        with caplog.at_level(logging.WARNING, logger="wax_tpu"):
+            with open_session(p, dim=64, options=OPTS) as s2:
+                resp = s2.search("analyzer guard")
+                assert resp.hits and resp.hits[0].frame_id == fid  # rebuilt index serves
+                assert any("analyzer" in r.message for r in caplog.records)  # guard fired
+                s2.put("second doc after rebuild", embedding=EMB.embed("y"))
+                s2.commit()  # persists the rebuilt vocab stamped u61-next
+        # reopen STILL under u61-next: segment now current, loads without rebuild
+        import wax_tpu.orchestrator.serialization  # noqa: F401
+
+        with open_session(p, dim=64, options=OPTS) as s3:
+            attrs = s3.store.toc.manifests["lex"].attrs
+            assert attrs["analyzer"] == "u61-next"
+            assert s3.search("second doc").hits

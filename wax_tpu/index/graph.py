@@ -290,6 +290,8 @@ class HNSWBuilder:
     def snapshot(self, device_dtype=None, seed_cap: int = 8192) -> GraphIndex:
         from wax_tpu.ops.topk import NEG_INF
 
+        seed_cap = max(1, int(seed_cap))  # the beam always needs >= 1 entry seed
+
         n = max(self._count, 1)
         n_pad = ((n + 127) // 128) * 128
         # flatten ALL levels into one fixed-degree adjacency: higher-level (long-range)

@@ -146,9 +146,9 @@ class CppHNSWBuilder:
         return b
 
     # -- snapshot (shared logic with the Python builder via state arrays) ---------------
-    def snapshot(self, device_dtype=None) -> GraphIndex:
+    def snapshot(self, device_dtype=None, seed_cap: int = 8192) -> GraphIndex:
         py = HNSWBuilder.from_state_arrays(self.state_arrays(), dim=self.dim, normalize=self.normalize)
-        return py.snapshot(device_dtype)
+        return py.snapshot(device_dtype, seed_cap=seed_cap)
 
     def vector(self, frame_id: int) -> np.ndarray | None:
         arrays = self.state_arrays()

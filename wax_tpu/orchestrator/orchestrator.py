@@ -255,10 +255,9 @@ class MemoryOrchestrator:
         if not got_lex:
             lex_blob = self.store.read_segment("lex")
             if lex_blob is not None and self.config.enable_text_search:
-                from wax_tpu.index.lex import ANALYZER_VERSION
+                from wax_tpu.orchestrator.serialization import lex_segment_current
 
-                stored_an = (lex_man.attrs or {}).get("analyzer", "pre-u61")
-                if stored_an != ANALYZER_VERSION:
+                if not lex_segment_current(lex_man.attrs):
                     # the segment's vocab was produced by a DIFFERENT analyze();
                     # queries tokenized with the current one would silently never
                     # match stored tokens. Tokenization is cheap (~100K docs/s
@@ -266,10 +265,9 @@ class MemoryOrchestrator:
                     import logging
 
                     logging.getLogger("wax_tpu").warning(
-                        "lex segment analyzer %r != current %r; rebuilding the "
+                        "lex segment analyzer %r != current; rebuilding the "
                         "text index from frames (persisted at next commit)",
-                        stored_an,
-                        ANALYZER_VERSION,
+                        (lex_man.attrs or {}).get("analyzer", "pre-u61"),
                     )
                     lex_rebuilt = True
                 else:
@@ -730,28 +728,28 @@ class MemoryOrchestrator:
 
         def _trace() -> None:
             try:
-                import numpy as _np
-
                 from wax_tpu.ops.bm25 import bm25_topk, pad_term_ids
 
-                # hold the reader side like any search: snapshot builds iterate
-                # the live builders, and an unlocked build racing a writer could
-                # cache a torn snapshot under the new generation
+                # hold the reader side only to BUILD snapshots (builds iterate the
+                # live builders; unlocked they could race a writer and cache a
+                # torn snapshot under the new generation). The jit traces run on
+                # the immutable snapshots OUTSIDE the lock — a multi-minute remote
+                # compile must never block writers.
+                vec = vec_snap = lex_snap = None
                 with self._lock.read():
                     if self._closed:
                         return
-                    if self.config.enable_vector_search:
-                        self.engine.vector.search(
-                            _np.zeros((1, self.memoizer.provider.dimensions), _np.float32), 1
-                        )
+                    if self.config.enable_vector_search and len(self.engine.vector) > 0:
+                        vec = self.engine.vector
+                        vec_snap = vec.snapshot()
                     if self.config.enable_text_search:
-                        snap = self.engine.lex_snapshot()
-                if self.config.enable_text_search and snap.n_terms:
-                    # the jit trace itself runs on an immutable snapshot — no
-                    # need to pin readers through a multi-minute remote compile
+                        lex_snap = self.engine.lex_snapshot()
+                if vec_snap is not None and hasattr(vec, "trace"):
+                    vec.trace(vec_snap)
+                if lex_snap is not None and lex_snap.n_terms:
                     import jax.numpy as _jnp
 
-                    bm25_topk(_jnp.asarray(pad_term_ids([0])[None, :]), snap, 1)
+                    bm25_topk(_jnp.asarray(pad_term_ids([0])[None, :]), lex_snap, 1)
             except Exception:  # noqa: BLE001 — warmup must never break an open
                 pass
 

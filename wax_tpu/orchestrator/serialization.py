@@ -226,6 +226,17 @@ def serialize_lex(builder: LexIndexBuilder) -> tuple[bytes, dict[str, str]]:
     return blob, attrs
 
 
+def lex_segment_current(attrs: dict[str, str] | None) -> bool:
+    """False when the segment's vocab was produced by a DIFFERENT analyze()
+    version (incl. pre-versioning segments): serving it would silently match
+    nothing, and re-serializing it would stamp the current version onto a stale
+    vocab, masking the mismatch forever. Every open path (orchestrator AND
+    session) must rebuild from frames instead of deserializing such a segment."""
+    from wax_tpu.index.lex import ANALYZER_VERSION
+
+    return (attrs or {}).get("analyzer", "pre-u61") == ANALYZER_VERSION
+
+
 def deserialize_lex(blob: bytes, attrs: dict[str, str]) -> LexIndexBuilder:
     fmt = attrs.get("format")
     if fmt == LEX_FORMAT_V2:

@@ -231,10 +231,12 @@ def unified_search(engine: HybridSearchEngine, request: SearchRequest) -> Search
     qtype = classify_query(request.query)
     weights = AdaptiveFusionConfig().for_type(qtype)
     signals = analyze_query(request.query)
-    # candidate depth: 2*k headroom for fusion/rerank, capped like the
-    # reference's candidateLimit clamp (fts_preprocess.candidate_limit,
-    # UnifiedSearch.swift:1195-1200 — lanes never fetch more than 1000)
-    fetch_k = min(max(request.top_k * 2, 24), max(request.top_k, 1000))
+    from wax_tpu.search.fts_preprocess import candidate_limit
+
+    # candidate depth: 2*k headroom for fusion/rerank with a floor of 24, capped
+    # at the reference's candidateLimit clamp (UnifiedSearch.swift:1195-1200 —
+    # at most 1000 unless top_k itself exceeds it)
+    fetch_k = max(min(request.top_k * 2, candidate_limit(request.top_k)), 24)
 
     from wax_tpu.utils.profiling import span
 

@@ -109,6 +109,15 @@ class FlatVectorEngine(FreshLockOnCopyMixin):
                     self.snapshot_count += 1
         return self._snap
 
+    def trace(self, snap) -> None:
+        """Run the search kernel once on a GIVEN snapshot (jit pre-trace).
+
+        Orchestrator warmup calls snapshot() under its reader lock (builders must
+        not race writers) and this OUTSIDE it, so a multi-minute remote compile
+        never blocks writers."""
+        q = jnp.zeros((1, self.dim), jnp.float32)
+        flat_scan_topk(q, snap, 1)
+
     def search(self, queries: np.ndarray, k: int):
         k = min(k, MAX_TOP_K)
         if len(self.builder) == 0:
@@ -169,6 +178,11 @@ class HNSWVectorEngine(FreshLockOnCopyMixin):
                     self._snap_gen = self.builder.generation
                     self.snapshot_count += 1
         return self._snap
+
+    def trace(self, snap) -> None:
+        """jit pre-trace on a GIVEN snapshot (see FlatVectorEngine.trace)."""
+        q = jnp.zeros((1, self.builder.dim), jnp.float32)
+        hnsw_search(q, snap, k=1, ef=max(self.ef_search, 1))
 
     def search(self, queries: np.ndarray, k: int):
         k = min(k, MAX_TOP_K)
@@ -346,6 +360,17 @@ class IVFVectorEngine(FreshLockOnCopyMixin):
             self.snapshot_count += 1
         return self._snap
 
+    def trace(self, snap) -> None:
+        """jit pre-trace on a GIVEN snapshot (see FlatVectorEngine.trace)."""
+        from wax_tpu.index.ivf import ivf_search_topk
+        from wax_tpu.ops.ivf_kernel import ivf_search_topk_pallas
+
+        q = jnp.zeros((1, self.builder.dim), jnp.float32)
+        if snap.bucket_size % 128 == 0:
+            ivf_search_topk_pallas(q, snap, k=1, nprobe=self.nprobe)
+        else:
+            ivf_search_topk(q, snap, k=1, nprobe=self.nprobe)
+
     def search(self, queries: np.ndarray, k: int):
         from wax_tpu.index.ivf import ivf_search_topk
         from wax_tpu.ops.ivf_kernel import ivf_search_topk_pallas
@@ -403,6 +428,13 @@ class ShardedFlatVectorEngine(FlatVectorEngine):
                     self._snap_dtype = dtype
                     self.snapshot_count += 1
         return self._sharded
+
+    def trace(self, snap) -> None:
+        """jit pre-trace on a GIVEN sharded snapshot (see FlatVectorEngine.trace)."""
+        from wax_tpu.parallel.sharded_scan import sharded_flat_scan_topk
+
+        q = jnp.zeros((1, self.dim), jnp.float32)
+        sharded_flat_scan_topk(q, snap, 1, self.mesh)
 
     def search(self, queries: np.ndarray, k: int):
         from wax_tpu.parallel.sharded_scan import sharded_flat_scan_topk
