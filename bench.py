@@ -511,28 +511,15 @@ def _info_public(info: dict) -> dict:
 
 
 def _backend_alive(timeout_s: float) -> str | None:
-    """Probe backend init in a subprocess with a hard timeout.
+    """Bounded backend-init probe (see wax_tpu.utils.backend.probe_backend).
 
-    A wedged tunnel makes the axon plugin's C-API init retry for many minutes with
-    no way to interrupt it in-process; probing in a child keeps the ONE-JSON-line
-    driver contract honorable on a bounded clock. Returns an error string, or None
-    if the backend came up (the parent's own init then hits a live tunnel)."""
-    import subprocess
-    import sys
+    Keeps the ONE-JSON-line driver contract honorable on a wedged tunnel.
+    Returns an error string, or None if the backend came up (the parent's own
+    init then hits a live tunnel)."""
+    from wax_tpu.utils.backend import probe_backend
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            capture_output=True,
-            timeout=timeout_s,
-            text=True,
-        )
-    except subprocess.TimeoutExpired:
-        return f"backend init exceeded {timeout_s:.0f}s (tunnel wedged)"
-    if r.returncode != 0:
-        tail = (r.stderr or "").strip().splitlines()
-        return tail[-1] if tail else f"backend init failed (rc={r.returncode})"
-    return None
+    _, err = probe_backend(timeout_s)
+    return err
 
 
 def main() -> None:

@@ -220,3 +220,64 @@ class TestCli:
     def test_mcp_doctor(self, tmp_path, capsys):
         assert cli_main(["mcp", "doctor", "--store", str(tmp_path / "s.wxs")]) == 0
         assert "[ok] jax" in capsys.readouterr().out
+
+    def test_mcp_doctor_wedged_backend_fails_bounded(self, tmp_path, monkeypatch, capsys):
+        """On a wedged TPU tunnel doctor must FAIL the devices check with a
+        diagnosis inside the timeout, not hang in the platform plugin's init
+        retry loop — and exit non-zero."""
+        import jax
+
+        import wax_tpu.utils.backend as backend_mod
+
+        # force the subprocess-probe path (in tests jax_platforms is "cpu")
+        monkeypatch.setattr(
+            type(jax.config), "jax_platforms", property(lambda self: ""), raising=False
+        )
+        monkeypatch.setattr(
+            backend_mod,
+            "probe_backend",
+            lambda timeout_s: (None, f"backend init exceeded {timeout_s:.0f}s (tunnel wedged)"),
+        )
+        assert cli_main(["mcp", "doctor", "--store", str(tmp_path / "s.wxs")]) == 1
+        out = capsys.readouterr().out
+        assert "[FAIL] devices" in out and "tunnel wedged" in out
+
+
+class TestBackendProbe:
+    """wax_tpu.utils.backend.probe_backend result parsing (subprocess mocked —
+    the real child would re-init whatever platform the env forces)."""
+
+    def _run(self, monkeypatch, runner):
+        import subprocess
+
+        import wax_tpu.utils.backend as backend_mod
+
+        monkeypatch.setattr(backend_mod.subprocess, "run", runner)
+        return backend_mod.probe_backend(5.0)
+
+    def test_timeout_reports_wedged(self, monkeypatch):
+        import subprocess
+
+        def runner(*a, **kw):
+            raise subprocess.TimeoutExpired(cmd="x", timeout=5.0)
+
+        devices, err = self._run(monkeypatch, runner)
+        assert devices is None and "exceeded 5s" in err and "wedged" in err
+
+    def test_nonzero_rc_reports_stderr_tail(self, monkeypatch):
+        class R:
+            returncode = 1
+            stdout = ""
+            stderr = "Traceback ...\nRuntimeError: Backend 'axon' failed to initialize"
+
+        devices, err = self._run(monkeypatch, lambda *a, **kw: R())
+        assert devices is None and err == "RuntimeError: Backend 'axon' failed to initialize"
+
+    def test_success_returns_device_list(self, monkeypatch):
+        class R:
+            returncode = 0
+            stdout = "some preamble\n['TPU_0(process=0,(0,0,0,0))']\n"
+            stderr = ""
+
+        devices, err = self._run(monkeypatch, lambda *a, **kw: R())
+        assert err is None and devices == "['TPU_0(process=0,(0,0,0,0))']"

@@ -96,7 +96,27 @@ def cmd_mcp_doctor(args) -> int:
 
     check("python", lambda: sys.version.split()[0])
     check("jax", lambda: __import__("jax").__version__)
-    check("devices", lambda: [str(d) for d in __import__("jax").devices()])
+
+    def devices_check():
+        # bounded subprocess probe: a wedged TPU tunnel retries its C-API init
+        # for many minutes; doctor must diagnose that, not reproduce it. Under
+        # an in-process CPU config (tests) the child would re-init the tunnel
+        # the parent never touches — probe in-process there (like bench.py).
+        import os
+
+        import jax
+
+        if (jax.config.jax_platforms or "") == "cpu":
+            return [str(d) for d in jax.devices()]
+        from wax_tpu.utils.backend import probe_backend
+
+        timeout_s = float(os.environ.get("WAX_TPU_DOCTOR_TIMEOUT", "60"))
+        devices, err = probe_backend(timeout_s)
+        if err is not None:
+            raise RuntimeError(err)
+        return devices
+
+    check("devices", devices_check)
     check(
         "cl100k vocab",
         lambda: __import__("wax_tpu.text.bpe", fromlist=["find_cl100k_vocab"]).find_cl100k_vocab()
