@@ -534,7 +534,9 @@ def main() -> None:
     import jax
 
     on_cpu = (jax.config.jax_platforms or "") == "cpu"
-    probe_timeout = float(os.environ.get("WAX_BENCH_PROBE_TIMEOUT", "900"))
+    from wax_tpu.utils.backend import PROBE_TIMEOUT_ENV
+
+    probe_timeout = float(os.environ.get(PROBE_TIMEOUT_ENV, "900"))
     if probe_timeout > 0 and not on_cpu:
         err = _backend_alive(probe_timeout)
         if err is not None:

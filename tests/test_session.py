@@ -180,9 +180,24 @@ class TestSessionAnalyzerGuard:
                 s2.put("second doc after rebuild", embedding=EMB.embed("y"))
                 s2.commit()  # persists the rebuilt vocab stamped u61-next
         # reopen STILL under u61-next: segment now current, loads without rebuild
-        import wax_tpu.orchestrator.serialization  # noqa: F401
-
         with open_session(p, dim=64, options=OPTS) as s3:
             attrs = s3.store.toc.manifests["lex"].attrs
             assert attrs["analyzer"] == "u61-next"
             assert s3.search("second doc").hits
+
+    def test_stale_segment_is_rejected_without_reading_the_blob(self):
+        """The analyzer check lives on the MANIFEST; a stale (or absent) lex
+        segment must cost zero segment IO at open — a read-only session re-pays
+        the open path every time, so the wasted multi-MB read would recur."""
+        from wax_tpu.orchestrator.serialization import load_lex_if_current
+
+        class Man:
+            attrs = {"analyzer": "ancient"}
+
+        class Store:
+            def read_segment(self, name):
+                raise AssertionError("stale segment blob must not be read")
+
+        builder, stale = load_lex_if_current(Store(), Man())
+        assert builder is None and stale
+        assert load_lex_if_current(Store(), None) == (None, False)

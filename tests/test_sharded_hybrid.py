@@ -236,3 +236,18 @@ def test_lex_backend_auto_guards_vmem(monkeypatch):
     assert sh._resolve_lex_backend(lex, "auto", q2=16 * 1024) == "candidates"
     # explicit backend is never overridden
     assert sh._resolve_lex_backend(big, "candidates_pallas", q2=16) == "candidates_pallas"
+    # the kernel pads q to next_pow2 with a FLOOR OF 2: q2=1 must be guarded as
+    # if it were 2. max_df=300_000 → dma_window = 524288 == _PALLAS_MAX_PLANE_ELEMS,
+    # so a floor-of-1 guard would pass (1×524288 fits) while the kernel actually
+    # allocates 2×524288 and would fail Mosaic compilation.
+    from wax_tpu.index.lex import dma_window
+
+    assert dma_window(300_000) == sh._PALLAS_MAX_PLANE_ELEMS
+    at_max = dataclasses.replace(lex, max_df=300_000)
+    assert sh._resolve_lex_backend(at_max, "auto", q2=1) == "candidates"
+    # non-pow2 q pads up: window 131072 (max_df=100_000) fits 4 slots exactly —
+    # q2=3 pads to 4 (pallas ok), q2=5 pads to 8 (rejected)
+    assert 4 * dma_window(100_000) == sh._PALLAS_MAX_PLANE_ELEMS
+    quarter = dataclasses.replace(lex, max_df=100_000)
+    assert sh._resolve_lex_backend(quarter, "auto", q2=3) == "candidates_pallas"
+    assert sh._resolve_lex_backend(quarter, "auto", q2=5) == "candidates"

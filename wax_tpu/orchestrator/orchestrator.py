@@ -252,27 +252,13 @@ class MemoryOrchestrator:
                 self.engine.vector = vector_engine
                 got_vec = True
         lex_rebuilt = False
-        if not got_lex:
-            lex_blob = self.store.read_segment("lex")
-            if lex_blob is not None and self.config.enable_text_search:
-                from wax_tpu.orchestrator.serialization import lex_segment_current
+        if not got_lex and self.config.enable_text_search:
+            from wax_tpu.orchestrator.serialization import load_lex_if_current
 
-                if not lex_segment_current(lex_man.attrs):
-                    # the segment's vocab was produced by a DIFFERENT analyze();
-                    # queries tokenized with the current one would silently never
-                    # match stored tokens. Tokenization is cheap (~100K docs/s
-                    # warm) so rebuild from frames via the catch-up scan below.
-                    import logging
-
-                    logging.getLogger("wax_tpu").warning(
-                        "lex segment analyzer %r != current; rebuilding the "
-                        "text index from frames (persisted at next commit)",
-                        (lex_man.attrs or {}).get("analyzer", "pre-u61"),
-                    )
-                    lex_rebuilt = True
-                else:
-                    with span("open.lex_decode"):
-                        self.engine.lex = deserialize_lex(lex_blob, lex_man.attrs)
+            with span("open.lex_decode"):
+                lex_builder, lex_rebuilt = load_lex_if_current(self.store, lex_man)
+            if lex_builder is not None:
+                self.engine.lex = lex_builder
         # the budget is runtime config, not persisted state — re-apply after load
         self.engine.lex.postings_budget = self.config.lex_postings_budget
         if not got_vec:

@@ -237,6 +237,35 @@ def lex_segment_current(attrs: dict[str, str] | None) -> bool:
     return (attrs or {}).get("analyzer", "pre-u61") == ANALYZER_VERSION
 
 
+def load_lex_if_current(store, manifest) -> tuple[LexIndexBuilder | None, bool]:
+    """Deserialize the committed lex segment iff its analyzer matches the
+    runtime's: returns ``(builder, stale)``.
+
+    The analyzer version is checked on the MANIFEST before the blob is read —
+    a stale multi-MB segment costs zero IO at open. ``stale=True`` means a
+    segment exists but was tokenized by a different ``analyze()``; the caller's
+    frame catch-up loop must rebuild with the current analyzer (deserializing
+    would silently match nothing, and the next commit would re-stamp the stale
+    vocab with the current version string, masking the mismatch forever).
+    Shared by both open paths (orchestrator + session) so the guard can't drift.
+    """
+    if manifest is None:
+        return None, False
+    if not lex_segment_current(manifest.attrs):
+        import logging
+
+        logging.getLogger("wax_tpu").warning(
+            "lex segment analyzer %r != current; rebuilding the text index "
+            "from frames (persisted at next commit)",
+            (manifest.attrs or {}).get("analyzer", "pre-u61"),
+        )
+        return None, True
+    blob = store.read_segment("lex")
+    if blob is None:
+        return None, False
+    return deserialize_lex(blob, manifest.attrs), False
+
+
 def deserialize_lex(blob: bytes, attrs: dict[str, str]) -> LexIndexBuilder:
     fmt = attrs.get("format")
     if fmt == LEX_FORMAT_V2:

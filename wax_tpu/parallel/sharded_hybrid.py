@@ -252,9 +252,10 @@ def _resolve_lex_backend(lex: "ShardedLexIndex", backend: str, q2: int = 16) -> 
         return "candidates"
     from wax_tpu.index.lex import dma_window
 
-    # the kernel rounds the term-slot count up to the next power of two
-    # (bm25_candidates_pallas pads q to pow2) — guard on what it ALLOCATES
-    q2_pow2 = 1
+    # the kernel rounds the term-slot count up to the next power of two with a
+    # floor of 2 (bm25_candidates_pallas: next_pow2(max(q, 2))) — guard on what
+    # it ALLOCATES, not the raw q2
+    q2_pow2 = 2
     while q2_pow2 < q2:
         q2_pow2 *= 2
     if q2_pow2 * dma_window(int(lex.max_df)) > _PALLAS_MAX_PLANE_ELEMS:

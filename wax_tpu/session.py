@@ -15,8 +15,8 @@ from typing import Mapping, Sequence
 import numpy as np
 
 from wax_tpu.orchestrator.serialization import (
-    deserialize_lex,
     deserialize_vector_engine,
+    load_lex_if_current,
     serialize_lex,
     serialize_vector_engine,
 )
@@ -44,25 +44,11 @@ class WaxSession:
         self._load_committed()
 
     def _load_committed(self) -> None:
-        lex_blob = self.store.read_segment("lex")
-        if lex_blob is not None:
-            from wax_tpu.orchestrator.serialization import lex_segment_current
-
-            attrs = self.store.toc.manifests["lex"].attrs
-            if lex_segment_current(attrs):
-                self.engine.lex = deserialize_lex(lex_blob, attrs)
-            else:
-                # stale-analyzer segment: leave the fresh builder in place so the
-                # catch-up loop below re-tokenizes every frame with the CURRENT
-                # analyzer (otherwise commit() would re-stamp the old vocab with
-                # the new version string, masking the mismatch forever)
-                import logging
-
-                logging.getLogger("wax_tpu").warning(
-                    "lex segment analyzer %r != current; rebuilding the text "
-                    "index from frames",
-                    (attrs or {}).get("analyzer", "pre-u61"),
-                )
+        # stale-analyzer segments return None (warned): the catch-up loop below
+        # re-tokenizes every frame with the CURRENT analyzer
+        lex_builder, _ = load_lex_if_current(self.store, self.store.toc.manifests.get("lex"))
+        if lex_builder is not None:
+            self.engine.lex = lex_builder
         vec_blob = self.store.read_segment("vec")
         if vec_blob is not None:
             self.engine.vector = deserialize_vector_engine(

@@ -108,9 +108,9 @@ def cmd_mcp_doctor(args) -> int:
 
         if (jax.config.jax_platforms or "") == "cpu":
             return [str(d) for d in jax.devices()]
-        from wax_tpu.utils.backend import probe_backend
+        from wax_tpu.utils.backend import DOCTOR_TIMEOUT_ENV, probe_backend
 
-        timeout_s = float(os.environ.get("WAX_TPU_DOCTOR_TIMEOUT", "60"))
+        timeout_s = float(os.environ.get(DOCTOR_TIMEOUT_ENV, "60"))
         devices, err = probe_backend(timeout_s)
         if err is not None:
             raise RuntimeError(err)

@@ -13,9 +13,10 @@ import os
 import subprocess
 import sys
 
-__all__ = ["probe_backend", "PROBE_TIMEOUT_ENV"]
+__all__ = ["probe_backend", "PROBE_TIMEOUT_ENV", "DOCTOR_TIMEOUT_ENV"]
 
-PROBE_TIMEOUT_ENV = "WAX_BENCH_PROBE_TIMEOUT"
+PROBE_TIMEOUT_ENV = "WAX_BENCH_PROBE_TIMEOUT"  # bench.py pre-flight (default 900s)
+DOCTOR_TIMEOUT_ENV = "WAX_TPU_DOCTOR_TIMEOUT"  # `wax-tpu mcp doctor` (default 60s)
 
 
 def probe_backend(timeout_s: float) -> tuple[str | None, str | None]:
@@ -43,4 +44,7 @@ def probe_backend(timeout_s: float) -> tuple[str | None, str | None]:
     if r.returncode != 0:
         tail = (r.stderr or "").strip().splitlines()
         return None, (tail[-1] if tail else f"backend init failed (rc={r.returncode})")
-    return (r.stdout or "").strip().splitlines()[-1], None
+    out = (r.stdout or "").strip().splitlines()
+    if not out:
+        return None, "backend probe produced no output (rc=0)"
+    return out[-1], None
