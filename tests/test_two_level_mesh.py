@@ -222,3 +222,68 @@ class TestUnevenLastShard:
         for name, (v, f) in results.items():
             np.testing.assert_allclose(v, base[0], rtol=1e-5, atol=1e-6, err_msg=name)
             np.testing.assert_array_equal(f, base[1], err_msg=name)
+
+
+class TestOrchestratorTopology:
+    """OrchestratorConfig(mesh_slices/mesh_tp): the SERVING path — not just the
+    kernels — runs the two-level topology, and results are identical to the flat
+    sharded config and the unsharded single-chip config."""
+
+    def _build(self, path, **cfg_kw):
+        from wax_tpu.embed.hash_embedder import HashEmbedder
+        from wax_tpu.orchestrator.config import OrchestratorConfig
+        from wax_tpu.orchestrator.orchestrator import MemoryOrchestrator
+        from wax_tpu.storage.store import StoreOptions
+
+        o = MemoryOrchestrator(
+            path,
+            HashEmbedder(D),
+            OrchestratorConfig(store=StoreOptions(wal_size=256 * 1024), **cfg_kw),
+        )
+        for i in range(40):
+            o.remember(f"document {i} about topic {i % 7} and color {i % 5}")
+        o.flush()
+        return o
+
+    def test_search_parity_flat_vs_two_level(self, tmp_path):
+        queries = ["document about topic 3", "color 2 document", "topic 6 color 4"]
+        configs = {
+            "unsharded": {},
+            "flat": {"sharded_lanes": True},
+            "2slices": {"sharded_lanes": True, "mesh_slices": 2},
+            "2x2xtp2": {"sharded_lanes": True, "mesh_slices": 2, "mesh_tp": 2},
+        }
+        results = {}
+        orchs = {}
+        try:
+            for name, kw in configs.items():
+                orchs[name] = self._build(tmp_path / f"{name}.wxs", **kw)
+                results[name] = [
+                    [(h.frame_id, round(h.score, 5)) for h in orchs[name].search(q).hits]
+                    for q in queries
+                ]
+            base = results["unsharded"]
+            for name, got in results.items():
+                assert got == base, f"{name} diverged from unsharded"
+            # the two-level configs actually carry the slice axis
+            assert "slice" in orchs["2slices"].engine.mesh.axis_names
+            assert orchs["2x2xtp2"].engine.mesh.axis_names == ("slice", "data", "tp")
+            assert orchs["2slices"].engine.vector.mesh == orchs["2slices"].engine.mesh
+        finally:
+            for o in orchs.values():
+                o.close()
+
+    def test_reclaim_rejects_mesh_topology_change(self, tmp_path):
+        """Closing under one topology and reopening under another must NOT serve
+        the old engine layout from the in-process cache."""
+        p = tmp_path / "m.wxs"
+        o1 = self._build(p, sharded_lanes=True)
+        flat_mesh = o1.engine.vector.mesh
+        o1.close()
+        o2 = self._build(p, sharded_lanes=True, mesh_slices=2)
+        try:
+            assert o2.engine.vector.mesh != flat_mesh
+            assert "slice" in o2.engine.vector.mesh.axis_names
+            assert o2.search("document about topic 3").hits
+        finally:
+            o2.close()

@@ -40,6 +40,15 @@ class OrchestratorConfig:
     # results match the single-chip path. With vector_engine="auto" this also selects
     # the sharded flat scan.
     sharded_lanes: bool = False
+    # topology for the sharded lanes (SURVEY §5: collectives ride ICI within a pod
+    # slice, DCN across slices). mesh_slices=1 → flat data mesh over all local
+    # devices; >1 → two-level ("slice", "data"[, "tp"]) mesh where candidate
+    # all-gathers stay inside a slice and only [B, k] merged lists cross the slice
+    # axis (parallel/mesh.make_two_level_mesh). mesh_tp>1 splits each slice's
+    # devices further for tensor-parallel embedder serving. Both lanes (dense scan
+    # + BM25) share ONE mesh. Ignored unless sharded_lanes is on.
+    mesh_slices: int = 1
+    mesh_tp: int = 1
     # per-term postings cap for device BM25 (impact-ordered truncation, index/lex.py).
     # None = exhaustive exact scoring. An int (e.g. 4096) bounds the static scoring
     # budget W = max_df on 1M+ corpora; truncation only limits candidate generation —

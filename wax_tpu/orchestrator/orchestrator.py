@@ -191,6 +191,24 @@ class MemoryOrchestrator:
         self.structured = (
             StructuredMemory(now=self._now) if config.enable_structured_memory else None
         )
+        mesh = None
+        vector_kwargs = None
+        vector_preference = (
+            "sharded"
+            if config.sharded_lanes and config.vector_engine == "auto"
+            else config.vector_engine
+        )
+        if config.sharded_lanes:
+            # both sharded lanes ride ONE mesh; mesh_slices>1 selects the two-level
+            # ICI × DCN topology (thin [B, k] merges across the slice axis)
+            from wax_tpu.parallel.mesh import data_mesh, make_two_level_mesh
+
+            if config.mesh_slices > 1 or config.mesh_tp > 1:
+                mesh = make_two_level_mesh(max(config.mesh_slices, 1), tp=config.mesh_tp)
+            else:
+                mesh = data_mesh()
+            if vector_preference == "sharded":
+                vector_kwargs = {"mesh": mesh}
         self.engine = HybridSearchEngine(
             embedder=self.memoizer,
             dim=embedder.dimensions,
@@ -200,12 +218,10 @@ class MemoryOrchestrator:
                 if self.structured is not None
                 else None
             ),
-            vector_preference=(
-                "sharded"
-                if config.sharded_lanes and config.vector_engine == "auto"
-                else config.vector_engine
-            ),
+            vector_preference=vector_preference,
+            vector_kwargs=vector_kwargs,
             lex_sharded=config.sharded_lanes,
+            mesh=mesh,
             lex_postings_budget=config.lex_postings_budget,
         )
         self.access_stats = AccessStats()
@@ -248,6 +264,9 @@ class MemoryOrchestrator:
                 self.config.enable_vector_search
                 and vector_engine is not None
                 and vector_engine.kind == self.engine.vector.kind
+                # a reclaimed sharded engine carries its mesh; reopening under a
+                # different topology config must not serve the old layout
+                and getattr(vector_engine, "mesh", None) == getattr(self.engine.vector, "mesh", None)
             ):
                 self.engine.vector = vector_engine
                 got_vec = True
@@ -265,7 +284,9 @@ class MemoryOrchestrator:
             vec_blob = self.store.read_segment("vec")
             if vec_blob is not None and self.config.enable_vector_search:
                 with span("open.vec_decode"):
-                    self.engine.vector = deserialize_vector_engine(vec_blob, vec_man.attrs)
+                    self.engine.vector = deserialize_vector_engine(
+                        vec_blob, vec_man.attrs, mesh=self.engine.mesh
+                    )
         # catch-up: replay pending embeddings recovered from the WAL / overflow segment
         if self.structured is not None:
             sm_blob = self.store.read_segment("structured")

@@ -150,7 +150,10 @@ def _serialize_vector_engine(engine) -> tuple[bytes, dict[str, str]]:
     raise ValueError(f"unknown vector engine kind {engine.kind!r}")
 
 
-def deserialize_vector_engine(blob: bytes, attrs: dict[str, str]):
+def deserialize_vector_engine(blob: bytes, attrs: dict[str, str], mesh=None):
+    """``mesh`` (optional) places a reconstructed SHARDED engine on the caller's
+    configured topology (e.g. the orchestrator's two-level slice × data mesh);
+    the segment itself is layout-free, so no default mesh may be baked here."""
     from wax_tpu.search.vector_engines import FlatVectorEngine, HNSWVectorEngine
 
     kind = attrs.get("engine", "flat")
@@ -158,8 +161,10 @@ def deserialize_vector_engine(blob: bytes, attrs: dict[str, str]):
         from wax_tpu.search.vector_engines import ShardedFlatVectorEngine
 
         builder = deserialize_dense(blob, attrs)
-        cls = ShardedFlatVectorEngine if kind == "sharded" else FlatVectorEngine
-        eng = cls(dim=builder.dim, similarity=builder.similarity)
+        if kind == "sharded":
+            eng = ShardedFlatVectorEngine(dim=builder.dim, similarity=builder.similarity, mesh=mesh)
+        else:
+            eng = FlatVectorEngine(dim=builder.dim, similarity=builder.similarity)
         eng.builder = builder
         return eng
     if kind == "hnsw":
