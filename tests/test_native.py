@@ -113,3 +113,23 @@ class TestNativeBpe:
             pytest.skip("exact vocab or toolchain unavailable")
         s = "The quick brown fox — 2026 edition! Привет 你好."
         assert enc.decode(enc.encode(s)) == s
+
+    def test_piece_memo_stable_and_cap_clear(self):
+        """The piece->ids memo must be invisible: repeat encodes are identical,
+        and a cap-triggered clear mid-encode must not lose previously-hit pieces
+        (the hit/fill split regression)."""
+        from wax_tpu.text.bpe import BpeEncoder, load_cl100k
+
+        base = load_cl100k()
+        if not base.exact:
+            pytest.skip("cl100k vocab data not present on this machine")
+        enc = BpeEncoder(base.ranks)  # fresh memo
+        s = "repeat repeat banana banana split"
+        first = enc.encode(s)
+        assert enc.encode(s) == first  # pure memo-hit path
+        enc._piece_memo_cap = 1  # every miss batch now clears first
+        mixed = enc.encode(s + " zxqvnovel997")
+        assert mixed[: len(first)] == first
+        oracle = BpeEncoder(base.ranks)
+        oracle._native_tried = True  # pure-Python, memo still exercised
+        assert mixed == oracle.encode(s + " zxqvnovel997")

@@ -68,15 +68,33 @@ def _build_tokenizer():
 _TOKEN_RUN_RE, _FOLD_TRANS = _build_tokenizer()
 
 
+_FOLD_MEMO: dict[str, str] = {}
+_FOLD_MEMO_CAP = 262144  # natural token vocab is far smaller; guard only
+
+
 def analyze(text: str) -> list[str]:
     """Exact SQLite unicode61 analysis (the reference's tokenizer — FTS5
     `tokenize='unicode61'`): simple per-char case folding, Latin diacritic
     removal, split on unicode61 separators. Tables probed from the real engine
     (scripts/gen_unicode61_tables.py); no NFKC compatibility folding — fullwidth
-    forms, ligatures and ß survive, exactly as FTS5 keeps them."""
-    return [
-        t for m in _TOKEN_RUN_RE.finditer(text) if (t := m.group().translate(_FOLD_TRANS))
-    ]
+    forms, ligatures and ß survive, exactly as FTS5 keeps them.
+
+    Folding is memoized per token run (pure function; repeated words dominate
+    natural corpora, and str.translate over the 2K-entry fold table is the
+    ingest-path hot loop otherwise)."""
+    memo = _FOLD_MEMO
+    out = []
+    for m in _TOKEN_RUN_RE.finditer(text):
+        run = m.group()
+        t = memo.get(run)
+        if t is None:
+            t = run.translate(_FOLD_TRANS)
+            if len(memo) >= _FOLD_MEMO_CAP:
+                memo.clear()
+            memo[run] = t
+        if t:
+            out.append(t)
+    return out
 
 
 def score_from_rank(rank: float) -> float:

@@ -98,6 +98,12 @@ class BpeEncoder:
         # built lazily on first encode so import stays cheap, Python loop otherwise
         self._native = None
         self._native_tried = False
+        # piece -> ids memo: BPE merges are context-free per regex piece, so
+        # repeated words across a corpus skip the merge (and the FFI round-trip)
+        # entirely. Natural-language piece vocab is ~50K; the cap only guards
+        # adversarial streams (cleared, not evicted — refills in one batch).
+        self._piece_memo: dict[str, list[int]] = {}
+        self._piece_memo_cap = 131072
 
     # -- construction -----------------------------------------------------------------
     @classmethod
@@ -169,6 +175,17 @@ class BpeEncoder:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32,
             ]
+            if hasattr(lib, "wax_bpe_encode_batch_counts"):
+                lib.wax_bpe_encode_batch_counts.restype = ctypes.c_int32
+                lib.wax_bpe_encode_batch_counts.argtypes = [
+                    ctypes.c_void_p,
+                    ctypes.c_char_p,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_int32),
+                ]
             keys = list(self.ranks.items())
             blob = b"".join(k for k, _ in keys)
             lens = np.asarray([len(k) for k, _ in keys], np.int32)
@@ -185,28 +202,41 @@ class BpeEncoder:
             self._native = None
         return self._native
 
-    def _encode_batch_native(self, text: str, native) -> list[int] | None:
-        """Run the regex here, merge ALL pieces in one C++ call (FFI amortized)."""
+    def _encode_pieces_native(self, pieces: list[bytes], native) -> list[list[int]] | None:
+        """Merge the given pieces in one C++ call (FFI amortized), returning the
+        per-piece id lists (the counts out-array carries the boundaries)."""
         import numpy as np
 
         lib, handle, ctypes_mod = native
-        pieces = [m.group().encode("utf-8") for m in self._pat.finditer(text)]
-        if not pieces:
-            return []
+        if not hasattr(lib, "wax_bpe_encode_batch_counts"):
+            return None
         blob = b"".join(pieces)
         lens = np.asarray([len(p) for p in pieces], np.int32)
         buf = np.empty(max(16, len(blob) + 8), np.int32)
-        n = lib.wax_bpe_encode_batch(
+        counts = np.empty(len(pieces), np.int32)
+        i32p = ctypes_mod.POINTER(ctypes_mod.c_int32)
+        n = lib.wax_bpe_encode_batch_counts(
             handle,
             blob,
-            lens.ctypes.data_as(ctypes_mod.POINTER(ctypes_mod.c_int32)),
+            lens.ctypes.data_as(i32p),
             len(pieces),
-            buf.ctypes.data_as(ctypes_mod.POINTER(ctypes_mod.c_int32)),
+            buf.ctypes.data_as(i32p),
             len(buf),
+            counts.ctypes.data_as(i32p),
         )
         if n < 0:
             return None
-        return buf[:n].tolist()
+        ids = buf[:n].tolist()
+        out: list[list[int]] = []
+        pos = 0
+        for c in counts.tolist():
+            out.append(ids[pos : pos + c])
+            pos += c
+        return out
+
+    def _piece_ids_python(self, piece: bytes) -> list[int]:
+        r = self.ranks.get(piece)
+        return [r] if r is not None else self._merge_piece(piece)
 
     def _merge_piece(self, piece: bytes) -> list[int]:
         if len(piece) == 1:
@@ -232,23 +262,29 @@ class BpeEncoder:
         return out
 
     def encode(self, text: str) -> list[int]:
-        data: list[int] = []
         if self._pat is not None:
-            native = self._native_handle()
-            if native is not None:
-                ids = self._encode_batch_native(text, native)
-                if ids is not None:
-                    return ids
-            for m in self._pat.finditer(text):
-                piece = m.group().encode("utf-8")
-                r = self.ranks.get(piece)
-                if r is not None:
-                    data.append(r)
-                else:
-                    data.extend(self._merge_piece(piece))
+            memo = self._piece_memo
+            pieces = [m.group() for m in self._pat.finditer(text)]
+            parts = [memo.get(p) for p in pieces]
+            miss = [p for p, ids in zip(pieces, parts) if ids is None]
+            if miss:
+                miss_b = [p.encode("utf-8") for p in miss]
+                native = self._native_handle()
+                id_lists = self._encode_pieces_native(miss_b, native) if native else None
+                if id_lists is None:
+                    id_lists = [self._piece_ids_python(b) for b in miss_b]
+                fill = dict(zip(miss, id_lists))
+                if len(memo) >= self._piece_memo_cap:
+                    memo.clear()
+                memo.update(fill)
+                parts = [ids if ids is not None else fill[p] for p, ids in zip(pieces, parts)]
+            data: list[int] = []
+            for ids in parts:
+                data.extend(ids)
             return data
         # byte fallback: 1 token per 4 bytes, deterministic
         raw = text.encode("utf-8")
+        data = []
         for i in range(0, len(raw), 4):
             data.append(raw[i])
         return data
