@@ -63,13 +63,18 @@ def _check(store: WaxStore, model: Model, deep: bool = False) -> None:
 
 @pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
 def test_random_walk_matches_model(tmp_path, seed):
+    run_walk(tmp_path / f"walk{seed}.wxs", seed)
+
+
+def run_walk(path, seed: int, steps: int = 120) -> None:
+    """One model-checked random op walk (also driven at scale by
+    scripts/store_fuzz.py — keep it importable and fixture-free)."""
     rng = random.Random(seed)
-    path = tmp_path / f"walk{seed}.wxs"
     store = WaxStore.create(path, OPTS)
     model = Model()
     ops = 0
     try:
-        for step in range(120):
+        for step in range(steps):
             roll = rng.random()
             if roll < 0.45 or not model.frames:
                 content = f"doc s{seed} step {step} ".encode() + bytes(
