@@ -287,3 +287,11 @@ class TestOrchestratorTopology:
             assert o2.search("document about topic 3").hits
         finally:
             o2.close()
+
+    def test_topology_without_sharded_lanes_rejected(self):
+        from wax_tpu.orchestrator.config import OrchestratorConfig
+
+        with pytest.raises(ValueError, match="sharded_lanes"):
+            OrchestratorConfig(mesh_slices=2)
+        with pytest.raises(ValueError, match="sharded_lanes"):
+            OrchestratorConfig(mesh_tp=2)

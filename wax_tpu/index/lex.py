@@ -89,9 +89,12 @@ def analyze(text: str) -> list[str]:
         t = memo.get(run)
         if t is None:
             t = run.translate(_FOLD_TRANS)
-            if len(memo) >= _FOLD_MEMO_CAP:
-                memo.clear()
-            memo[run] = t
+            # length-bound keys: >64-char runs (hashes, base64) barely repeat
+            # and would let the process-global memo pin unbounded host RAM
+            if len(run) <= 64:
+                if len(memo) >= _FOLD_MEMO_CAP:
+                    memo.clear()
+                memo[run] = t
         if t:
             out.append(t)
     return out

@@ -100,36 +100,12 @@ int32_t wax_bpe_encode_piece(void* h, const uint8_t* piece, int32_t len,
 }
 
 // Encode many pre-tokenized pieces in one call (amortizes FFI overhead: the Python
-// side runs the cl100k regex, ships all pieces as one blob + length array). Returns
-// total token count, or -1 on missing byte rank / out overflow.
-int32_t wax_bpe_encode_batch(void* h, const uint8_t* blob, const int32_t* lens,
-                             int32_t n_pieces, int32_t* out, int32_t max_out) {
-  auto* t = static_cast<BpeTable*>(h);
-  int32_t n_out = 0;
-  const uint8_t* p = blob;
-  std::string key;
-  for (int32_t i = 0; i < n_pieces; ++i) {
-    int32_t len = lens[i];
-    key.assign(reinterpret_cast<const char*>(p), static_cast<size_t>(len));
-    auto it = t->ranks.find(key);
-    if (it != t->ranks.end()) {
-      if (n_out >= max_out) return -1;
-      out[n_out++] = it->second;
-    } else {
-      int32_t n = wax_bpe_encode_piece(h, p, len, out + n_out, max_out - n_out);
-      if (n < 0 || n_out + n > max_out) return -1;
-      n_out += n;
-    }
-    p += len;
-  }
-  return n_out;
-}
-
-// encode_batch + a per-piece token-count out array (piece_counts[i] = ids emitted
+// side runs the cl100k regex, ships the memo-miss pieces as one blob + length
+// array) with a per-piece token-count out array (piece_counts[i] = ids emitted
 // for piece i). The per-piece boundaries let the Python side memoize piece -> ids
-// (BPE merges are context-free per regex piece), so repeated words across a corpus
-// skip the FFI + merge entirely. Returns total token count, or -1 on missing byte
-// rank / out overflow.
+// (BPE merges are context-free per regex piece), so repeated words across a
+// corpus skip the FFI + merge entirely. Returns total token count, or -1 on
+// missing byte rank / out overflow.
 int32_t wax_bpe_encode_batch_counts(void* h, const uint8_t* blob, const int32_t* lens,
                                     int32_t n_pieces, int32_t* out, int32_t max_out,
                                     int32_t* piece_counts) {

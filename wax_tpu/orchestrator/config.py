@@ -49,6 +49,14 @@ class OrchestratorConfig:
     # + BM25) share ONE mesh. Ignored unless sharded_lanes is on.
     mesh_slices: int = 1
     mesh_tp: int = 1
+
+    def __post_init__(self):
+        if (self.mesh_slices > 1 or self.mesh_tp > 1) and not self.sharded_lanes:
+            raise ValueError(
+                "mesh_slices/mesh_tp describe the sharded-lane topology — "
+                "set sharded_lanes=True (a silent single-chip fallback would "
+                "ship the wrong layout)"
+            )
     # per-term postings cap for device BM25 (impact-ordered truncation, index/lex.py).
     # None = exhaustive exact scoring. An int (e.g. 4096) bounds the static scoring
     # budget W = max_df on 1M+ corpora; truncation only limits candidate generation —

@@ -153,7 +153,9 @@ def _serialize_vector_engine(engine) -> tuple[bytes, dict[str, str]]:
 def deserialize_vector_engine(blob: bytes, attrs: dict[str, str], mesh=None):
     """``mesh`` (optional) places a reconstructed SHARDED engine on the caller's
     configured topology (e.g. the orchestrator's two-level slice × data mesh);
-    the segment itself is layout-free, so no default mesh may be baked here."""
+    the segment itself is layout-free. With ``mesh=None`` a sharded engine falls
+    back to ShardedFlatVectorEngine's default flat data mesh over all local
+    devices (the mesh-unaware callers' behavior, e.g. WaxSession)."""
     from wax_tpu.search.vector_engines import FlatVectorEngine, HNSWVectorEngine
 
     kind = attrs.get("engine", "flat")

@@ -166,15 +166,6 @@ class BpeEncoder:
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int32,
             ]
-            lib.wax_bpe_encode_batch.restype = ctypes.c_int32
-            lib.wax_bpe_encode_batch.argtypes = [
-                ctypes.c_void_p,
-                ctypes.c_char_p,
-                ctypes.POINTER(ctypes.c_int32),
-                ctypes.c_int32,
-                ctypes.POINTER(ctypes.c_int32),
-                ctypes.c_int32,
-            ]
             if hasattr(lib, "wax_bpe_encode_batch_counts"):
                 lib.wax_bpe_encode_batch_counts.restype = ctypes.c_int32
                 lib.wax_bpe_encode_batch_counts.argtypes = [
@@ -266,7 +257,8 @@ class BpeEncoder:
             memo = self._piece_memo
             pieces = [m.group() for m in self._pat.finditer(text)]
             parts = [memo.get(p) for p in pieces]
-            miss = [p for p, ids in zip(pieces, parts) if ids is None]
+            # dedupe misses: one FFI merge per UNIQUE unseen piece, not per occurrence
+            miss = list(dict.fromkeys(p for p, ids in zip(pieces, parts) if ids is None))
             if miss:
                 miss_b = [p.encode("utf-8") for p in miss]
                 native = self._native_handle()
@@ -276,7 +268,9 @@ class BpeEncoder:
                 fill = dict(zip(miss, id_lists))
                 if len(memo) >= self._piece_memo_cap:
                     memo.clear()
-                memo.update(fill)
+                # length-bound keys: pieces beyond ~64 chars barely repeat (base64
+                # blobs, long URLs) and would let the memo pin unbounded host RAM
+                memo.update((p, ids) for p, ids in fill.items() if len(p) <= 64)
                 parts = [ids if ids is not None else fill[p] for p, ids in zip(pieces, parts)]
             data: list[int] = []
             for ids in parts:
