@@ -267,3 +267,48 @@ class TestEmbedderAutoSelection:
             assert "error" not in resp
         finally:
             srv2.close()
+
+
+class TestScaleEnvKnobs:
+    """WAX_TPU_SHARDED_LANES / MESH_SLICES / MESH_TP / POSTINGS_BUDGET reach the
+    orchestrator config (serving deployments configure scale via env only)."""
+
+    def test_sharded_two_level_and_budget(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("WAX_TPU_EMBEDDER", "hash")
+        monkeypatch.setenv("WAX_TPU_SHARDED_LANES", "1")
+        monkeypatch.setenv("WAX_TPU_MESH_SLICES", "2")
+        monkeypatch.setenv("WAX_TPU_POSTINGS_BUDGET", "auto")
+        srv = build_server(tmp_path / "scale.wxs")
+        try:
+            cfg = srv.orch.config
+            assert cfg.sharded_lanes and cfg.mesh_slices == 2 and cfg.mesh_tp == 1
+            assert cfg.lex_postings_budget == "auto"
+            assert "slice" in srv.orch.engine.mesh.axis_names
+            out = _call_raw(srv, "wax_remember", {"content": "sharded serving memory"})
+            assert "error" not in out
+            out = _call_raw(srv, "wax_search", {"query": "sharded serving"})
+            assert "error" not in out
+        finally:
+            srv.close()
+
+    def test_topology_ignored_without_sharded_flag(self, tmp_path, monkeypatch):
+        """Topology vars without WAX_TPU_SHARDED_LANES=1 must not trip the
+        config's mesh validation — single-chip default wins."""
+        monkeypatch.setenv("WAX_TPU_EMBEDDER", "hash")
+        monkeypatch.delenv("WAX_TPU_SHARDED_LANES", raising=False)
+        monkeypatch.setenv("WAX_TPU_MESH_SLICES", "4")
+        srv = build_server(tmp_path / "flat.wxs")
+        try:
+            assert not srv.orch.config.sharded_lanes
+            assert srv.orch.config.mesh_slices == 1
+        finally:
+            srv.close()
+
+    def test_int_budget(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("WAX_TPU_EMBEDDER", "hash")
+        monkeypatch.setenv("WAX_TPU_POSTINGS_BUDGET", "4096")
+        srv = build_server(tmp_path / "budget.wxs")
+        try:
+            assert srv.orch.config.lex_postings_budget == 4096
+        finally:
+            srv.close()

@@ -713,9 +713,23 @@ def build_server(store_path: str | Path | None = None) -> McpServer:
             )
     except Exception:  # noqa: BLE001 — cache setup is best-effort
         pass
+    # scale knobs for serving deployments: distribute the dense + BM25 lanes over
+    # all local devices (WAX_TPU_SHARDED_LANES=1), optionally on a two-level
+    # slice x data[x tp] mesh (WAX_TPU_MESH_SLICES / WAX_TPU_MESH_TP), and bound
+    # device BM25 work on 1M+ corpora (WAX_TPU_POSTINGS_BUDGET=auto|N; candidate
+    # truncation only — returned scores stay exact via the forward-index rescore)
+    sharded = os.environ.get("WAX_TPU_SHARDED_LANES", "0") == "1"
+    budget_raw = os.environ.get("WAX_TPU_POSTINGS_BUDGET", "")
+    budget: int | str | None = None
+    if budget_raw:
+        budget = "auto" if budget_raw.lower() == "auto" else int(budget_raw)
     cfg = OrchestratorConfig(
         enable_structured_memory=structured,
         enable_access_stats=access,
+        sharded_lanes=sharded,
+        mesh_slices=int(os.environ.get("WAX_TPU_MESH_SLICES", "1")) if sharded else 1,
+        mesh_tp=int(os.environ.get("WAX_TPU_MESH_TP", "1")) if sharded else 1,
+        lex_postings_budget=budget,
         # migration escape hatch for an intentional embedder change on an existing
         # store: WAX_TPU_EMBEDDER_MISMATCH=reindex re-embeds, =ignore keeps stale
         embedder_mismatch=os.environ.get("WAX_TPU_EMBEDDER_MISMATCH", "error"),
