@@ -59,6 +59,20 @@ def main() -> None:
     scores, frame_ids = sharded_hybrid_topk(qv, tids, d_sh, l_sh, k=5, mesh=mesh)
     print("fused top-5 frame ids:", np.asarray(frame_ids)[0].tolist())
 
+    # ---- two-level (multi-pod) topology: same program, hierarchical merges ----
+    # Candidate all-gathers stay inside a slice (ICI); only the merged [B, k]
+    # lists cross the slice axis (DCN). Results are bit-identical to the flat
+    # mesh. In the high-level API this is OrchestratorConfig(sharded_lanes=True,
+    # mesh_slices=2) — or WAX_TPU_MESH_SLICES=2 for the MCP server.
+    from wax_tpu.parallel.mesh import make_two_level_mesh
+
+    mesh2 = make_two_level_mesh(2, jax.device_count() // 2)
+    d_sh2 = shard_dense_index(dsnap, mesh2)
+    l_sh2 = shard_lex_index(lex, mesh2, n_rows_global=dsnap.capacity)
+    s2, f2 = sharded_hybrid_topk(qv, tids, d_sh2, l_sh2, k=5, mesh=mesh2)
+    assert np.array_equal(np.asarray(f2), np.asarray(frame_ids))
+    print("two-level 2-slice mesh: identical top-5", np.asarray(f2)[0].tolist())
+
 
 if __name__ == "__main__":
     main()
