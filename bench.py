@@ -413,7 +413,8 @@ def _synth_sharded_lex(n, n_terms, budget, seed=5, per_doc=64):
 
 
 def bench_hybrid(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16, budget=3072,
-                 dtype="float32", iters=(5, 45, 85), floor_ms=0.3):
+                 dtype="float32", iters=(5, 45, 85), floor_ms=0.3, cap_ms=4000.0,
+                 lex_backend="auto"):
     """Fused hybrid (dense + candidate-set BM25 + RRF in one XLA program) on a
     1-device mesh, synthetic Zipf postings (~64/doc) impact-budgeted per term.
 
@@ -467,7 +468,8 @@ def bench_hybrid(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16, budget
                 # slope times only the dense lane + fusion (the round-3 numbers
                 # had exactly that hole — see docs/benchmarks.md)
                 t2 = (tids + jnp.int32(i)) % n_terms
-                v, _ = sharded_hybrid_topk(q, t2, dn, lx, k, mesh)
+                v, _ = sharded_hybrid_topk(q, t2, dn, lx, k, mesh,
+                                           lex_backend=lex_backend)
                 return q + v[:, :1] * 1e-9, acc + v[0, 0]
 
             return jax.lax.fori_loop(0, iters_, body, (q, jnp.float32(0)))[1]
@@ -480,7 +482,7 @@ def bench_hybrid(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16, budget
         )
         float(chained(q0, 1, *args))
         ms, info = robust_slope(
-            _make_timer(chained, q0, *args), *iters, floor_ms=floor_ms, cap_ms=4000.0
+            _make_timer(chained, q0, *args), *iters, floor_ms=floor_ms, cap_ms=cap_ms
         )
     return ms, info
 
