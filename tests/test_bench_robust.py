@@ -121,3 +121,27 @@ def test_main_emits_degraded_json_on_total_episode(monkeypatch, capsys):
     line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
     rec = json.loads(line)
     assert rec["value"] is None and "error" in rec and rec["timing"]["attempts"] == 6
+
+
+def test_bench_synth_lex_resolves_to_candidate_lane(monkeypatch):
+    """Regression: scripts/hybrid_scale.py once built a ShardedLexIndex without
+    wnorm/reversed/forward arrays, so _resolve_lex_backend silently fell back to
+    the scatter lane and the "candidate lane" measurement was off by 88x
+    (1112.7 vs 12.65 ms/batch at 1M). The bench synthetic snapshot — now the one
+    harness every hybrid measurement goes through — must carry everything the
+    candidate pipeline needs on every path."""
+    import jax as _jax
+
+    from bench import _synth_sharded_lex
+    from wax_tpu.parallel import sharded_hybrid as sh
+
+    lex = _synth_sharded_lex(4096, 256, 64)
+    assert lex.wnorm is not None
+    assert lex.doc_rows_rev is not None and lex.wnorm_rev is not None
+    # forward index present => the exact rescore engages (lex_rescore=True)
+    assert lex.fwd_tids is not None and lex.fwd_wnorm is not None
+    # off-TPU (CPU test mesh) resolution must pick the XLA candidate lane
+    assert sh._resolve_lex_backend(lex, "auto", q2=16) == "candidates"
+    # on TPU the same snapshot rides the Pallas kernel (plane fits VMEM here)
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert sh._resolve_lex_backend(lex, "auto", q2=16) == "candidates_pallas"
