@@ -11,7 +11,8 @@ then either pass checkpoint_dir=... to MiniLMEmbedder, or set WAX_TPU_MINILM_DIR
 After the first download, run the drift check:
 
     pytest tests/test_minilm_golden.py::TestRealGolden -q
-(first run captures tests/fixtures/minilm_real_golden.json, later runs compare).
+(the first run captures a minilm_real_golden.json fixture under tests/fixtures/,
+later runs compare against it).
 """
 import argparse
 import pathlib

@@ -12,6 +12,9 @@ measure an alternative lane — e.g. `scatter` for the pre-round-4 [B, N] score
 plane (measured 1112.7 ms/batch at 1M vs 12.6 ms for the candidate lane: 88x).
 
     python scripts/hybrid_scale.py [N] [BUDGET] [BACKEND]
+
+BUDGET defaults to 3072 — the bench.py --all config that produced the documented
+12.65 ms hybrid_1m_x384 number.
 """
 from __future__ import annotations
 
@@ -24,9 +27,13 @@ from wax_tpu.utils.compile_cache import enable_compile_cache
 
 enable_compile_cache()
 
+_BACKENDS = ("auto", "scatter", "candidates", "candidates_pallas")
+
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_048_576
-BUDGET = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+BUDGET = int(sys.argv[2]) if len(sys.argv) > 2 else 3072
 BACKEND = sys.argv[3] if len(sys.argv) > 3 else "auto"
+if BACKEND not in _BACKENDS:
+    raise SystemExit(f"unknown BACKEND {BACKEND!r}; expected one of {_BACKENDS}")
 
 
 def main() -> None:

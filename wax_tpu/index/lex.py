@@ -5,7 +5,7 @@ Sources/WaxTextSearch/FTS5SearchEngine.swift:5-985 — in-memory FTS5 virtual ta
 BM25 ranking via bm25(), whole-image serialization into the lex segment). Instead of a
 C B-tree engine, the TPU build keeps postings as flat CSR arrays that score on device
 via gathers + one fused scatter-add (wax_tpu/ops/bm25.py); "serializing the SQLite
-image" becomes serializing the CSR arrays (see wax_tpu/index/snapshot.py).
+image" becomes serializing the CSR arrays (see wax_tpu/orchestrator/serialization.py).
 
 Analyzer parity: FTS5's default unicode61 tokenizer (case-fold, split on
 non-alphanumeric, no stemming) is mirrored by `analyze`. Scoring parity: BM25 with

@@ -5,7 +5,7 @@ minutes with no way to interrupt it in-process. Probing `jax.devices()` in a
 child process with a hard timeout lets callers (bench.py's one-JSON-line driver
 contract, `wax-tpu mcp doctor`) report "tunnel wedged" on a bounded clock
 instead of hanging. (reference: the `wax mcp doctor` readiness checks,
-Sources/WaxCLI/WaxCLI.swift — every check there is bounded too.)
+Sources/WaxCLI/main.swift — every check there is bounded too.)
 """
 from __future__ import annotations
 
