@@ -254,3 +254,42 @@ class TestMatchQueryWiring:
         assert [(h.frame_id, h.score, h.preview) for h in a.hits] == [
             (h.frame_id, h.score, h.preview) for h in b.hits
         ]
+
+
+class TestAndBudgetGuard:
+    """A manual postings budget below the auto recall floor warns on AND queries
+    (silent-recall-loss config; docs/benchmarks.md budgeted AND-mode recall)."""
+
+    def _engine(self, budget):
+        emb = HashEmbedder(dimensions=64)
+        eng = HybridSearchEngine(embedder=emb, lex_postings_budget=budget)
+        # "shared" appears in every doc (df 6 > budget 2), so a manual budget
+        # of 2 truncates its impact head in the exact (<256K rows) regime
+        for i in range(6):
+            text = f"shared topic document number{i} extra{i} filler"
+            fid = eng.frames.put(text, timestamp_ms=1_700_000_000_000 + i, search_text=text)
+            eng.index_text(fid, text)
+            eng.index_embedding(fid, emb.embed(text))
+        return eng
+
+    def test_and_query_under_manual_budget_warns(self):
+        eng = self._engine(budget=2)
+        resp = unified_search(eng, SearchRequest(query="shared topic", top_k=3))
+        assert resp.warnings, "expected an AND-mode budget warning"
+        assert "lex_postings_budget=2" in resp.warnings[0]
+        assert len(resp.warnings) == 1  # deduped across primary+fallback passes
+
+    def test_auto_budget_never_warns(self):
+        eng = self._engine(budget="auto")
+        resp = unified_search(eng, SearchRequest(query="shared topic", top_k=3))
+        assert resp.warnings == ()
+
+    def test_non_truncating_manual_budget_does_not_warn(self):
+        eng = self._engine(budget=4096)
+        resp = unified_search(eng, SearchRequest(query="shared topic", top_k=3))
+        assert resp.warnings == ()
+
+    def test_single_term_or_query_does_not_warn(self):
+        eng = self._engine(budget=2)
+        resp = unified_search(eng, SearchRequest(query="shared", top_k=3))
+        assert resp.warnings == ()

@@ -24,7 +24,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["LexIndex", "LexIndexBuilder", "analyze", "BM25_K1", "BM25_B"]
+__all__ = ["LexIndex", "LexIndexBuilder", "analyze", "BM25_K1", "BM25_B", "auto_postings_floor"]
+
+
+def auto_postings_floor(n_rows: int) -> int | None:
+    """The "auto" per-term postings budget for an n_rows corpus: None (exact)
+    below 256K rows, then max(4096, n//256) — the measured ≥0.97 recall point
+    (scripts/budget_recall.py). A MANUAL budget below this floor can silently
+    lose recall, worst for AND queries (a conjunction dies if any one term's
+    impact head drops the doc); unified search surfaces a warning there."""
+    return None if n_rows < 262_144 else max(4096, n_rows // 256)
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -470,8 +479,16 @@ class LexIndexBuilder:
         the rescore window (scripts/budget_recall.py; docs/benchmarks.md)."""
         b = self.postings_budget
         if b == "auto":
-            return None if n_rows < 262_144 else max(4096, n_rows // 256)
+            return auto_postings_floor(n_rows)
         return b
+
+    def max_term_df(self) -> int:
+        """Largest per-term document frequency in the current state (0 if empty) —
+        a manual postings budget below this actually truncates at snapshot time."""
+        if self._frozen is not None:
+            sizes = np.diff(self._frozen["post_offsets"])
+            return int(sizes.max()) if len(sizes) else 0
+        return max((len(p) for p in self._postings), default=0)
 
     # -- snapshot -------------------------------------------------------------------
     def snapshot(self) -> LexIndex:

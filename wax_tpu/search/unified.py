@@ -120,7 +120,42 @@ def _device_expressible(node) -> tuple[str, list[str]] | None:
     return None
 
 
-def _run_fts_query(engine: HybridSearchEngine, match_q: str, fetch_k: int) -> list[tuple[int, float]]:
+def _and_budget_warning(engine: HybridSearchEngine) -> str | None:
+    """Warn when an AND query runs under a MANUAL postings budget below the auto
+    recall floor: a conjunction is missed entirely if any one term's impact head
+    truncated the doc out (measured 0.29-0.54 recall at budget 1024,
+    docs/benchmarks.md). Auto/None budgets sit at the measured >=0.97 point."""
+    from wax_tpu.index.lex import auto_postings_floor
+
+    b = engine.lex.postings_budget
+    if not isinstance(b, int):
+        return None
+    n = engine.lex.row_space()
+    floor = auto_postings_floor(n)
+    if floor is None:
+        # exact regime (<256K rows): any truncating budget is below the floor
+        if b >= engine.lex.max_term_df():
+            return None
+        floor_desc = "exact (no truncation)"
+    elif b >= floor:
+        return None
+    else:
+        floor_desc = str(floor)
+    return (
+        f"AND-mode query with manual lex_postings_budget={b} below the auto floor "
+        f"[{floor_desc}] for {n} rows: conjunctions whose docs fall outside a "
+        "truncated term's impact head can be missed entirely; use "
+        "lex_postings_budget='auto' or raise the budget "
+        "(docs/benchmarks.md, budgeted AND-mode recall)"
+    )
+
+
+def _run_fts_query(
+    engine: HybridSearchEngine,
+    match_q: str,
+    fetch_k: int,
+    warn_sink: list[str] | None = None,
+) -> list[tuple[int, float]]:
     """Evaluate one FTS5 MATCH string: device kernel for pure AND/OR bags, host
     MATCH engine for positional/boolean queries. Raises MatchSyntaxError exactly
     where SQLite would (the caller falls back, reference UnifiedSearch.swift:132-137)."""
@@ -131,6 +166,10 @@ def _run_fts_query(engine: HybridSearchEngine, match_q: str, fetch_k: int) -> li
     dev = _device_expressible(node)
     if dev is not None:
         mode, terms = dev
+        if mode == "all" and len(terms) > 1 and warn_sink is not None:
+            w = _and_budget_warning(engine)
+            if w is not None and w not in warn_sink:
+                warn_sink.append(w)
         tids = engine.lex.term_ids(terms)
         if mode == "all" and len(tids) < len(terms):
             return []  # an unindexed term makes the conjunction empty (FTS5)
@@ -148,7 +187,7 @@ def _run_fts_query(engine: HybridSearchEngine, match_q: str, fetch_k: int) -> li
 
 
 def _bm25_lane(
-    engine: HybridSearchEngine, query: str, fetch_k: int
+    engine: HybridSearchEngine, query: str, fetch_k: int, warn_sink: list[str] | None = None
 ) -> tuple[list[tuple[int, float]], dict[int, str]]:
     """Primary MATCH query + OR-expanded fallback, primary hits first (reference:
     UnifiedSearch.swift:98-138). Returns (hits, {frame_id: match query that
@@ -163,7 +202,7 @@ def _bm25_lane(
     fallback_q = or_expanded_query(trimmed)
 
     try:
-        primary = _run_fts_query(engine, primary_q, fetch_k)
+        primary = _run_fts_query(engine, primary_q, fetch_k, warn_sink)
     except MatchSyntaxError:
         if fallback_q is None:
             # fallback_q is None iff sanitization left no clauses (every token a
@@ -177,13 +216,13 @@ def _bm25_lane(
             if not has_match_syntax(trimmed):
                 return [], {}
             raise
-        hits = _run_fts_query(engine, fallback_q, fetch_k)
+        hits = _run_fts_query(engine, fallback_q, fetch_k, warn_sink)
         return hits, {f: fallback_q for f, _ in hits}
 
     queries = {f: primary_q for f, _ in primary}
     if fallback_q is None or fallback_q == primary_q or len(primary) >= fetch_k:
         return primary[:fetch_k], queries
-    fallback = _run_fts_query(engine, fallback_q, fetch_k)
+    fallback = _run_fts_query(engine, fallback_q, fetch_k, warn_sink)
     seen = {f for f, _ in primary}
     extra = [(f, v) for f, v in fallback if f not in seen]
     queries.update({f: fallback_q for f, _ in extra})
@@ -242,9 +281,10 @@ def unified_search(engine: HybridSearchEngine, request: SearchRequest) -> Search
 
     lanes: dict[str, list[tuple[int, float]]] = {}
     snippet_queries: dict[int, str] = {}
+    warnings: list[str] = []
     if request.mode in (SearchMode.HYBRID, SearchMode.TEXT_ONLY):
         with span("search.bm25_lane"):
-            lanes["bm25"], snippet_queries = _bm25_lane(engine, request.query, fetch_k)
+            lanes["bm25"], snippet_queries = _bm25_lane(engine, request.query, fetch_k, warnings)
     if request.mode in (SearchMode.HYBRID, SearchMode.VECTOR_ONLY):
         with span("search.vector_lane"):
             lanes["vector"] = _vector_lane(engine, request, fetch_k)
@@ -353,4 +393,5 @@ def unified_search(engine: HybridSearchEngine, request: SearchRequest) -> Search
         query_type=qtype,
         lane_counts={k: len(v) for k, v in lanes.items()},
         elapsed_ms=(time.perf_counter() - t0) * 1e3,
+        warnings=tuple(warnings),
     )

@@ -419,6 +419,10 @@ class McpServer:
                 }
             hits.append(row)
         out = {"query_type": resp.query_type.value, "hits": hits}
+        if resp.warnings:
+            # silent-recall-loss configurations (e.g. AND query under a manual
+            # postings budget below the auto floor) surface here unconditionally
+            out["warnings"] = list(resp.warnings)
         if a.get("include_diagnostics"):
             out["lane_counts"] = dict(resp.lane_counts)
         return out

@@ -121,6 +121,10 @@ class SearchResponse:
     query_type: QueryType
     lane_counts: Mapping[str, int] = field(default_factory=dict)
     elapsed_ms: float = 0.0
+    # Query-level advisories (e.g. an AND query under a manual postings budget
+    # below the auto recall floor — silent-recall-loss configurations warn
+    # instead of failing).
+    warnings: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
