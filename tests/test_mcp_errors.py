@@ -312,3 +312,59 @@ class TestScaleEnvKnobs:
             assert srv.orch.config.lex_postings_budget == 4096
         finally:
             srv.close()
+
+
+class TestWarmupGate:
+    """The first tools/call waits for the background warmup (bounded), so the
+    first agent call never races the lane pre-trace for the compile; initialize
+    and tools/list answer immediately while warming (VERDICT r4 #4)."""
+
+    def _slow_warmup(self, orch, done, duration=0.3):
+        import threading
+        import time as _t
+
+        def _w():
+            _t.sleep(duration)
+            done.append(True)
+
+        t = threading.Thread(target=_w, daemon=True)
+        t.start()
+        orch._warmup_thread = t
+
+    def test_first_call_waits_for_warmup(self, server):
+        done = []
+        self._slow_warmup(server.orch, done)
+        resp = _call_raw(server, "wax_stats", {})
+        assert "result" in resp
+        assert done == [True], "tools/call dispatched before warmup finished"
+
+    def test_initialize_and_list_do_not_wait(self, server):
+        done = []
+        self._slow_warmup(server.orch, done, duration=5.0)
+        assert "result" in _rpc(server, "initialize")
+        assert "result" in _rpc(server, "tools/list")
+        assert done == [], "initialize/tools/list must not block on warmup"
+        server.orch._warmup_thread = None  # don't leak the 5 s join into close()
+
+    def test_gate_is_first_call_only(self, server):
+        done = []
+        _call_raw(server, "wax_stats", {})  # consumes the gate (no warmup thread)
+        self._slow_warmup(server.orch, done, duration=5.0)
+        resp = _call_raw(server, "wax_stats", {})
+        assert "result" in resp
+        assert done == [], "only the FIRST tools/call gates on warmup"
+        server.orch._warmup_thread = None
+
+    def test_timeout_bounded(self, server, monkeypatch):
+        import time as _t
+
+        self._slow_warmup(server.orch, [], duration=30.0)
+        server._warmup_timeout = 0.2
+        t0 = _t.perf_counter()
+        resp = _call_raw(server, "wax_stats", {})
+        assert "result" in resp
+        assert _t.perf_counter() - t0 < 5.0, "gate must respect the timeout"
+        server.orch._warmup_thread = None
+
+    def test_wait_for_warmup_no_thread(self, server):
+        assert server.orch.wait_for_warmup(timeout=0.01) is True

@@ -766,6 +766,17 @@ class MemoryOrchestrator:
         else:
             _trace()
 
+    def wait_for_warmup(self, timeout: float | None = None) -> bool:
+        """Block until a background warmup() finishes (True) or the timeout lapses
+        (False; the next query then pays its own trace — never an error). Lets a
+        serving surface gate its FIRST request on readiness instead of racing the
+        warmup thread for the compile."""
+        t = self._warmup_thread
+        if t is None:
+            return True
+        t.join(timeout=timeout)
+        return not t.is_alive()
+
     def close(self) -> None:
         self._closed = True  # a queued warmup thread exits before touching state
         warmup_alive = False

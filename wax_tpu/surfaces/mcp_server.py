@@ -312,6 +312,12 @@ class McpServer:
         self._photo_store = Path(photo_store) if photo_store else self.orch.path.parent / "photo.wxs"
         self._video = None
         self._photo = None
+        # readiness gate: the FIRST tools/call waits (bounded) for the background
+        # warmup so it never races the lane pre-trace for the compile — the first
+        # agent call lands at steady-state latency. initialize/tools/list answer
+        # immediately while warming. 0 disables the gate.
+        self._warmup_timeout = float(os.environ.get("WAX_TPU_WARMUP_TIMEOUT", "120"))
+        self._warm_gated = False
 
     def _video_rag(self):
         if self._video is None:
@@ -635,6 +641,10 @@ class McpServer:
             elif method == "tools/list":
                 result = {"tools": self.tools()}
             elif method == "tools/call":
+                if not self._warm_gated:
+                    self._warm_gated = True
+                    if self._warmup_timeout > 0:
+                        self.orch.wait_for_warmup(timeout=self._warmup_timeout)
                 name = msg["params"]["name"]
                 args = msg["params"].get("arguments", {})
                 out = self.call_tool(name, args)
