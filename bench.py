@@ -377,6 +377,7 @@ def _synth_sharded_lex(n, n_terms, budget, seed=5, per_doc=64):
     # LexIndexBuilder builds fwd_tids/fwd_wnorm iff a term was truncated, and the
     # candidate lane then rescores its top-F exactly) — vectorized CSR inversion
     fwd_t = fwd_w = None
+    fwd_width = 0
     if truncated:
         tid_all = np.repeat(np.arange(n_terms, dtype=np.int32), df)
         rows_all = doc_rows[:total]
@@ -393,6 +394,21 @@ def _synth_sharded_lex(n, n_terms, budget, seed=5, per_doc=64):
         fw[sr, pos] = wnorm[:total][order]
         fwd_t = jnp.asarray(ft[None, :, :])
         fwd_w = jnp.asarray(fw[None, :, :])
+        fwd_width = int(widths.max())
+    pk = pkr = cbase = ccnt = None
+    pk_qb = pk_maxc = 0
+    if truncated:
+        from wax_tpu.index.lex import build_impact_chunks
+
+        pk_a, pkr_a, cb_a, cc_a, pk_qb = build_impact_chunks(
+            doc_rows, wnorm.astype(np.float64), offsets.astype(np.int64),
+            idf.astype(np.float64), n,
+        )
+        pk_maxc = int(cc_a.max()) if len(cc_a) else 0
+        pk = jnp.asarray(pk_a[None, :])
+        pkr = jnp.asarray(pkr_a[None, :])
+        cbase = jnp.asarray(cb_a[None, :])
+        ccnt = jnp.asarray(cc_a[None, :])
     return ShardedLexIndex(
         doc_rows=jnp.asarray(doc_rows[None, :]),
         tfs=jnp.asarray(tfs[None, :]),
@@ -408,7 +424,14 @@ def _synth_sharded_lex(n, n_terms, budget, seed=5, per_doc=64):
         wnorm_rev=jnp.asarray(rev_w[None, :]),
         fwd_tids=fwd_t,
         fwd_wnorm=fwd_w,
+        pk_chunks=pk,
+        pk_chunks_rev=pkr,
+        chunk_base=cbase,
+        chunk_counts=ccnt,
         max_df=max_df,
+        pk_qb=pk_qb,
+        pk_max_chunks=pk_maxc,
+        fwd_width=fwd_width,
     )
 
 
@@ -450,7 +473,7 @@ def bench_hybrid(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16, budget
     with mesh:
         @jax.jit
         def chained(q, iters_, tids, demb, dfid, dbias, ldr, ltf, loff, lidf, ldl,
-                    llive, lfid, lbase, lwn, ldrr, lwnr, lft, lfw):
+                    llive, lfid, lbase, lwn, ldrr, lwnr, lft, lfw, lpk, lpkr, lcb, lcc):
             # contiguous is STATIC — dropping it here silently falls back to the
             # [B, N_local]-plane blockmax dense lane
             dn = ShardedDenseIndex(emb=demb, frame_ids=dfid, bias=dbias, contiguous=True)
@@ -458,7 +481,10 @@ def bench_hybrid(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16, budget
                 doc_rows=ldr, tfs=ltf, offsets=loff, idf=lidf, doc_len=ldl,
                 frame_ids=lfid, live=llive, row_base=lbase, avgdl=lex.avgdl,
                 wnorm=lwn, doc_rows_rev=ldrr, wnorm_rev=lwnr,
-                fwd_tids=lft, fwd_wnorm=lfw, max_df=max_df,
+                fwd_tids=lft, fwd_wnorm=lfw,
+                pk_chunks=lpk, pk_chunks_rev=lpkr, chunk_base=lcb, chunk_counts=lcc,
+                max_df=max_df, pk_qb=lex.pk_qb, pk_max_chunks=lex.pk_max_chunks,
+                fwd_width=lex.fwd_width,
             )
 
             def body(i, carry):
@@ -479,6 +505,7 @@ def bench_hybrid(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16, budget
             lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live,
             lex.frame_ids, lex.row_base, lex.wnorm, lex.doc_rows_rev, lex.wnorm_rev,
             lex.fwd_tids, lex.fwd_wnorm,
+            lex.pk_chunks, lex.pk_chunks_rev, lex.chunk_base, lex.chunk_counts,
         )
         float(chained(q0, 1, *args))
         ms, info = robust_slope(

@@ -32,6 +32,7 @@ QT = 8  # terms per query
 K = 10
 K1, B_ = 1.2, 0.75
 BUDGETS = [16384, 4096, 1024]
+CHUNKED_BUDGETS = [4096, 3072]  # water-filled chunked-kernel model rows
 
 
 def build_corpus(rng):
@@ -100,6 +101,46 @@ def topk_ids(score, k):
     return set(idx[np.lexsort((idx, -score[idx]))][:k].tolist())
 
 
+def chunked_scores(postings, doc_len, avgdl, idf, tids, mode, budget,
+                   slots=32, chunk=1024, qb=10):
+    """Host model of the chunked packed kernel (ops/bm25_chunked_pallas.py):
+    water-filled chunk assignment (all chunk-0s, then chunk-1s, ...) capped at
+    `slots`, quantized (qb-bit) contribution sums — candidate RANKING only."""
+    # global quantization scale: max contribution over the query's kept postings
+    # approximates the snapshot-global max (conservative for ranking error)
+    scale = 0.0
+    per_term = []
+    for t in tids:
+        rows, tfs = postings[t]
+        rows, tfs = rows[:budget], tfs[:budget]
+        dl = doc_len[rows]
+        contrib = idf[t] * (tfs * (K1 + 1.0)) / (tfs + K1 * (1 - B_ + B_ * dl / avgdl))
+        per_term.append((rows, contrib))
+        if len(contrib):
+            scale = max(scale, float(contrib.max()))
+    scale = scale or 1.0
+    qmax = (1 << qb) - 1
+    score = np.zeros(N, np.int64)
+    hits = np.zeros(N, np.int16)
+    q = len(tids)
+    # water-fill: chunk (term i, level j) has rank j*q+i; keep the `slots` smallest
+    order = sorted(
+        (j * q + i, i, j)
+        for i, (rows, _) in enumerate(per_term)
+        for j in range(-(-len(rows) // chunk))
+    )[:slots]
+    for _, i, j in order:
+        rows, contrib = per_term[i]
+        seg = slice(j * chunk, (j + 1) * chunk)
+        qc = np.clip(np.rint(contrib[seg] / scale * qmax), 1, qmax).astype(np.int64)
+        score[rows[seg]] += qc
+        hits[rows[seg]] += 1
+    if mode == "count":
+        # kernel saturation: rank = count*65536 + min(sum, 65535)
+        return np.minimum(score, 65535).astype(np.float64) + 65536.0 * hits
+    return score.astype(np.float64)
+
+
 FETCHES = [64, 256, 1024]  # rescore-ceiling fetch depths
 
 
@@ -149,6 +190,27 @@ def main():
             ceils = " | ".join(f"{ceil_rec[f] / max(denom, 1):.4f}" for f in FETCHES)
             print(
                 f"| {budget} | {mode.upper()} | {rec / max(denom, 1):.4f} | {ceils} | {kept:.0f} |",
+                flush=True,
+            )
+        # chunked packed kernel model (water-fill slots=32, 10-bit quantized
+        # ranking — ops/bm25_chunked_pallas.py) at the bench budget
+        for budget in CHUNKED_BUDGETS:
+            ceil_rec = {f: 0.0 for f in FETCHES}
+            denom = 0
+            for q, orc in zip(queries, oracles):
+                if not orc:
+                    continue
+                s_cand = chunked_scores(
+                    postings, doc_len, avgdl, idf, q,
+                    "count" if mode == "all" else "any", budget,
+                )
+                for f in FETCHES:
+                    cand = topk_ids(s_cand, f) if s_cand.max() > 0 else set()
+                    ceil_rec[f] += len(cand & orc) / len(orc)
+                denom += 1
+            ceils = " | ".join(f"{ceil_rec[f] / max(denom, 1):.4f}" for f in FETCHES)
+            print(
+                f"| {budget} chunked-32 | {mode.upper()} | (rescore-only lane) | {ceils} | — |",
                 flush=True,
             )
 

@@ -166,7 +166,24 @@ class LexIndex:
     wnorm_rev: jax.Array | None = None
     fwd_tids: jax.Array | None = None
     fwd_wnorm: jax.Array | None = None
+    # impact-chunked PACKED postings (present iff the budget truncated a term —
+    # exactly when fwd_tids is): per term, ceil(df/1024) chunks where chunk j
+    # holds impact ranks [j*1024, (j+1)*1024) row-sorted, each posting pre-packed
+    # as (row << pk_qb) | quantized(idf*wnorm), 1024-aligned blocks padded with
+    # INT32_MAX, plus one all-INT32_MAX sentinel block at the end (dead slots).
+    # pk_chunks_rev reverses each 1024-block in place (odd merge slots).
+    # The chunked candidate kernel (ops/bm25_chunked_pallas.py) water-fills these
+    # chunks across the query's terms into a fixed merge plane.
+    pk_chunks: jax.Array | None = None
+    pk_chunks_rev: jax.Array | None = None
+    chunk_base: jax.Array | None = None  # [T] i32 first 1024-block of each term
+    chunk_counts: jax.Array | None = None  # [T] i32 number of chunks per term
     max_df: int = dataclasses.field(metadata=dict(static=True), default=0)
+    pk_qb: int = dataclasses.field(metadata=dict(static=True), default=0)
+    pk_max_chunks: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # real (pre-padding) forward-index width: lets the rescore kernel pack two
+    # candidates per 128-lane row when docs have <= 64 unique terms
+    fwd_width: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def n_terms(self) -> int:
@@ -210,6 +227,85 @@ def reverse_postings_copies(doc_rows: np.ndarray, wnorm: np.ndarray, offsets: np
         rev_r[:p_total] = doc_rows[src]
         rev_w[:p_total] = wnorm[src]
     return rev_r, rev_w
+
+
+PK_CHUNK = 1024  # flat elements per impact chunk (= the [P/1024, 8, 128] HBM tile)
+_I32_MAX = np.int32(2**31 - 1)
+
+
+def packed_row_bits(n_cap: int) -> tuple[int, int]:
+    """(row_bits, qb) split of the 31 usable i32 bits for packed postings.
+
+    row_bits = bit_length(n_cap) keeps max packed value strictly below INT32_MAX
+    (the pad sentinel) even at row n_cap-1 with a saturated quantized weight.
+    qb is capped at 12: ranking granularity gains nothing beyond that, and the
+    kernel's rank*128 tie-break key must stay within i32."""
+    rb = max(1, int(n_cap).bit_length())
+    qb = min(31 - rb, 12)
+    if qb < 6:
+        raise ValueError(
+            f"capacity {n_cap} leaves only {qb} quantization bits; "
+            "shard the corpus below 2^25 rows per device"
+        )
+    return rb, qb
+
+
+def build_impact_chunks(doc_rows, wnorm, offsets, idf, n_cap):
+    """Impact-chunked PACKED postings for the chunked candidate kernel.
+
+    Per term t: order its postings by exact BM25 contribution (idf[t]*wnorm,
+    descending; ties lowest-row; tombstones con=0 last), split into PK_CHUNK-sized
+    impact chunks, sort each chunk by row, and pack every posting into one i32
+    (row << qb) | qcon with qcon = round(con/max_con * (2^qb-1)) clamped to
+    [1, 2^qb-1] (0 for tombstones). Chunk blocks are 1024-aligned; pad slots and
+    one trailing sentinel block carry INT32_MAX, so the kernel needs no masking:
+    ascending (even) merge slots see trailing +inf pads and the per-block reversed
+    copy gives descending (odd) slots leading +inf pads.
+
+    Returns (pk [PB*1024] i32, pk_rev, chunk_base [T] i32, chunk_counts [T] i32,
+    qb). The last block (PB-1) is the all-sentinel dead-slot target.
+    Candidate RANKING is quantized; exact scores come from the forward-index
+    rescore (ops/bm25_rescore.py), mirroring how FTS5 scores all postings exactly
+    (reference: Sources/WaxTextSearch/FTS5SearchEngine.swift:129-161).
+    """
+    t = len(offsets) - 1
+    p_total = int(offsets[-1])
+    _, qb = packed_row_bits(n_cap)
+    qmax = (1 << qb) - 1
+    sizes = np.diff(offsets.astype(np.int64))
+    nch = ((sizes + PK_CHUNK - 1) // PK_CHUNK).astype(np.int64)
+    chunk_base = np.zeros(t, np.int32)
+    if t:
+        chunk_base[1:] = np.cumsum(nch)[:-1].astype(np.int32)
+    pb_total = int(nch.sum()) + 1  # +1 sentinel dead block
+    pk = np.full(pb_total * PK_CHUNK, _I32_MAX, np.int32)
+    if p_total:
+        rows = doc_rows[:p_total].astype(np.int64)
+        tid_post = np.repeat(np.arange(t, dtype=np.int64), sizes)
+        con = wnorm[:p_total].astype(np.float64) * idf[tid_post]
+        scale = float(con.max())
+        if scale <= 0.0:
+            scale = 1.0
+        qcon = np.clip(np.rint(con / scale * qmax), 1, qmax).astype(np.int64)
+        qcon = np.where(con > 0.0, qcon, 0)
+        # impact order within term (contribution desc, row asc ties)
+        p1 = np.lexsort((rows, -con, tid_post))
+        starts = np.concatenate([[0], np.cumsum(sizes)])
+        chunk_j = (np.arange(p_total, dtype=np.int64) - starts[tid_post[p1]]) // PK_CHUNK
+        # global chunk id of each (impact-ordered) posting, then row-sort per chunk
+        gchunk = chunk_base[tid_post[p1]].astype(np.int64) + chunk_j
+        p2 = np.lexsort((rows[p1], gchunk))
+        g_sorted = gchunk[p2]
+        src = p1[p2]
+        # destination = chunk block start + rank within the chunk
+        first_of_chunk = np.concatenate([[True], g_sorted[1:] != g_sorted[:-1]])
+        chunk_start_pos = np.where(first_of_chunk, np.arange(p_total, dtype=np.int64), 0)
+        chunk_start_pos = np.maximum.accumulate(chunk_start_pos)
+        within = np.arange(p_total, dtype=np.int64) - chunk_start_pos
+        dest = g_sorted * PK_CHUNK + within
+        pk[dest] = ((rows[src] << qb) | qcon[src]).astype(np.int32)
+    pk_rev = pk.reshape(-1, PK_CHUNK)[:, ::-1].reshape(-1).copy()
+    return pk, pk_rev, chunk_base, nch.astype(np.int32), qb
 
 
 class LexIndexBuilder:
@@ -568,8 +664,15 @@ class LexIndexBuilder:
         off_np = offsets if t else np.zeros(2, np.int32)
         rev_r, rev_w = reverse_postings_copies(doc_rows, wnorm, off_np)
         fwd_tids = fwd_wnorm = None
+        pk = pk_rev = cbase = ccounts = None
+        pk_qb = pk_maxc = fwd_width = 0
         if truncated:
             fwd_tids, fwd_wnorm = self._build_forward(n_cap, doc_len, active, avgdl, idf)
+            fwd_width = int((fwd_tids >= 0).sum(axis=1).max()) if fwd_tids.size else 0
+            pk, pk_rev, cbase, ccounts, pk_qb = build_impact_chunks(
+                doc_rows, wnorm, off_np, idf.astype(np.float64), n_cap
+            )
+            pk_maxc = int(ccounts.max()) if len(ccounts) else 0
         return LexIndex(
             doc_rows=jnp.asarray(doc_rows),
             tfs=jnp.asarray(tfs),
@@ -585,7 +688,14 @@ class LexIndexBuilder:
             wnorm_rev=jnp.asarray(rev_w),
             fwd_tids=None if fwd_tids is None else jnp.asarray(fwd_tids),
             fwd_wnorm=None if fwd_wnorm is None else jnp.asarray(fwd_wnorm),
+            pk_chunks=None if pk is None else jnp.asarray(pk),
+            pk_chunks_rev=None if pk_rev is None else jnp.asarray(pk_rev),
+            chunk_base=None if cbase is None else jnp.asarray(cbase),
+            chunk_counts=None if ccounts is None else jnp.asarray(ccounts),
             max_df=_round_up(max(max_df, 1), 128),
+            pk_qb=pk_qb,
+            pk_max_chunks=pk_maxc,
+            fwd_width=fwd_width,
         )
 
     def _build_forward(self, n_cap, doc_len, active, avgdl, idf):

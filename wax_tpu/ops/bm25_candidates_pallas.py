@@ -406,24 +406,42 @@ def bm25_candidates_topk_pallas(term_ids, index: LexIndex, k: int, mode: str = "
         # wrongly pre-drop matches truncated out of one term's impact head);
         # AND candidates rank by budgeted match count so full conjunctions
         # reach the rescore window even with low budgeted scores
-        cand_rows, keys = candidate_scores_pallas(
-            term_ids,
-            index.doc_rows,
-            index.wnorm,
-            index.offsets,
-            index.idf,
-            index.doc_rows_rev,
-            index.wnorm_rev,
-            max_df=int(index.max_df),
-            mode="count" if mode == "all" else "any",
-            sel=_SEL_LEVELS,
-        )
+        if index.pk_chunks is not None:
+            # chunked packed kernel: half the merge volume, one plane
+            # (ops/bm25_chunked_pallas.py)
+            from wax_tpu.ops.bm25_chunked_pallas import chunked_candidates_sel
+
+            cand_rows, keys = chunked_candidates_sel(
+                term_ids,
+                index.pk_chunks,
+                index.pk_chunks_rev,
+                index.chunk_base,
+                index.chunk_counts,
+                qb=index.pk_qb,
+                max_chunks=index.pk_max_chunks,
+                mode="count" if mode == "all" else "any",
+                sel=_SEL_LEVELS,
+            )
+        else:
+            cand_rows, keys = candidate_scores_pallas(
+                term_ids,
+                index.doc_rows,
+                index.wnorm,
+                index.offsets,
+                index.idf,
+                index.doc_rows_rev,
+                index.wnorm_rev,
+                max_df=int(index.max_df),
+                mode="count" if mode == "all" else "any",
+                sel=_SEL_LEVELS,
+            )
         f = int(min(fetch if fetch is not None else max(4 * k, 256), keys.shape[-1]))
         _, cpos = jax.lax.top_k(keys, f)  # packed keys: truncated-score order
         crows = jnp.take_along_axis(cand_rows, cpos, axis=-1)  # dead slots carry -1
         vals, sel = rescore_topk(
             term_ids if term_ids.ndim == 2 else term_ids[None, :],
             crows, index.fwd_tids, index.fwd_wnorm, index.idf, k, mode,
+            fwd_width=index.fwd_width,
         )
     else:
         out_rows, out_scores = candidate_scores_pallas(

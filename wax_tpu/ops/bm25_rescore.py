@@ -32,7 +32,7 @@ from wax_tpu.ops.topk import NEG_INF
 __all__ = ["exact_rescore", "rescore_topk"]
 
 
-def exact_rescore(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf):
+def exact_rescore(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf, fwd_width: int = 0):
     """Exact BM25 scores + matched-term counts for candidate rows.
 
     Args:
@@ -43,6 +43,9 @@ def exact_rescore(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf):
       fwd_wnorm: [N_cap, L] f32 per-(doc, term) exact tf/length weight
         (0 on padding and tombstoned rows).
       idf: [T] f32 per-term idf.
+      fwd_width: static real (pre-padding) forward width, 0 = unknown. When the
+        real width fits half a 128-lane row, two candidates pack per row —
+        halves the gather, DMA, and compare-accumulate volume.
 
     Returns:
       (scores [B, F] f32, counts [B, F] i32) — exact BM25 score and number of
@@ -52,18 +55,28 @@ def exact_rescore(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf):
     f = cand_rows.shape[1]
     l = fwd_tids.shape[1]
     safe_rows = jnp.maximum(cand_rows, 0)
-    ft = jnp.take(fwd_tids, safe_rows, axis=0)  # [B, F, L]
-    fw = jnp.take(fwd_wnorm, safe_rows, axis=0)  # [B, F, L]
     valid_q = term_ids >= 0
     idf_q = jnp.where(valid_q, jnp.take(idf, jnp.maximum(term_ids, 0)), 0.0)  # [B, Q]
-    # per-candidate-row query planes (broadcast, not gather: [B, Q] -> [B*F, Q])
-    tids_rows = jnp.broadcast_to(
-        jnp.where(valid_q, term_ids, -1)[:, None, :], (b, f, q)
-    ).reshape(b * f, q)
-    idf_rows = jnp.broadcast_to(idf_q[:, None, :], (b, f, q)).reshape(b * f, q)
+    tids_q = jnp.where(valid_q, term_ids, -1)
+    pack2 = 0 < fwd_width <= 64 and l >= 128 and f % 2 == 0
+    if pack2:
+        # [B, F, 64] gathered halves -> [B*F/2, 128] packed rows; both halves of
+        # a packed row belong to the SAME query, so the per-row query planes are
+        # unchanged. The kernel reduces each half separately.
+        ft = jnp.take(fwd_tids[:, :64], safe_rows, axis=0).reshape(b * f // 2, 128)
+        fw = jnp.take(fwd_wnorm[:, :64], safe_rows, axis=0).reshape(b * f // 2, 128)
+        rows_n = b * f // 2
+    else:
+        ft = jnp.take(fwd_tids, safe_rows, axis=0).reshape(b * f, l)  # [B*F, L]
+        fw = jnp.take(fwd_wnorm, safe_rows, axis=0).reshape(b * f, l)
+        rows_n = b * f
+    # per-candidate-row query planes (broadcast, not gather)
+    per_b = rows_n // b
+    tids_rows = jnp.broadcast_to(tids_q[:, None, :], (b, per_b, q)).reshape(rows_n, q)
+    idf_rows = jnp.broadcast_to(idf_q[:, None, :], (b, per_b, q)).reshape(rows_n, q)
     scores, counts = _rescore_blocks(
-        ft.reshape(b * f, l), fw.reshape(b * f, l), tids_rows, idf_rows,
-        jax.default_backend() == "cpu",
+        ft, fw, tids_rows, idf_rows,
+        jax.default_backend() == "cpu", halves=2 if pack2 else 1,
     )
     scores = scores.reshape(b, f)
     counts = counts.reshape(b, f)
@@ -71,11 +84,16 @@ def exact_rescore(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf):
     return jnp.where(dead, 0.0, scores), jnp.where(dead, 0, counts)
 
 
-def _rescore_kernel(ft_ref, fw_ref, tid_ref, idf_ref, score_ref, count_ref, *, q: int):
+def _rescore_kernel(ft_ref, fw_ref, tid_ref, idf_ref, score_ref, count_ref,
+                    *, q: int, halves: int = 1):
     """Per-block exact rescore: the [R, L] forward slices stream through VMEM ONCE
     and the Q-term compare-accumulate runs register-resident (the XLA formulations
     re-read the 100+ MB gathered plane per term or materialize [B,F,L,Q] —
-    measured 3.0-3.5 ms at [256, 256, 128] x Q=16 either way)."""
+    measured 3.0-3.5 ms at [256, 256, 128] x Q=16 either way).
+
+    halves=2: each 128-lane row carries TWO candidates (lanes [0,64) and
+    [64,128)); lane 0 of the output row gets the low half's total, lane 1 the
+    high half's."""
     ft = ft_ref[:]  # [R, L]
     fw = fw_ref[:]
     live = (ft >= 0) & (fw > 0.0)
@@ -96,13 +114,27 @@ def _rescore_kernel(ft_ref, fw_ref, tid_ref, idf_ref, score_ref, count_ref, *, q
             csum = csum + hitc[:, si * 128 : (si + 1) * 128]
         score = score + wsum * idfv
         count = count + csum
+    if halves == 2:
+        lane = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+        lo = lane < 64
+        s_lo = jnp.sum(jnp.where(lo, score, 0.0), axis=1, keepdims=True)
+        s_hi = jnp.sum(jnp.where(lo, 0.0, score), axis=1, keepdims=True)
+        c_lo = jnp.sum(jnp.where(lo, count, 0), axis=1, keepdims=True)
+        c_hi = jnp.sum(jnp.where(lo, 0, count), axis=1, keepdims=True)
+        score_ref[:] = jnp.where(lane == 0, s_lo, jnp.where(lane == 1, s_hi, 0.0))
+        count_ref[:] = jnp.where(lane == 0, c_lo, jnp.where(lane == 1, c_hi, 0))
+        return
     score_ref[:] = jnp.sum(score, axis=1, keepdims=True) * jnp.ones((1, 128), jnp.float32)
     count_ref[:] = jnp.sum(count, axis=1, keepdims=True) * jnp.ones((1, 128), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _rescore_blocks(ft, fw, tids_rows, idf_rows, interpret: bool):
-    """[N_rows, L] forward slices + per-row query data -> (scores, counts) [N_rows]."""
+@functools.partial(jax.jit, static_argnames=("interpret", "halves"))
+def _rescore_blocks(ft, fw, tids_rows, idf_rows, interpret: bool, halves: int = 1):
+    """[N_rows, L] forward slices + per-row query data -> (scores, counts).
+
+    halves=1: one candidate per row -> [N_rows] outputs.
+    halves=2: two candidates per row (lane halves) -> [2*N_rows] outputs in
+    candidate order (row r holds candidates 2r and 2r+1)."""
     n, l = ft.shape
     l_pad = max(128, ((l + 127) // 128) * 128)
     if l_pad != l:
@@ -122,7 +154,7 @@ def _rescore_blocks(ft, fw, tids_rows, idf_rows, interpret: bool):
         tids_rows = jnp.pad(tids_rows, ((0, 0), (0, qp - q)), constant_values=-1)
         idf_rows = jnp.pad(idf_rows, ((0, 0), (0, qp - q)))
     grid = n_pad // rows
-    kernel = functools.partial(_rescore_kernel, q=q)
+    kernel = functools.partial(_rescore_kernel, q=q, halves=halves)
     score, count = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -147,10 +179,15 @@ def _rescore_blocks(ft, fw, tids_rows, idf_rows, interpret: bool):
         ),
         interpret=interpret,
     )(ft, fw, tids_rows, idf_rows)
+    if halves == 2:
+        s2 = jnp.stack([score[:n, 0], score[:n, 1]], axis=-1).reshape(-1)
+        c2 = jnp.stack([count[:n, 0], count[:n, 1]], axis=-1).reshape(-1)
+        return s2, c2
     return score[:n, 0], count[:n, 0]
 
 
-def rescore_topk(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf, k: int, mode: str):
+def rescore_topk(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf, k: int, mode: str,
+                 fwd_width: int = 0):
     """Top-k over exactly-rescored candidates, lowest-row tie-breaks.
 
     Candidates are sorted by row first so `lax.top_k`'s first-occurrence tie rule
@@ -160,7 +197,8 @@ def rescore_topk(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf, k: int, mode: st
     big = jnp.int32(2**30)
     rows_sorted = jnp.sort(jnp.where(cand_rows < 0, big, cand_rows), axis=-1)
     rows_sorted = jnp.where(rows_sorted >= big, -1, rows_sorted)
-    scores, counts = exact_rescore(term_ids, rows_sorted, fwd_tids, fwd_wnorm, idf)
+    scores, counts = exact_rescore(term_ids, rows_sorted, fwd_tids, fwd_wnorm, idf,
+                                   fwd_width=fwd_width)
     live = (rows_sorted >= 0) & (scores > 0.0)
     if mode == "all":
         nterm = jnp.sum(term_ids >= 0, axis=1, keepdims=True).astype(jnp.int32)

@@ -69,7 +69,16 @@ class ShardedLexIndex:
     # exact rescore of local candidates (ops/bm25_rescore.py)
     fwd_tids: jax.Array | None = None
     fwd_wnorm: jax.Array | None = None
+    # impact-chunked packed postings [S, PB*1024] (present iff budget truncation
+    # active; see index/lex.py build_impact_chunks + ops/bm25_chunked_pallas.py)
+    pk_chunks: jax.Array | None = None
+    pk_chunks_rev: jax.Array | None = None
+    chunk_base: jax.Array | None = None  # [S, T]
+    chunk_counts: jax.Array | None = None  # [S, T]
     max_df: int = field(metadata=dict(static=True), default=0)
+    pk_qb: int = field(metadata=dict(static=True), default=0)
+    pk_max_chunks: int = field(metadata=dict(static=True), default=0)
+    fwd_width: int = field(metadata=dict(static=True), default=0)
 
 
 def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) -> ShardedLexIndex:
@@ -152,7 +161,37 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
             dr[si], wn[si], offs.astype(np.int64)
         )
 
+    pk_sh = pkr_sh = cbase_sh = ccnt_sh = None
+    pk_qb = pk_maxc = 0
+    if full.fwd_tids is not None:
+        from wax_tpu.index.lex import build_impact_chunks
+
+        per_pk, per_pkr, per_cb, per_cc = [], [], [], []
+        for si, (rows_cat, tfs_cat, offs) in enumerate(shard_postings):
+            pk_i, pkr_i, cb_i, cc_i, pk_qb = build_impact_chunks(
+                dr[si], wn[si].astype(np.float64), offs.astype(np.int64),
+                idf.astype(np.float64), per,
+            )
+            per_pk.append(pk_i)
+            per_pkr.append(pkr_i)
+            per_cb.append(cb_i)
+            per_cc.append(cc_i)
+            pk_maxc = max(pk_maxc, int(cc_i.max()) if len(cc_i) else 0)
+        pb_max = max(len(p) for p in per_pk)
+        pk_a = np.full((s, pb_max), np.int32(2**31 - 1), np.int32)
+        pkr_a = np.full((s, pb_max), np.int32(2**31 - 1), np.int32)
+        for si in range(s):
+            pk_a[si, : len(per_pk[si])] = per_pk[si]
+            pkr_a[si, : len(per_pkr[si])] = per_pkr[si]
+        cbase_a = np.stack(per_cb) if t else np.zeros((s, 1), np.int32)
+        ccnt_a = np.stack(per_cc) if t else np.zeros((s, 1), np.int32)
+        pk_sh = shard_rows(mesh, jnp.asarray(pk_a))
+        pkr_sh = shard_rows(mesh, jnp.asarray(pkr_a))
+        cbase_sh = shard_rows(mesh, jnp.asarray(cbase_a))
+        ccnt_sh = shard_rows(mesh, jnp.asarray(ccnt_a))
+
     ftids_sh = fwn_sh = None
+    fwd_width = 0
     if full.fwd_tids is not None:
         ftids_g = np.asarray(full.fwd_tids)
         fwn_g = np.asarray(full.fwd_wnorm)
@@ -167,6 +206,7 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
                 fwn[si, : src_hi - lo] = fwn_g[lo:src_hi]
         ftids_sh = shard_rows(mesh, jnp.asarray(ftids))
         fwn_sh = shard_rows(mesh, jnp.asarray(fwn))
+        fwd_width = int(full.fwd_width)
 
     return ShardedLexIndex(
         doc_rows=shard_rows(mesh, jnp.asarray(dr)),
@@ -183,7 +223,14 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
         wnorm_rev=shard_rows(mesh, jnp.asarray(wn_rev)),
         fwd_tids=ftids_sh,
         fwd_wnorm=fwn_sh,
+        pk_chunks=pk_sh,
+        pk_chunks_rev=pkr_sh,
+        chunk_base=cbase_sh,
+        chunk_counts=ccnt_sh,
         max_df=((max_df + 127) // 128) * 128,
+        pk_qb=pk_qb,
+        pk_max_chunks=pk_maxc,
+        fwd_width=fwd_width,
     )
 
 
@@ -265,27 +312,40 @@ def _resolve_lex_backend(lex: "ShardedLexIndex", backend: str, q2: int = 16) -> 
 
 def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev,
                                 kk, w, mode, pallas: bool,
-                                fwd_tids=None, fwd_wnorm=None, rescore: bool = False):
+                                fwd_tids=None, fwd_wnorm=None, rescore: bool = False,
+                                chunked=None, fwd_width: int = 0):
     """Per-shard candidate-set BM25 local top-k: (vals, local_rows), -1 rows dead.
 
     With `rescore` (static), candidates are generated OR-mode ("count"-ranked for
     AND queries) from the budgeted postings and the local top-F is exactly
     rescored against the shard's forward index — AND filtering then uses exact
-    counts (ops/bm25_rescore.py)."""
+    counts (ops/bm25_rescore.py). `chunked` (optional tuple of
+    (pk, pk_rev, chunk_base, chunk_counts, qb, max_chunks)) switches candidate
+    generation to the packed chunked kernel (ops/bm25_chunked_pallas.py)."""
     gen_mode = ("count" if mode == "all" else "any") if rescore else mode
     if rescore and pallas:
         from wax_tpu.ops.bm25_candidates_pallas import _SEL_LEVELS
         from wax_tpu.ops.bm25_rescore import rescore_topk
 
         # in-kernel selection: sel*1024 candidates, no [B, Q2*W2] plane in HBM
-        cand_rows, keys = candidate_scores_pallas(
-            tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev,
-            max_df=w, mode=gen_mode, sel=_SEL_LEVELS,
-        )
+        if chunked is not None:
+            from wax_tpu.ops.bm25_chunked_pallas import chunked_candidates_sel
+
+            pk, pkr, cbase, ccnt, pk_qb, pk_maxc = chunked
+            cand_rows, keys = chunked_candidates_sel(
+                tids, pk, pkr, cbase, ccnt, qb=pk_qb, max_chunks=pk_maxc,
+                mode=gen_mode, sel=_SEL_LEVELS,
+            )
+        else:
+            cand_rows, keys = candidate_scores_pallas(
+                tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev,
+                max_df=w, mode=gen_mode, sel=_SEL_LEVELS,
+            )
         f = int(min(max(4 * kk, 256), keys.shape[-1]))
         _, cpos = jax.lax.top_k(keys, f)
         crows = jnp.take_along_axis(cand_rows, cpos, axis=-1)
-        return rescore_topk(tids, crows, fwd_tids, fwd_wnorm, idf, kk, mode)
+        return rescore_topk(tids, crows, fwd_tids, fwd_wnorm, idf, kk, mode,
+                            fwd_width=fwd_width)
     if pallas:
         rows, scores = candidate_scores_pallas(
             tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev, max_df=w, mode=gen_mode
@@ -300,7 +360,8 @@ def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, w
         crows = jnp.where(
             cvals > NEG_INF * 0.5, jnp.take_along_axis(rows, cpos, axis=-1), -1
         )
-        return rescore_topk(tids, crows, fwd_tids, fwd_wnorm, idf, kk, mode)
+        return rescore_topk(tids, crows, fwd_tids, fwd_wnorm, idf, kk, mode,
+                            fwd_width=fwd_width)
     vals, pos = wide_topk(scores, kk)
     sel = jnp.take_along_axis(rows, pos, axis=-1)
     ok = vals > NEG_INF * 0.5
@@ -308,7 +369,9 @@ def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, w
 
 
 @functools.lru_cache(maxsize=128)
-def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int, rescore: bool):
+def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int, rescore: bool,
+                  chunked: bool = False, pk_qb: int = 0, pk_maxc: int = 0,
+                  fwd_width: int = 0):
     """Jitted sharded-BM25 program, memoized per static config.
 
     Eager shard_map dispatches its body op-by-op — for the candidate-set merge
@@ -322,12 +385,12 @@ def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int, rescore: 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P()) + (rows_spec,) * 12,
+        in_specs=(P(), P()) + (rows_spec,) * 16,
         out_specs=(P(), P()),
         check_vma=False,
     )
     def run2(tids, avgdl, doc_rows, tfs, offsets, idf, doc_len, live, frame_ids, wnorm,
-             drr, wnr, ftids, fwn):
+             drr, wnr, ftids, fwn, pk, pkr, cbase, ccnt):
         n_local = doc_len.shape[1]
         kk = min(k, n_local)
         if backend == "scatter":
@@ -339,6 +402,8 @@ def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int, rescore: 
                 tids, doc_rows[0], wnorm[0], offsets[0], idf[0], drr[0], wnr[0], kk, w, mode,
                 pallas=backend == "candidates_pallas",
                 fwd_tids=ftids[0], fwd_wnorm=fwn[0], rescore=rescore,
+                chunked=(pk[0], pkr[0], cbase[0], ccnt[0], pk_qb, pk_maxc)
+                if chunked else None, fwd_width=fwd_width,
             )
         gfids = jnp.where(vals > NEG_INF * 0.5, jnp.take(frame_ids[0], jnp.maximum(rows, 0)), -1)
         return merge_topk_across_mesh(vals, gfids.astype(jnp.int32), k, mesh)
@@ -357,7 +422,11 @@ def sharded_bm25_topk(
     """
     backend = _resolve_lex_backend(lex, backend, q2=int(term_ids.shape[-1]))
     rescore = backend != "scatter" and lex.fwd_tids is not None
-    run2 = _bm25_program(mesh, int(k), mode, backend, int(lex.max_df), rescore)
+    chunked = (
+        rescore and backend == "candidates_pallas" and lex.pk_chunks is not None
+    )
+    run2 = _bm25_program(mesh, int(k), mode, backend, int(lex.max_df), rescore,
+                         chunked, lex.pk_qb, lex.pk_max_chunks, lex.fwd_width)
     wn = lex.wnorm if lex.wnorm is not None else lex.tfs
     drr = lex.doc_rows_rev if lex.doc_rows_rev is not None else lex.doc_rows
     wnr = lex.wnorm_rev if lex.wnorm_rev is not None else wn
@@ -365,10 +434,20 @@ def sharded_bm25_topk(
     # unused when rescore is False; tiny dummies keep the shard_map arity static
     ftids = lex.fwd_tids if rescore else jnp.full((s, 1, 128), -1, jnp.int32)
     fwn = lex.fwd_wnorm if rescore else jnp.zeros((s, 1, 128), jnp.float32)
+    pk, pkr, cbase, ccnt = _chunked_args(lex, chunked, s)
     return run2(
         term_ids, lex.avgdl, lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len,
-        lex.live, lex.frame_ids, wn, drr, wnr, ftids, fwn,
+        lex.live, lex.frame_ids, wn, drr, wnr, ftids, fwn, pk, pkr, cbase, ccnt,
     )
+
+
+def _chunked_args(lex: ShardedLexIndex, chunked: bool, s: int):
+    """Chunked-kernel shard arrays, or tiny dummies keeping shard_map arity static."""
+    if chunked:
+        return lex.pk_chunks, lex.pk_chunks_rev, lex.chunk_base, lex.chunk_counts
+    dummy_pk = jnp.full((s, 1024), jnp.int32(2**31 - 1))
+    dummy_c = jnp.zeros((s, 1), jnp.int32)
+    return dummy_pk, dummy_pk, dummy_c, dummy_c
 
 
 @functools.lru_cache(maxsize=128)
@@ -383,6 +462,10 @@ def _hybrid_program(
     w_bm25: float,
     rrf_k: float,
     lex_rescore: bool,
+    lex_chunked: bool = False,
+    pk_qb: int = 0,
+    pk_maxc: int = 0,
+    fwd_width: int = 0,
 ):
     """Jitted one-program hybrid, memoized per static config (see _bm25_program)."""
     rows_spec = P(corpus_axes(mesh))
@@ -391,12 +474,12 @@ def _hybrid_program(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P()) + (rows_spec,) * 15,
+        in_specs=(P(), P(), P()) + (rows_spec,) * 19,
         out_specs=(P(), P()),
         check_vma=False,
     )
     def run(q, tids, avgdl, emb, d_fids, d_bias, doc_rows, tfs, offsets, idf, doc_len,
-            live, l_fids, wnorm, drr, wnr, ftids, fwn):
+            live, l_fids, wnorm, drr, wnr, ftids, fwn, pk, pkr, cbase, ccnt):
         b = q.shape[0]
         # dense lane: chunkmax (DMA rescore, never materializes [B, N_local] in
         # HBM) once the local shard is large enough for its rescore traffic to
@@ -426,6 +509,8 @@ def _hybrid_program(
                 tids, doc_rows[0], wnorm[0], offsets[0], idf[0], drr[0], wnr[0], kk_l, w, "any",
                 pallas=lex_backend == "candidates_pallas",
                 fwd_tids=ftids[0], fwd_wnorm=fwn[0], rescore=lex_rescore,
+                chunked=(pk[0], pkr[0], cbase[0], ccnt[0], pk_qb, pk_maxc)
+                if lex_chunked else None, fwd_width=fwd_width,
             )
         lfid = jnp.where(lv > NEG_INF * 0.5, jnp.take(l_fids[0], jnp.maximum(lrows, 0)), -1)
         lv_g, lfid_g = merge_topk_across_mesh(lv, lfid.astype(jnp.int32), fetch, mesh)
@@ -487,9 +572,13 @@ def sharded_hybrid_topk(
         and min(fetch, local_rows) <= 100
     )
     lex_rescore = lex_backend != "scatter" and lex.fwd_tids is not None
+    lex_chunked = (
+        lex_rescore and lex_backend == "candidates_pallas" and lex.pk_chunks is not None
+    )
     run = _hybrid_program(
         mesh, int(k), fetch, int(lex.max_df), use_chunkmax, lex_backend,
         float(w_dense), float(w_bm25), float(rrf_k), lex_rescore,
+        lex_chunked, lex.pk_qb, lex.pk_max_chunks, lex.fwd_width,
     )
     wn = lex.wnorm if lex.wnorm is not None else lex.tfs
     drr = lex.doc_rows_rev if lex.doc_rows_rev is not None else lex.doc_rows
@@ -497,9 +586,10 @@ def sharded_hybrid_topk(
     s = lex.doc_len.shape[0]
     ftids = lex.fwd_tids if lex_rescore else jnp.full((s, 1, 128), -1, jnp.int32)
     fwn = lex.fwd_wnorm if lex_rescore else jnp.zeros((s, 1, 128), jnp.float32)
+    pk, pkr, cbase, ccnt = _chunked_args(lex, lex_chunked, s)
     return run(
         queries, term_ids, lex.avgdl,
         dense.emb, dense.frame_ids, dense.bias,
         lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live, lex.frame_ids,
-        wn, drr, wnr, ftids, fwn,
+        wn, drr, wnr, ftids, fwn, pk, pkr, cbase, ccnt,
     )
