@@ -376,7 +376,7 @@ def _synth_sharded_lex(n, n_terms, budget, seed=5, per_doc=64):
     # doc-major forward index when the budget binds (production semantics:
     # LexIndexBuilder builds fwd_tids/fwd_wnorm iff a term was truncated, and the
     # candidate lane then rescores its top-F exactly) — vectorized CSR inversion
-    fwd_t = fwd_w = None
+    fwd_t = fwd_w = fwd_z = None
     fwd_width = 0
     if truncated:
         tid_all = np.repeat(np.arange(n_terms, dtype=np.int32), df)
@@ -395,6 +395,9 @@ def _synth_sharded_lex(n, n_terms, budget, seed=5, per_doc=64):
         fwd_t = jnp.asarray(ft[None, :, :])
         fwd_w = jnp.asarray(fw[None, :, :])
         fwd_width = int(widths.max())
+        from wax_tpu.index.lex import fuse_forward
+
+        fwd_z = jnp.asarray(fuse_forward(ft, fw, fwd_width)[None, :, :])
     pk = pkr = cbase = ccnt = None
     pk_qb = pk_maxc = 0
     if truncated:
@@ -424,6 +427,7 @@ def _synth_sharded_lex(n, n_terms, budget, seed=5, per_doc=64):
         wnorm_rev=jnp.asarray(rev_w[None, :]),
         fwd_tids=fwd_t,
         fwd_wnorm=fwd_w,
+        fwd_fused=fwd_z,
         pk_chunks=pk,
         pk_chunks_rev=pkr,
         chunk_base=cbase,
@@ -473,7 +477,7 @@ def bench_hybrid(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16, budget
     with mesh:
         @jax.jit
         def chained(q, iters_, tids, demb, dfid, dbias, ldr, ltf, loff, lidf, ldl,
-                    llive, lfid, lbase, lwn, ldrr, lwnr, lft, lfw, lpk, lpkr, lcb, lcc):
+                    llive, lfid, lbase, lwn, ldrr, lwnr, lft, lfw, lfz, lpk, lpkr, lcb, lcc):
             # contiguous is STATIC — dropping it here silently falls back to the
             # [B, N_local]-plane blockmax dense lane
             dn = ShardedDenseIndex(emb=demb, frame_ids=dfid, bias=dbias, contiguous=True)
@@ -481,7 +485,7 @@ def bench_hybrid(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16, budget
                 doc_rows=ldr, tfs=ltf, offsets=loff, idf=lidf, doc_len=ldl,
                 frame_ids=lfid, live=llive, row_base=lbase, avgdl=lex.avgdl,
                 wnorm=lwn, doc_rows_rev=ldrr, wnorm_rev=lwnr,
-                fwd_tids=lft, fwd_wnorm=lfw,
+                fwd_tids=lft, fwd_wnorm=lfw, fwd_fused=lfz,
                 pk_chunks=lpk, pk_chunks_rev=lpkr, chunk_base=lcb, chunk_counts=lcc,
                 max_df=max_df, pk_qb=lex.pk_qb, pk_max_chunks=lex.pk_max_chunks,
                 fwd_width=lex.fwd_width,
@@ -504,7 +508,7 @@ def bench_hybrid(n=102_400, d=384, b=256, k=10, n_terms=8192, q_terms=16, budget
             tids0, dense.emb, dense.frame_ids, dense.bias,
             lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live,
             lex.frame_ids, lex.row_base, lex.wnorm, lex.doc_rows_rev, lex.wnorm_rev,
-            lex.fwd_tids, lex.fwd_wnorm,
+            lex.fwd_tids, lex.fwd_wnorm, lex.fwd_fused,
             lex.pk_chunks, lex.pk_chunks_rev, lex.chunk_base, lex.chunk_counts,
         )
         float(chained(q0, 1, *args))

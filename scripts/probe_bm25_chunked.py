@@ -28,15 +28,22 @@ from wax_tpu.ops.bm25_candidates_pallas import _SEL_LEVELS, candidate_scores_pal
 from wax_tpu.ops.bm25_chunked_pallas import chunked_candidates_sel
 from wax_tpu.ops.bm25_rescore import rescore_topk
 
-N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_048_576
-BUDGET = int(sys.argv[2]) if len(sys.argv) > 2 else 3072
-F = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+def _argi(i: int, default: int) -> int:
+    try:
+        return int(sys.argv[i])
+    except (IndexError, ValueError):
+        return default
+
+
+N = _argi(1, 1_048_576)
+BUDGET = _argi(2, 3072)
+F = _argi(3, 256)
 T, B, QT, K = 16384, 256, 16, 10
 
 
 _ARRAY_FIELDS = (
     "doc_rows", "tfs", "offsets", "idf", "doc_len", "frame_ids", "live", "row_base",
-    "avgdl", "wnorm", "doc_rows_rev", "wnorm_rev", "fwd_tids", "fwd_wnorm",
+    "avgdl", "wnorm", "doc_rows_rev", "wnorm_rev", "fwd_tids", "fwd_wnorm", "fwd_fused",
     "pk_chunks", "pk_chunks_rev", "chunk_base", "chunk_counts",
 )
 _STATIC_FIELDS = ("max_df", "pk_qb", "pk_max_chunks", "fwd_width")
@@ -51,6 +58,12 @@ def _cached_synth(n, t, budget):
         z = np.load(cache)
         kw = {k: jnp.asarray(z[k]) for k in _ARRAY_FIELDS if k in z.files}
         kw.update({k: int(z[k]) for k in _STATIC_FIELDS})
+        if "fwd_fused" not in z.files and "fwd_tids" in z.files:
+            from wax_tpu.index.lex import fuse_forward
+
+            kw["fwd_fused"] = jnp.asarray(
+                fuse_forward(z["fwd_tids"][0], z["fwd_wnorm"][0], int(z["fwd_width"]))[None]
+            )
         return ShardedLexIndex(**kw)
     lex = _synth_sharded_lex(n, t, budget)
     arrs = {
@@ -77,6 +90,15 @@ def main() -> None:
     def sel_chunked(tids, pk, pkr, cb, cc):
         return chunked_candidates_sel(tids, pk, pkr, cb, cc, qb=lex.pk_qb,
                                       max_chunks=lex.pk_max_chunks, mode="any")
+
+    def lane_fused(gen, n_gen_args):
+        def fn(tids, *arrs):
+            gen_args, (fz, idf) = arrs[:n_gen_args], arrs[n_gen_args:]
+            rows, keys = gen(tids, *gen_args)
+            _, cpos = jax.lax.top_k(keys, F)
+            crows = jnp.take_along_axis(rows, cpos, axis=-1)
+            return rescore_topk(tids, crows, None, None, idf, K, "any", fwd_fused=fz)
+        return fn
 
     def lane(gen, n_gen_args):
         # forward-index arrays ride as ARGUMENTS (closing over them bakes 1M-row
@@ -119,6 +141,12 @@ def main() -> None:
         crows = (crows + tids[:, :1]) % jnp.int32(N)
         return rescore_topk(tids, crows, ft, fw, idf, K, "any", fwd_width=fwd_width)
 
+    fz0 = lex.fwd_fused[0] if lex.fwd_fused is not None else None
+
+    def rescore_fused(tids, crows, fz, idf):
+        crows = (crows + tids[:, :1]) % jnp.int32(N)
+        return rescore_topk(tids, crows, None, None, idf, K, "any", fwd_fused=fz)
+
     def rescore_nopack(tids, crows, ft, fw, idf):
         crows = (crows + tids[:, :1]) % jnp.int32(N)
         return rescore_topk(tids, crows, ft, fw, idf, K, "any")
@@ -144,6 +172,8 @@ def main() -> None:
          (crows0,) + res_args),
         ("rescore_nopack", chained(rescore_nopack, lambda o: o[0][0, 0]),
          (crows0,) + res_args),
+        ("rescore_fused", chained(rescore_fused, lambda o: o[0][0, 0]),
+         (crows0, fz0, lex.idf[0])),
         ("rescore_q1", chained(rescore_q1, lambda o: o[0][0, 0]),
          (crows0,) + res_args),
         ("gather_only", chained(gather_only, lambda o: o[0]),
@@ -152,6 +182,8 @@ def main() -> None:
          old_args + res_args),
         ("lane_chunked", chained(lane(sel_chunked, len(ch_args)), lambda o: o[0][0, 0]),
          ch_args + res_args),
+        ("lane_fused", chained(lane_fused(sel_chunked, len(ch_args)), lambda o: o[0][0, 0]),
+         ch_args + (fz0, lex.idf[0])),
     ]
     names = sys.argv[4].split(",") if len(sys.argv) > 4 else None
     q0 = jnp.zeros((1,), jnp.float32)

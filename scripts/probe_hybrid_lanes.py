@@ -22,7 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
-from bench import _make_timer, _synth_sharded_lex, _unit_data, robust_slope
+from bench import _make_timer, _unit_data, robust_slope
+from probe_bm25_chunked import _cached_synth
 from wax_tpu.parallel.sharded_hybrid import (
     ShardedLexIndex,
     sharded_bm25_topk,
@@ -36,30 +37,38 @@ D, B, K, T, QT = 384, 256, 10, 16384, 16
 
 
 def main() -> None:
+    dtype = "bfloat16" if N >= 1_000_000 else "float32"  # mirror bench_hybrid_1m
     emb, q0 = _unit_data(N, D, B, seed=3)
+    if dtype == "bfloat16":
+        emb = emb.astype(jnp.bfloat16)
     mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
-    lex = _synth_sharded_lex(N, T, BUDGET)
+    lex = _cached_synth(N, T, BUDGET)
     max_df = lex.max_df
     dense = ShardedDenseIndex(
         emb=emb,
         frame_ids=jnp.asarray(np.arange(N, dtype=np.int32)),
         bias=jnp.zeros((N,), jnp.float32),
+        contiguous=True,
     )
     rng = np.random.default_rng(7)
     tids0 = jnp.asarray(rng.integers(0, T, (B, QT)).astype(np.int32))
     lex_arrs = (
         lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live,
         lex.frame_ids, lex.row_base, lex.wnorm, lex.doc_rows_rev, lex.wnorm_rev,
-        lex.fwd_tids, lex.fwd_wnorm,
+        lex.fwd_tids, lex.fwd_wnorm, lex.fwd_fused,
+        lex.pk_chunks, lex.pk_chunks_rev, lex.chunk_base, lex.chunk_counts,
     )
 
     def rebuild_lex(ldr, ltf, loff, lidf, ldl, llive, lfid, lbase, lwn, ldrr, lwnr,
-                    lft, lfw):
+                    lft, lfw, lfz, lpk, lpkr, lcb, lcc):
         return ShardedLexIndex(
             doc_rows=ldr, tfs=ltf, offsets=loff, idf=lidf, doc_len=ldl,
             frame_ids=lfid, live=llive, row_base=lbase, avgdl=lex.avgdl,
             wnorm=lwn, doc_rows_rev=ldrr, wnorm_rev=lwnr,
-            fwd_tids=lft, fwd_wnorm=lfw, max_df=max_df,
+            fwd_tids=lft, fwd_wnorm=lfw, fwd_fused=lfz,
+            pk_chunks=lpk, pk_chunks_rev=lpkr, chunk_base=lcb, chunk_counts=lcc,
+            max_df=max_df, pk_qb=lex.pk_qb, pk_max_chunks=lex.pk_max_chunks,
+            fwd_width=lex.fwd_width,
         )
 
     with mesh:
@@ -70,6 +79,17 @@ def main() -> None:
             def body(i, carry):
                 q, acc = carry
                 v, _ = sharded_flat_scan_topk(q, dn, K, mesh)
+                return q + v[:, :1] * 1e-9, acc + v[0, 0]
+
+            return jax.lax.fori_loop(0, iters_, body, (q, jnp.float32(0)))[1]
+
+        @jax.jit
+        def dense_chunkmax(q, iters_, demb, dfid, dbias):
+            from wax_tpu.ops.chunkmax_scan import chunkmax_scan_topk
+
+            def body(i, carry):
+                q, acc = carry
+                v, _ = chunkmax_scan_topk(q.astype(jnp.float32), demb, dbias[None, :], 20)
                 return q + v[:, :1] * 1e-9, acc + v[0, 0]
 
             return jax.lax.fori_loop(0, iters_, body, (q, jnp.float32(0)))[1]
@@ -99,11 +119,15 @@ def main() -> None:
 
             return jax.lax.fori_loop(0, iters_, body, (q, jnp.float32(0)))[1]
 
+        names = sys.argv[3].split(",") if len(sys.argv) > 3 else None
         for name, fn, args in (
             ("dense", dense_only, (q0, 1, dense.emb, dense.frame_ids, dense.bias)),
+            ("dense_chunkmax", dense_chunkmax, (q0, 1, dense.emb, dense.frame_ids, dense.bias)),
             ("bm25", bm25_only, (q0, 1, tids0) + lex_arrs),
             ("fused", fused, (q0, 1, tids0, dense.emb, dense.frame_ids, dense.bias) + lex_arrs),
         ):
+            if names and name not in names:
+                continue
             float(fn(*args))
             timer_args = args[:1] + args[2:]
             ms, info = robust_slope(

@@ -100,5 +100,63 @@ def main() -> None:
         print(f"  {'(other host work)':24s} {max(0.0, total - accounted - stats.get('orchestrator.search', {}).get('total_ms', 0.0)):8.1f} ms", flush=True)
 
 
+_CHILD = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+from wax_tpu.embed.hash_embedder import HashEmbedder
+from wax_tpu.orchestrator import MemoryOrchestrator, OrchestratorConfig
+t0 = time.perf_counter()
+o = MemoryOrchestrator({path!r}, HashEmbedder(384), OrchestratorConfig())
+o.search("alpha subsystem")
+print("CHILD_MS", (time.perf_counter() - t0) * 1e3)
+o.close()
+"""
+
+
+def main_fresh() -> None:
+    """FRESH-PROCESS cold open -> first query (the MCP-server-restart case):
+    every rep is a new interpreter, so it pays Python lane tracing unless the
+    AOT executable cache (utils/aot_cache.py) serves it. Run with and without
+    WAX_TPU_DISABLE_AOT=1 to see the trace cost the in-process protocol hides.
+
+        python scripts/profile_cold_open.py N REPEATS fresh
+    """
+    import subprocess
+
+    from wax_tpu.embed.hash_embedder import HashEmbedder
+    from wax_tpu.orchestrator import MemoryOrchestrator, OrchestratorConfig
+
+    topics = ("alpha", "beta", "gamma", "delta", "epsilon")
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "fresh.wxs")
+    o = MemoryOrchestrator(path, HashEmbedder(384), OrchestratorConfig())
+    for i in range(N):
+        t = topics[i % len(topics)]
+        o.remember(f"doc {i}: subsystem {t} change {i % 7} produced outcome {i % 11} in run {i}")
+    o.flush()
+    o.close()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _CHILD.format(repo=repo, path=path)
+    label = "AOT disabled" if os.environ.get("WAX_TPU_DISABLE_AOT") == "1" else "AOT enabled"
+    times = []
+    for rep in range(REPEATS + 1):
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, check=True
+        )
+        ms = float(next(l for l in out.stdout.splitlines() if l.startswith("CHILD_MS")).split()[1])
+        if rep == 0:
+            continue  # first child builds/loads caches + page cache
+        times.append(ms)
+        print(f"rep {rep}: fresh-process cold open + first query = {ms:.1f} ms ({label})",
+              flush=True)
+    if times:
+        print(f"median: {sorted(times)[len(times) // 2]:.1f} ms ({label})")
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 3 and sys.argv[3] == "fresh":
+        main_fresh()
+    else:
+        main()

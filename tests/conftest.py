@@ -11,6 +11,13 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
+import tempfile as _tempfile
+
+# isolate the AOT executable cache (utils/aot_cache.py) from the user's real
+# ~/.wax-tpu/aot: tests build many one-off shapes
+if "WAX_TPU_AOT_DIR" not in os.environ:
+    os.environ["WAX_TPU_AOT_DIR"] = _tempfile.mkdtemp(prefix="wax-aot-tests-")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -166,6 +166,7 @@ class LexIndex:
     wnorm_rev: jax.Array | None = None
     fwd_tids: jax.Array | None = None
     fwd_wnorm: jax.Array | None = None
+    fwd_fused: jax.Array | None = None
     # impact-chunked PACKED postings (present iff the budget truncated a term —
     # exactly when fwd_tids is): per term, ceil(df/1024) chunks where chunk j
     # holds impact ranks [j*1024, (j+1)*1024) row-sorted, each posting pre-packed
@@ -184,6 +185,8 @@ class LexIndex:
     # real (pre-padding) forward-index width: lets the rescore kernel pack two
     # candidates per 128-lane row when docs have <= 64 unique terms
     fwd_width: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # fused forward index [N_cap, 2*L2] i32 (fuse_forward): tids | f32 weight
+    # bits — the rescore's single-gather fast path (exact_rescore_fused)
 
     @property
     def n_terms(self) -> int:
@@ -306,6 +309,23 @@ def build_impact_chunks(doc_rows, wnorm, offsets, idf, n_cap):
         pk[dest] = ((rows[src] << qb) | qcon[src]).astype(np.int32)
     pk_rev = pk.reshape(-1, PK_CHUNK)[:, ::-1].reshape(-1).copy()
     return pk, pk_rev, chunk_base, nch.astype(np.int32), qb
+
+
+def fuse_forward(fwd_tids: np.ndarray, fwd_wnorm: np.ndarray, width: int) -> np.ndarray:
+    """Fuse the doc-major forward index into ONE i32 array [N, 2*L2].
+
+    Lanes [0, L2) carry the tids (-1 pad), lanes [L2, 2*L2) the matching f32
+    weights as raw bit patterns; L2 = the real width rounded up to 64 so the
+    row stays a whole number of 128-lane vregs. The rescore's XLA row gather is
+    per-ROW bound, so one fused gather costs half of two parallel ones
+    (ops/bm25_rescore.py exact_rescore_fused)."""
+    n = fwd_tids.shape[0]
+    # stored pair width is >= 128 >= l2, so both slices below are full-width
+    l2 = max(64, ((max(width, 1) + 63) // 64) * 64)
+    fused = np.empty((n, 2 * l2), np.int32)
+    fused[:, :l2] = fwd_tids[:, :l2]
+    fused[:, l2:] = np.ascontiguousarray(fwd_wnorm[:, :l2].astype(np.float32)).view(np.int32)
+    return fused
 
 
 class LexIndexBuilder:
@@ -663,12 +683,13 @@ class LexIndexBuilder:
 
         off_np = offsets if t else np.zeros(2, np.int32)
         rev_r, rev_w = reverse_postings_copies(doc_rows, wnorm, off_np)
-        fwd_tids = fwd_wnorm = None
+        fwd_tids = fwd_wnorm = fwd_fused = None
         pk = pk_rev = cbase = ccounts = None
         pk_qb = pk_maxc = fwd_width = 0
         if truncated:
             fwd_tids, fwd_wnorm = self._build_forward(n_cap, doc_len, active, avgdl, idf)
             fwd_width = int((fwd_tids >= 0).sum(axis=1).max()) if fwd_tids.size else 0
+            fwd_fused = fuse_forward(fwd_tids, fwd_wnorm, fwd_width)
             pk, pk_rev, cbase, ccounts, pk_qb = build_impact_chunks(
                 doc_rows, wnorm, off_np, idf.astype(np.float64), n_cap
             )
@@ -688,6 +709,7 @@ class LexIndexBuilder:
             wnorm_rev=jnp.asarray(rev_w),
             fwd_tids=None if fwd_tids is None else jnp.asarray(fwd_tids),
             fwd_wnorm=None if fwd_wnorm is None else jnp.asarray(fwd_wnorm),
+            fwd_fused=None if fwd_fused is None else jnp.asarray(fwd_fused),
             pk_chunks=None if pk is None else jnp.asarray(pk),
             pk_chunks_rev=None if pk_rev is None else jnp.asarray(pk_rev),
             chunk_base=None if cbase is None else jnp.asarray(cbase),

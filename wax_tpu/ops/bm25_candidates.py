@@ -269,7 +269,8 @@ def bm25_candidates_topk(term_ids, index: LexIndex, k: int, mode: str = "any",
     cvals, cpos = wide_topk(scores, f, exact=False)
     crows = jnp.where(cvals > NEG_INF * 0.5, jnp.take_along_axis(rows, cpos, axis=-1), -1)
     vals, sel = rescore_topk(
-        term_ids, crows, index.fwd_tids, index.fwd_wnorm, index.idf, k, mode
+        term_ids, crows, index.fwd_tids, index.fwd_wnorm, index.idf, k, mode,
+        fwd_width=index.fwd_width, fwd_fused=index.fwd_fused,
     )
     ok = vals > NEG_INF * 0.5
     sel = jnp.where(ok, sel, 0)

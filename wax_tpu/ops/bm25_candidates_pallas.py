@@ -436,12 +436,14 @@ def bm25_candidates_topk_pallas(term_ids, index: LexIndex, k: int, mode: str = "
                 sel=_SEL_LEVELS,
             )
         f = int(min(fetch if fetch is not None else max(4 * k, 256), keys.shape[-1]))
-        _, cpos = jax.lax.top_k(keys, f)  # packed keys: truncated-score order
+        # plain top_k: at [B, sel*1024]=3072 wide, wide_topk's two-stage overhead
+        # measured SLOWER than lax.top_k (hybrid_1m 8.35 -> 8.78 ms)
+        _, cpos = jax.lax.top_k(keys, f)
         crows = jnp.take_along_axis(cand_rows, cpos, axis=-1)  # dead slots carry -1
         vals, sel = rescore_topk(
             term_ids if term_ids.ndim == 2 else term_ids[None, :],
             crows, index.fwd_tids, index.fwd_wnorm, index.idf, k, mode,
-            fwd_width=index.fwd_width,
+            fwd_width=index.fwd_width, fwd_fused=index.fwd_fused,
         )
     else:
         out_rows, out_scores = candidate_scores_pallas(

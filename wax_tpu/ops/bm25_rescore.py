@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from wax_tpu.ops.topk import NEG_INF
 
-__all__ = ["exact_rescore", "rescore_topk"]
+__all__ = ["exact_rescore", "exact_rescore_fused", "rescore_topk"]
 
 
 def exact_rescore(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf, fwd_width: int = 0):
@@ -186,8 +186,111 @@ def _rescore_blocks(ft, fw, tids_rows, idf_rows, interpret: bool, halves: int = 
     return score[:n, 0], count[:n, 0]
 
 
+def exact_rescore_fused(term_ids, cand_rows, fwd_fused, idf):
+    """Exact rescore against the FUSED forward index — one gather, not two.
+
+    fwd_fused: [N_cap, 2*L2] i32 — lanes [0, L2) hold the doc's unique term ids
+    (-1 pad), lanes [L2, 2*L2) the matching per-(doc, term) weights as f32 bit
+    patterns (index/lex.py fuse_forward). The XLA row gather dominates the
+    rescore (measured 1.35 ms of a 2.34 ms rescore at [256, 256] candidates —
+    per-ROW bound, not per-byte), so fusing tids+weights into one array halves
+    the dominant term. Same results as exact_rescore (differentially tested).
+    """
+    b, q = term_ids.shape
+    f = cand_rows.shape[1]
+    w = fwd_fused.shape[1]
+    safe_rows = jnp.maximum(cand_rows, 0)
+    fz = jnp.take(fwd_fused, safe_rows, axis=0).reshape(b * f, w)
+    valid_q = term_ids >= 0
+    idf_q = jnp.where(valid_q, jnp.take(idf, jnp.maximum(term_ids, 0)), 0.0)
+    tids_q = jnp.where(valid_q, term_ids, -1)
+    tids_rows = jnp.broadcast_to(tids_q[:, None, :], (b, f, q)).reshape(b * f, q)
+    idf_rows = jnp.broadcast_to(idf_q[:, None, :], (b, f, q)).reshape(b * f, q)
+    scores, counts = _rescore_fused_blocks(
+        fz, tids_rows, idf_rows, jax.default_backend() == "cpu"
+    )
+    scores = scores.reshape(b, f)
+    counts = counts.reshape(b, f)
+    dead = cand_rows < 0
+    return jnp.where(dead, 0.0, scores), jnp.where(dead, 0, counts)
+
+
+def _rescore_fused_kernel(fz_ref, tid_ref, idf_ref, score_ref, count_ref, *, q: int):
+    """Fused-plane rescore: lanes [0, L2) are tids, [L2, 2*L2) weight bits; a
+    lane roll by L2 aligns each tid with its weight."""
+    fz = fz_ref[:]  # [R, 2*L2] i32
+    w = fz.shape[1]
+    l2 = w // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, fz.shape, 1)
+    tid_zone = lane < l2
+    wb = jnp.roll(fz, -l2, axis=1)  # lane i <- weight bits of tid lane i
+    fw = jax.lax.bitcast_convert_type(wb, jnp.float32)
+    live = tid_zone & (fz >= 0)
+    score = jnp.zeros(fz.shape[:1] + (128,), jnp.float32)
+    count = jnp.zeros(fz.shape[:1] + (128,), jnp.int32)
+    n_slices = w // 128
+    for qi in range(q):
+        tid = tid_ref[:, qi][:, None]
+        idfv = idf_ref[:, qi][:, None]
+        m = live & (fz == tid) & (tid >= 0)
+        hitw = jnp.where(m, fw, 0.0)
+        hitc = m.astype(jnp.int32)
+        wsum = hitw[:, :128]
+        csum = hitc[:, :128]
+        for si in range(1, n_slices):
+            wsum = wsum + hitw[:, si * 128 : (si + 1) * 128]
+            csum = csum + hitc[:, si * 128 : (si + 1) * 128]
+        score = score + wsum * idfv
+        count = count + csum
+    score_ref[:] = jnp.sum(score, axis=1, keepdims=True) * jnp.ones((1, 128), jnp.float32)
+    count_ref[:] = jnp.sum(count, axis=1, keepdims=True) * jnp.ones((1, 128), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _rescore_fused_blocks(fz, tids_rows, idf_rows, interpret: bool):
+    """[N_rows, 2*L2] fused slices + per-row query data -> (scores, counts)."""
+    n, w = fz.shape
+    q = tids_rows.shape[1]
+    rows = max(8, min(512, 65536 // max(w, 128)))
+    n_pad = ((n + rows - 1) // rows) * rows
+    if n_pad != n:
+        fz = jnp.pad(fz, ((0, n_pad - n), (0, 0)), constant_values=-1)
+        tids_rows = jnp.pad(tids_rows, ((0, n_pad - n), (0, 0)), constant_values=-1)
+        idf_rows = jnp.pad(idf_rows, ((0, n_pad - n), (0, 0)))
+    qp = ((q + 127) // 128) * 128
+    if qp != q:
+        tids_rows = jnp.pad(tids_rows, ((0, 0), (0, qp - q)), constant_values=-1)
+        idf_rows = jnp.pad(idf_rows, ((0, 0), (0, qp - q)))
+    grid = n_pad // rows
+    kernel = functools.partial(_rescore_fused_kernel, q=q)
+    score, count = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((rows, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 128), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_pad * w * q,
+            bytes_accessed=n_pad * (w + 2 * qp + 2) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(fz, tids_rows, idf_rows)
+    return score[:n, 0], count[:n, 0]
+
+
 def rescore_topk(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf, k: int, mode: str,
-                 fwd_width: int = 0):
+                 fwd_width: int = 0, fwd_fused=None):
     """Top-k over exactly-rescored candidates, lowest-row tie-breaks.
 
     Candidates are sorted by row first so `lax.top_k`'s first-occurrence tie rule
@@ -197,8 +300,11 @@ def rescore_topk(term_ids, cand_rows, fwd_tids, fwd_wnorm, idf, k: int, mode: st
     big = jnp.int32(2**30)
     rows_sorted = jnp.sort(jnp.where(cand_rows < 0, big, cand_rows), axis=-1)
     rows_sorted = jnp.where(rows_sorted >= big, -1, rows_sorted)
-    scores, counts = exact_rescore(term_ids, rows_sorted, fwd_tids, fwd_wnorm, idf,
-                                   fwd_width=fwd_width)
+    if fwd_fused is not None:
+        scores, counts = exact_rescore_fused(term_ids, rows_sorted, fwd_fused, idf)
+    else:
+        scores, counts = exact_rescore(term_ids, rows_sorted, fwd_tids, fwd_wnorm, idf,
+                                       fwd_width=fwd_width)
     live = (rows_sorted >= 0) & (scores > 0.0)
     if mode == "all":
         nterm = jnp.sum(term_ids >= 0, axis=1, keepdims=True).astype(jnp.int32)

@@ -826,6 +826,13 @@ class MemoryOrchestrator:
             "lex_docs": len(self.engine.lex),
             "vector_count": len(self.engine.vector),
             "vector_engine": self.engine.vector.kind,
+            # recall-aware auto router decision (AutoVectorEngine.stats):
+            # {engine, measured_recall, reason[, nprobe]}
+            **(
+                {"vector_routing": self.engine.vector.stats()}
+                if hasattr(self.engine.vector, "stats")
+                else {}
+            ),
             "flush_count": self._flush_count,
             "spans": span_stats(),
         }

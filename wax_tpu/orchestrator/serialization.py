@@ -122,7 +122,10 @@ def serialize_vector_engine(
 
 
 def _serialize_vector_engine(engine) -> tuple[bytes, dict[str, str]]:
-    if engine.kind in ("flat", "sharded"):
+    if engine.kind in ("flat", "sharded", "auto"):
+        # "auto" (the recall-aware router) persists exactly like flat: the raw
+        # vectors are the source of truth and the routing decision is re-measured
+        # on the reopened corpus
         blob, attrs = serialize_dense(engine.builder)
         attrs["engine"] = engine.kind
         return blob, attrs
@@ -159,12 +162,17 @@ def deserialize_vector_engine(blob: bytes, attrs: dict[str, str], mesh=None):
     from wax_tpu.search.vector_engines import FlatVectorEngine, HNSWVectorEngine
 
     kind = attrs.get("engine", "flat")
-    if kind in ("flat", "sharded"):
-        from wax_tpu.search.vector_engines import ShardedFlatVectorEngine
+    if kind in ("flat", "sharded", "auto"):
+        from wax_tpu.search.vector_engines import (
+            AutoVectorEngine,
+            ShardedFlatVectorEngine,
+        )
 
         builder = deserialize_dense(blob, attrs)
         if kind == "sharded":
             eng = ShardedFlatVectorEngine(dim=builder.dim, similarity=builder.similarity, mesh=mesh)
+        elif kind == "auto":
+            eng = AutoVectorEngine(dim=builder.dim, similarity=builder.similarity)
         else:
             eng = FlatVectorEngine(dim=builder.dim, similarity=builder.similarity)
         eng.builder = builder

@@ -69,6 +69,9 @@ class ShardedLexIndex:
     # exact rescore of local candidates (ops/bm25_rescore.py)
     fwd_tids: jax.Array | None = None
     fwd_wnorm: jax.Array | None = None
+    # fused forward index [S, per, 2*L2] i32 (index/lex.py fuse_forward): the
+    # rescore's single-gather fast path
+    fwd_fused: jax.Array | None = None
     # impact-chunked packed postings [S, PB*1024] (present iff budget truncation
     # active; see index/lex.py build_impact_chunks + ops/bm25_chunked_pallas.py)
     pk_chunks: jax.Array | None = None
@@ -190,7 +193,7 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
         cbase_sh = shard_rows(mesh, jnp.asarray(cbase_a))
         ccnt_sh = shard_rows(mesh, jnp.asarray(ccnt_a))
 
-    ftids_sh = fwn_sh = None
+    ftids_sh = fwn_sh = ffused_sh = None
     fwd_width = 0
     if full.fwd_tids is not None:
         ftids_g = np.asarray(full.fwd_tids)
@@ -207,6 +210,10 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
         ftids_sh = shard_rows(mesh, jnp.asarray(ftids))
         fwn_sh = shard_rows(mesh, jnp.asarray(fwn))
         fwd_width = int(full.fwd_width)
+        from wax_tpu.index.lex import fuse_forward
+
+        fz = np.stack([fuse_forward(ftids[si], fwn[si], fwd_width) for si in range(s)])
+        ffused_sh = shard_rows(mesh, jnp.asarray(fz))
 
     return ShardedLexIndex(
         doc_rows=shard_rows(mesh, jnp.asarray(dr)),
@@ -223,6 +230,7 @@ def shard_lex_index(builder: LexIndexBuilder, mesh: Mesh, n_rows_global: int) ->
         wnorm_rev=shard_rows(mesh, jnp.asarray(wn_rev)),
         fwd_tids=ftids_sh,
         fwd_wnorm=fwn_sh,
+        fwd_fused=ffused_sh,
         pk_chunks=pk_sh,
         pk_chunks_rev=pkr_sh,
         chunk_base=cbase_sh,
@@ -313,7 +321,7 @@ def _resolve_lex_backend(lex: "ShardedLexIndex", backend: str, q2: int = 16) -> 
 def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev,
                                 kk, w, mode, pallas: bool,
                                 fwd_tids=None, fwd_wnorm=None, rescore: bool = False,
-                                chunked=None, fwd_width: int = 0):
+                                chunked=None, fwd_width: int = 0, fwd_fused=None):
     """Per-shard candidate-set BM25 local top-k: (vals, local_rows), -1 rows dead.
 
     With `rescore` (static), candidates are generated OR-mode ("count"-ranked for
@@ -342,10 +350,11 @@ def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, w
                 max_df=w, mode=gen_mode, sel=_SEL_LEVELS,
             )
         f = int(min(max(4 * kk, 256), keys.shape[-1]))
+        # plain top_k: wide_topk measured slower at this 3072-wide key plane
         _, cpos = jax.lax.top_k(keys, f)
         crows = jnp.take_along_axis(cand_rows, cpos, axis=-1)
         return rescore_topk(tids, crows, fwd_tids, fwd_wnorm, idf, kk, mode,
-                            fwd_width=fwd_width)
+                            fwd_width=fwd_width, fwd_fused=fwd_fused)
     if pallas:
         rows, scores = candidate_scores_pallas(
             tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev, max_df=w, mode=gen_mode
@@ -361,7 +370,7 @@ def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, w
             cvals > NEG_INF * 0.5, jnp.take_along_axis(rows, cpos, axis=-1), -1
         )
         return rescore_topk(tids, crows, fwd_tids, fwd_wnorm, idf, kk, mode,
-                            fwd_width=fwd_width)
+                            fwd_width=fwd_width, fwd_fused=fwd_fused)
     vals, pos = wide_topk(scores, kk)
     sel = jnp.take_along_axis(rows, pos, axis=-1)
     ok = vals > NEG_INF * 0.5
@@ -371,7 +380,7 @@ def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, w
 @functools.lru_cache(maxsize=128)
 def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int, rescore: bool,
                   chunked: bool = False, pk_qb: int = 0, pk_maxc: int = 0,
-                  fwd_width: int = 0):
+                  fwd_width: int = 0, use_fused: bool = False):
     """Jitted sharded-BM25 program, memoized per static config.
 
     Eager shard_map dispatches its body op-by-op — for the candidate-set merge
@@ -385,12 +394,12 @@ def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int, rescore: 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P()) + (rows_spec,) * 16,
+        in_specs=(P(), P()) + (rows_spec,) * 17,
         out_specs=(P(), P()),
         check_vma=False,
     )
     def run2(tids, avgdl, doc_rows, tfs, offsets, idf, doc_len, live, frame_ids, wnorm,
-             drr, wnr, ftids, fwn, pk, pkr, cbase, ccnt):
+             drr, wnr, ftids, fwn, ffz, pk, pkr, cbase, ccnt):
         n_local = doc_len.shape[1]
         kk = min(k, n_local)
         if backend == "scatter":
@@ -404,6 +413,7 @@ def _bm25_program(mesh: Mesh, k: int, mode: str, backend: str, w: int, rescore: 
                 fwd_tids=ftids[0], fwd_wnorm=fwn[0], rescore=rescore,
                 chunked=(pk[0], pkr[0], cbase[0], ccnt[0], pk_qb, pk_maxc)
                 if chunked else None, fwd_width=fwd_width,
+                fwd_fused=ffz[0] if use_fused else None,
             )
         gfids = jnp.where(vals > NEG_INF * 0.5, jnp.take(frame_ids[0], jnp.maximum(rows, 0)), -1)
         return merge_topk_across_mesh(vals, gfids.astype(jnp.int32), k, mesh)
@@ -426,7 +436,8 @@ def sharded_bm25_topk(
         rescore and backend == "candidates_pallas" and lex.pk_chunks is not None
     )
     run2 = _bm25_program(mesh, int(k), mode, backend, int(lex.max_df), rescore,
-                         chunked, lex.pk_qb, lex.pk_max_chunks, lex.fwd_width)
+                         chunked, lex.pk_qb, lex.pk_max_chunks, lex.fwd_width,
+                         use_fused=rescore and lex.fwd_fused is not None)
     wn = lex.wnorm if lex.wnorm is not None else lex.tfs
     drr = lex.doc_rows_rev if lex.doc_rows_rev is not None else lex.doc_rows
     wnr = lex.wnorm_rev if lex.wnorm_rev is not None else wn
@@ -435,9 +446,12 @@ def sharded_bm25_topk(
     ftids = lex.fwd_tids if rescore else jnp.full((s, 1, 128), -1, jnp.int32)
     fwn = lex.fwd_wnorm if rescore else jnp.zeros((s, 1, 128), jnp.float32)
     pk, pkr, cbase, ccnt = _chunked_args(lex, chunked, s)
+    ffz = lex.fwd_fused if (rescore and lex.fwd_fused is not None) else jnp.full(
+        (s, 1, 128), -1, jnp.int32
+    )
     return run2(
         term_ids, lex.avgdl, lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len,
-        lex.live, lex.frame_ids, wn, drr, wnr, ftids, fwn, pk, pkr, cbase, ccnt,
+        lex.live, lex.frame_ids, wn, drr, wnr, ftids, fwn, ffz, pk, pkr, cbase, ccnt,
     )
 
 
@@ -466,6 +480,7 @@ def _hybrid_program(
     pk_qb: int = 0,
     pk_maxc: int = 0,
     fwd_width: int = 0,
+    use_fused: bool = False,
 ):
     """Jitted one-program hybrid, memoized per static config (see _bm25_program)."""
     rows_spec = P(corpus_axes(mesh))
@@ -474,12 +489,12 @@ def _hybrid_program(
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P(), P()) + (rows_spec,) * 19,
+        in_specs=(P(), P(), P()) + (rows_spec,) * 20,
         out_specs=(P(), P()),
         check_vma=False,
     )
     def run(q, tids, avgdl, emb, d_fids, d_bias, doc_rows, tfs, offsets, idf, doc_len,
-            live, l_fids, wnorm, drr, wnr, ftids, fwn, pk, pkr, cbase, ccnt):
+            live, l_fids, wnorm, drr, wnr, ftids, fwn, ffz, pk, pkr, cbase, ccnt):
         b = q.shape[0]
         # dense lane: chunkmax (DMA rescore, never materializes [B, N_local] in
         # HBM) once the local shard is large enough for its rescore traffic to
@@ -511,6 +526,7 @@ def _hybrid_program(
                 fwd_tids=ftids[0], fwd_wnorm=fwn[0], rescore=lex_rescore,
                 chunked=(pk[0], pkr[0], cbase[0], ccnt[0], pk_qb, pk_maxc)
                 if lex_chunked else None, fwd_width=fwd_width,
+                fwd_fused=ffz[0] if use_fused else None,
             )
         lfid = jnp.where(lv > NEG_INF * 0.5, jnp.take(l_fids[0], jnp.maximum(lrows, 0)), -1)
         lv_g, lfid_g = merge_topk_across_mesh(lv, lfid.astype(jnp.int32), fetch, mesh)
@@ -579,6 +595,7 @@ def sharded_hybrid_topk(
         mesh, int(k), fetch, int(lex.max_df), use_chunkmax, lex_backend,
         float(w_dense), float(w_bm25), float(rrf_k), lex_rescore,
         lex_chunked, lex.pk_qb, lex.pk_max_chunks, lex.fwd_width,
+        use_fused=lex_rescore and lex.fwd_fused is not None,
     )
     wn = lex.wnorm if lex.wnorm is not None else lex.tfs
     drr = lex.doc_rows_rev if lex.doc_rows_rev is not None else lex.doc_rows
@@ -587,9 +604,12 @@ def sharded_hybrid_topk(
     ftids = lex.fwd_tids if lex_rescore else jnp.full((s, 1, 128), -1, jnp.int32)
     fwn = lex.fwd_wnorm if lex_rescore else jnp.zeros((s, 1, 128), jnp.float32)
     pk, pkr, cbase, ccnt = _chunked_args(lex, lex_chunked, s)
+    ffz = lex.fwd_fused if (lex_rescore and lex.fwd_fused is not None) else jnp.full(
+        (s, 1, 128), -1, jnp.int32
+    )
     return run(
         queries, term_ids, lex.avgdl,
         dense.emb, dense.frame_ids, dense.bias,
         lex.doc_rows, lex.tfs, lex.offsets, lex.idf, lex.doc_len, lex.live, lex.frame_ids,
-        wn, drr, wnr, ftids, fwn, pk, pkr, cbase, ccnt,
+        wn, drr, wnr, ftids, fwn, ffz, pk, pkr, cbase, ccnt,
     )

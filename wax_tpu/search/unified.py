@@ -73,15 +73,24 @@ def _bm25_run(engine: HybridSearchEngine, padded, fetch_k: int, mode: str):
         vals, fids = sharded_bm25_topk(padded, engine.lex_sharded_snapshot(), fetch_k, engine.mesh, mode=mode)
         return vals, fids
     snap = engine.lex_snapshot()
+    from wax_tpu.utils.aot_cache import aot_call
+
     if snap.fwd_tids is not None:
         # postings budget truncated a term: the candidate path rescores its top-F
         # against the doc-major forward index, restoring exact multi-term scores
         # the scatter plane would underestimate (ops/bm25_rescore.py)
         from wax_tpu.ops.bm25_candidates import bm25_candidates_topk
 
-        vals, _, fids = bm25_candidates_topk(padded, snap, fetch_k, mode=mode)
+        vals, _, fids = aot_call(
+            "bm25_cand", f"k={fetch_k},m={mode}",
+            lambda p, s: bm25_candidates_topk(p, s, fetch_k, mode=mode), padded, snap,
+        )
         return vals, fids
-    vals, _, fids = bm25_topk(padded, snap, fetch_k, mode=mode)
+    # AOT-persisted executable skips the lane trace on cold opens (utils/aot_cache)
+    vals, _, fids = aot_call(
+        "bm25", f"k={fetch_k},m={mode}",
+        lambda p, s: bm25_topk(p, s, fetch_k, mode=mode), padded, snap,
+    )
     return vals, fids
 
 
