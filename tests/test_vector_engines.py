@@ -27,7 +27,9 @@ def vecs():
 
 class TestFactory:
     def test_preferences(self):
-        assert make_vector_engine("auto", 16).kind == "flat"
+        # "auto" = the recall-aware router (exact scan below AUTO_ANN_ROWS,
+        # measured-recall IVF above — tests/test_auto_engine.py)
+        assert make_vector_engine("auto", 16).kind == "auto"
         assert make_vector_engine("flat", 16).kind == "flat"
         assert make_vector_engine("hnsw", 16).kind == "hnsw"
         assert make_vector_engine("ivf", 16).kind == "ivf"

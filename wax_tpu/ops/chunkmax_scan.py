@@ -30,8 +30,16 @@ __all__ = ["chunkmax_scan_topk"]
 _TB = 256
 # TN sweep at 1M x 768 bf16 on v5e (round 2): 1024 -> 4.30 ms, 2048 -> 3.56 ms
 # (fewer grid steps amortize the per-tile revisit overhead), 4096 -> VMEM OOM
-# (17.4M scoped > 16M limit). 2048 is the widest tile that fits.
+# (17.4M scoped > 16M limit). 2048 is the widest tile that fits at 768 dims;
+# at d <= 448 the 4096 tile fits and measures 1.34 vs 1.48 ms for the maxima
+# pass at 1M x 384 bf16 (round 5 probe) — _pick_tn widens when it can.
 _TN = 2048
+
+
+def _pick_tn(n: int, d: int) -> int:
+    if d <= 448 and n % 4096 == 0:
+        return 4096
+    return _TN
 
 
 def _chunkmax_kernel(q_ref, db_ref, bias_ref, cm_ref, *, tn: int):
@@ -86,6 +94,7 @@ def chunkmax_scan_topk(queries: jax.Array, emb: jax.Array, bias: jax.Array, k: i
     n = emb.shape[0]
     if n % _TN:
         raise ValueError(f"corpus rows must be a multiple of {_TN}")
+    tn = _pick_tn(n, d)
     interpret = jax.default_backend() == "cpu"
     tb = min(_TB, ((b + 7) // 8) * 8)
     q = queries
@@ -94,10 +103,10 @@ def chunkmax_scan_topk(queries: jax.Array, emb: jax.Array, bias: jax.Array, k: i
         q = jnp.pad(q, ((0, b_pad - b), (0, 0)))
     q = q.astype(emb.dtype)
 
-    c_tile = _TN // 128
-    nn = n // _TN
+    c_tile = tn // 128
+    nn = n // tn
     n_chunks = n // 128
-    cm_padded = _chunk_maxima(q, emb, bias, tb, _TN, interpret)[:b_pad]
+    cm_padded = _chunk_maxima(q, emb, bias, tb, tn, interpret)[:b_pad]
     cm = cm_padded.reshape(b_pad, nn, 128)[:, :, :c_tile].reshape(b_pad, nn * c_tile)
     # small corpora can have fewer 128-row chunks than k: rescore every chunk then
     kc = min(k, n_chunks)

@@ -110,16 +110,18 @@ class Maintainer:
         orch = self.orch
         orch.engine.lex.compact()
         vec = orch.engine.vector
-        if vec.kind == "flat":
+        from wax_tpu.index.dense import DenseIndexBuilder
+
+        if isinstance(vec.builder, DenseIndexBuilder):
             b = vec.builder
             state = b.state_arrays()
             live = state["active"]
-            from wax_tpu.index.dense import DenseIndexBuilder
-
             fresh = DenseIndexBuilder(dim=b.dim, similarity=b.similarity)
             if live.any():
                 fresh.add_batch(state["frame_ids"][live], state["emb"][live])
             vec.builder = fresh
+            if hasattr(vec, "_needs_full"):
+                vec._needs_full = True  # IVF buckets must fully rebuild
             vec._snap, vec._snap_gen = None, -1
         return orch.flush()
 
@@ -243,17 +245,22 @@ class Maintainer:
         orch.engine.lex = fresh
         orch.engine._lex_snap, orch.engine._lex_gen = None, -1
 
-        # vector engine: re-add surviving vectors under new ids
+        # vector engine: re-add surviving vectors under new ids. Branch on the
+        # BUILDER type, not engine.kind: flat/auto/ivf/sharded all wrap a
+        # DenseIndexBuilder (the auto router and IVF rebuild their routing /
+        # buckets from the fresh builder), only HNSW carries a graph builder.
         vec = orch.engine.vector
-        if vec.kind == "flat":
-            state = vec.builder.state_arrays()
-            from wax_tpu.index.dense import DenseIndexBuilder
+        from wax_tpu.index.dense import DenseIndexBuilder
 
+        if isinstance(vec.builder, DenseIndexBuilder):
+            state = vec.builder.state_arrays()
             fresh_v = DenseIndexBuilder(dim=vec.builder.dim, similarity=vec.builder.similarity)
             for fid, emb, active in zip(state["frame_ids"], state["emb"], state["active"]):
                 if active and fid in remap:
                     fresh_v.add(remap[int(fid)], emb)
             vec.builder = fresh_v
+            if hasattr(vec, "_needs_full"):
+                vec._needs_full = True  # IVF buckets must fully rebuild
         else:
             state = vec.builder.state_arrays()
             fresh_g = type(vec.builder)(

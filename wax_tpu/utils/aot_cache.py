@@ -24,9 +24,9 @@ Files are pickles of our own serialized executables (trusted local cache, same
 trust model as .jax_cache); a hostile cache dir is equivalent to a hostile
 .jax_cache.
 
-(reference: the Metal pipeline/archive caching the reference gets from the OS —
+(reference: the Metal pipeline caching the reference gets from the OS —
 MTLBinaryArchive semantics — which is why its 17 ms cold open never pays
-pipeline compilation; Sources/WaxVectorSearch/MetalVectorSearchEngine.swift.)
+pipeline compilation; Sources/WaxVectorSearch/MetalVectorEngine.swift:1.)
 """
 from __future__ import annotations
 
