@@ -407,8 +407,8 @@ def bm25_candidates_topk_pallas(term_ids, index: LexIndex, k: int, mode: str = "
         # AND candidates rank by budgeted match count so full conjunctions
         # reach the rescore window even with low budgeted scores
         if index.pk_chunks is not None:
-            # chunked packed kernel: half the merge volume, one plane
-            # (ops/bm25_chunked_pallas.py)
+            # chunked packed kernel: half the merge volume, one plane, shortlist
+            # pre-sorted in-kernel (ops/bm25_chunked_pallas.py)
             from wax_tpu.ops.bm25_chunked_pallas import chunked_candidates_sel
 
             cand_rows, keys = chunked_candidates_sel(
@@ -421,6 +421,15 @@ def bm25_candidates_topk_pallas(term_ids, index: LexIndex, k: int, mode: str = "
                 max_chunks=index.pk_max_chunks,
                 mode="count" if mode == "all" else "any",
                 sel=_SEL_LEVELS,
+            )
+            f = int(min(fetch if fetch is not None else max(4 * k, 256),
+                        keys.shape[-1]))
+            _, cpos = jax.lax.top_k(keys, f)
+            crows = jnp.take_along_axis(cand_rows, cpos, axis=-1)
+            vals, sel = rescore_topk(
+                term_ids if term_ids.ndim == 2 else term_ids[None, :],
+                crows, index.fwd_tids, index.fwd_wnorm, index.idf, k, mode,
+                fwd_width=index.fwd_width, fwd_fused=index.fwd_fused,
             )
         else:
             cand_rows, keys = candidate_scores_pallas(
@@ -435,16 +444,16 @@ def bm25_candidates_topk_pallas(term_ids, index: LexIndex, k: int, mode: str = "
                 mode="count" if mode == "all" else "any",
                 sel=_SEL_LEVELS,
             )
-        f = int(min(fetch if fetch is not None else max(4 * k, 256), keys.shape[-1]))
-        # plain top_k: at [B, sel*1024]=3072 wide, wide_topk's two-stage overhead
-        # measured SLOWER than lax.top_k (hybrid_1m 8.35 -> 8.78 ms)
-        _, cpos = jax.lax.top_k(keys, f)
-        crows = jnp.take_along_axis(cand_rows, cpos, axis=-1)  # dead slots carry -1
-        vals, sel = rescore_topk(
-            term_ids if term_ids.ndim == 2 else term_ids[None, :],
-            crows, index.fwd_tids, index.fwd_wnorm, index.idf, k, mode,
-            fwd_width=index.fwd_width, fwd_fused=index.fwd_fused,
-        )
+            f = int(min(fetch if fetch is not None else max(4 * k, 256),
+                        keys.shape[-1]))
+            # plain top_k (wide_topk's two-stage overhead measured SLOWER here)
+            _, cpos = jax.lax.top_k(keys, f)
+            crows = jnp.take_along_axis(cand_rows, cpos, axis=-1)
+            vals, sel = rescore_topk(
+                term_ids if term_ids.ndim == 2 else term_ids[None, :],
+                crows, index.fwd_tids, index.fwd_wnorm, index.idf, k, mode,
+                fwd_width=index.fwd_width, fwd_fused=index.fwd_fused,
+            )
     else:
         out_rows, out_scores = candidate_scores_pallas(
             term_ids,

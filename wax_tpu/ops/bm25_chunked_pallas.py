@@ -44,7 +44,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from wax_tpu.index.lex import PK_CHUNK
-from wax_tpu.ops.bm25_candidates_pallas import _desc_mask, _iotas, _roll_flat, _roll_flat_back
+from wax_tpu.ops.bm25_candidates_pallas import (
+    _desc_mask,
+    _iotas,
+    _roll_flat,
+    _roll_flat_back,
+)
 
 __all__ = ["chunked_candidates_sel", "pack_query_chunks", "MIN_SLOTS"]
 
@@ -158,6 +163,9 @@ def _kernel(win_ref, pk_hbm, pkr_hbm, out_rows_ref, out_keys_ref, plane_vmem, se
             sw = tk > tops[lvl]
             tops[lvl], tk = jnp.where(sw, tk, tops[lvl]), jnp.where(sw, tops[lvl], tk)
             pays[lvl], tr = jnp.where(sw, tr, pays[lvl]), jnp.where(sw, pays[lvl], tr)
+    # (an in-kernel full sort of this shortlist was measured SLOWER than the
+    # XLA-side lax.top_k — 63 of its 78 bitonic stages are sub-128 lane rolls,
+    # the expensive stage class; hybrid_100k regressed 5.7 -> 6.0 ms)
     out_keys_ref[0] = jnp.concatenate(tops, axis=0)
     out_rows_ref[0] = jnp.concatenate(pays, axis=0)
 

@@ -42,6 +42,10 @@ __all__ = ["ShardedLexIndex", "shard_lex_index", "sharded_hybrid_topk", "sharded
 # to the chunkmax DMA kernel (tests lower this to exercise the path on tiny CPU
 # corpora)
 _CHUNKMAX_MIN_LOCAL_ROWS = 524_288
+# local-shard row count above which the hybrid's dense lane switches from exact
+# blockmax to the packed select kernel (matching ops/flat_scan.py auto's 100K
+# regime); small CPU-test corpora stay on the bit-exact blockmax path
+_SELKERNEL_MIN_LOCAL_ROWS = 65_536
 
 
 @jax.tree_util.register_dataclass
@@ -344,15 +348,18 @@ def _local_bm25_candidates_topk(tids, doc_rows, wnorm, offsets, idf, rows_rev, w
                 tids, pk, pkr, cbase, ccnt, qb=pk_qb, max_chunks=pk_maxc,
                 mode=gen_mode, sel=_SEL_LEVELS,
             )
+            f = int(min(max(4 * kk, 256), keys.shape[-1]))
+            _, cpos = jax.lax.top_k(keys, f)
+            crows = jnp.take_along_axis(cand_rows, cpos, axis=-1)
         else:
             cand_rows, keys = candidate_scores_pallas(
                 tids, doc_rows, wnorm, offsets, idf, rows_rev, wn_rev,
                 max_df=w, mode=gen_mode, sel=_SEL_LEVELS,
             )
-        f = int(min(max(4 * kk, 256), keys.shape[-1]))
-        # plain top_k: wide_topk measured slower at this 3072-wide key plane
-        _, cpos = jax.lax.top_k(keys, f)
-        crows = jnp.take_along_axis(cand_rows, cpos, axis=-1)
+            f = int(min(max(4 * kk, 256), keys.shape[-1]))
+            # plain top_k: wide_topk measured slower at this 3072-wide key plane
+            _, cpos = jax.lax.top_k(keys, f)
+            crows = jnp.take_along_axis(cand_rows, cpos, axis=-1)
         return rescore_topk(tids, crows, fwd_tids, fwd_wnorm, idf, kk, mode,
                             fwd_width=fwd_width, fwd_fused=fwd_fused)
     if pallas:
@@ -471,6 +478,7 @@ def _hybrid_program(
     fetch: int,
     w: int,
     use_chunkmax: bool,
+    use_selkernel: bool,
     lex_backend: str,
     w_dense: float,
     w_bm25: float,
@@ -505,6 +513,23 @@ def _hybrid_program(
             from wax_tpu.ops.chunkmax_scan import chunkmax_scan_topk
 
             dv, drows = chunkmax_scan_topk(q.astype(jnp.float32), emb, d_bias[None, :], kk_d)
+        elif use_selkernel:
+            # accumulate-then-select packed kernel — the SAME backend the flat
+            # engine's auto policy serves standalone at these shard sizes
+            # (ops/flat_scan.py: 333.7us vs blockmax 677 at 100K x 384, overlap
+            # 0.9992); measured 0.68 -> 0.33 ms of the 100K hybrid (round 5)
+            from wax_tpu.ops.flat_scan import _TB, _packed_sel_scan_topk, _pick_tn
+
+            tb = min(_TB, ((b + 7) // 8) * 8)
+            b_pad = ((b + tb - 1) // tb) * tb
+            qs = q.astype(emb.dtype)
+            if b_pad != b:
+                qs = jnp.pad(qs, ((0, b_pad - b), (0, 0)))
+            dv, drows = _packed_sel_scan_topk(
+                qs, emb, d_bias[None, :], kk_d, tb, _pick_tn(emb.shape[0]),
+                jax.default_backend() == "cpu",
+            )
+            dv, drows = dv[:b], drows[:b]
         else:
             scores_d = jax.lax.dot_general(
                 q.astype(emb.dtype), emb, (((1,), (1,)), ((), ())),
@@ -587,12 +612,19 @@ def sharded_hybrid_topk(
         and local_rows >= _CHUNKMAX_MIN_LOCAL_ROWS
         and min(fetch, local_rows) <= 100
     )
+    # mid-size shards: the packed select kernel (the flat engine's own auto pick
+    # at 64K-512K rows; approximate-class ranking, overlap 0.9992 at 100K)
+    use_selkernel = (
+        not use_chunkmax
+        and _SELKERNEL_MIN_LOCAL_ROWS <= local_rows
+        and min(fetch, local_rows) <= 100
+    )
     lex_rescore = lex_backend != "scatter" and lex.fwd_tids is not None
     lex_chunked = (
         lex_rescore and lex_backend == "candidates_pallas" and lex.pk_chunks is not None
     )
     run = _hybrid_program(
-        mesh, int(k), fetch, int(lex.max_df), use_chunkmax, lex_backend,
+        mesh, int(k), fetch, int(lex.max_df), use_chunkmax, use_selkernel, lex_backend,
         float(w_dense), float(w_bm25), float(rrf_k), lex_rescore,
         lex_chunked, lex.pk_qb, lex.pk_max_chunks, lex.fwd_width,
         use_fused=lex_rescore and lex.fwd_fused is not None,
